@@ -1,0 +1,83 @@
+package graft.frontier
+
+import graft.model.{CrawlConfig, FrontierEntry}
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** Per-host politeness scheduler — the Spark re-expression of the
+  * reference's supervisor admission machinery:
+  *
+  *   - per-process concurrency semaphore ≤ 6
+  *     (`pkg/gotenberg/supervisor.go:113,156,451-469`, Chromium default &
+  *     hard max `chromium/chromium.go:454,668`) → per-HOST token budget
+  *     per round;
+  *   - queue cap with rejection (`supervisor.go:302-317`) → per-partition
+  *     intake cap; over-cap rows are deferred, not dropped;
+  *   - restart-after-N budget reset (`supervisor.go:539-602`) → budgets
+  *     reset each round.
+  *
+  * Physical plan: one shuffle — `repartition(P, host_hash)` where
+  * host_hash already carries the skew salt (`UrlFunctions.hostSalt`). A
+  * hot host is split across `saltsPerHost` partitions while its GLOBAL
+  * budget is divided deterministically across salts (quota_i =
+  * B/k + (i < B%k)), so the per-host rate limit holds regardless of
+  * partition layout (SURVEY.md §7.4 hot-host risk).
+  *
+  * Admission inside a partition is a per-host min-heap bounded at the
+  * host's quota (the "per-partition min-heap priority queue" of the
+  * north rule): a row displaces the heap minimum when its
+  * (priority DESC, seq ASC) rank is better. O(n log quota), no full
+  * sort, deterministic — a pure function of the partition's rows, which
+  * are themselves a pure function of the data (hash partitioning), never
+  * of task scheduling. This is what keeps crawl order identical between
+  * local[8] and local[32].
+  */
+object Politeness {
+
+  /** Ordering of crawl preference: higher priority first, then lower seq. */
+  private val preference: Ordering[FrontierEntry] =
+    Ordering.by((e: FrontierEntry) => (-e.priority, e.seq, e.url_canon))
+
+  final case class Admission(entry: FrontierEntry, admitted: Boolean)
+
+  /** Split `frontier` into (admitted, deferred) per the politeness budget. */
+  def admit(
+      spark: SparkSession,
+      frontier: Dataset[FrontierEntry],
+      cfg: CrawlConfig
+  ): Dataset[Admission] = {
+    import spark.implicits._
+
+    val salts = math.max(1, cfg.saltsPerHost)
+    val budget = cfg.hostBudgetPerRound
+
+    frontier
+      .repartition(cfg.numPartitions, col("host_hash"))
+      .mapPartitions { it =>
+        // per (host, saltIdx) bounded heap of the best quota_i entries;
+        // heap root = worst kept entry (reverse preference)
+        val heaps = mutable.Map.empty[(String, Int), mutable.PriorityQueue[FrontierEntry]]
+        val overflow = mutable.ArrayBuffer.empty[FrontierEntry]
+        var intake = 0L
+        it.foreach { e =>
+          val saltIdx = Math.floorMod(e.url_hash, salts.toLong).toInt
+          val quota = budget / salts + (if (saltIdx < budget % salts) 1 else 0)
+          if (quota == 0 || intake >= cfg.maxQueuePerPartition) overflow += e
+          else {
+            val heap = heaps.getOrElseUpdate((e.host, saltIdx),
+              mutable.PriorityQueue.empty(preference)) // max-heap on preference = worst-first root
+            intake += 1
+            if (heap.size < quota) heap.enqueue(e)
+            else if (preference.lt(e, heap.head)) {
+              overflow += heap.dequeue(); heap.enqueue(e)
+            } else overflow += e
+          }
+        }
+        val admitted = heaps.valuesIterator.flatMap(_.iterator).map(Admission(_, admitted = true))
+        val deferred = overflow.iterator.map(Admission(_, admitted = false))
+        admitted ++ deferred
+      }
+  }
+}

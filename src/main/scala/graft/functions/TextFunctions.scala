@@ -1,0 +1,177 @@
+package graft.functions
+
+import java.text.Normalizer
+
+/** Text/scalar ports: filename sanitize, unit conversion, sameSite
+  * normalization, byte-size parse, markdown→HTML (+ sanitizer).
+  */
+object TextFunctions {
+
+  /** Port of `sanitizeFilename` (`pkg/modules/api/context.go:692-703`):
+    * keep only the segment after the last '/' or '\', strip control
+    * chars (<0x20 and 0x7f), NFC-normalize. Affects identity / span
+    * equality, so parity matters.
+    */
+  def sanitizeFilename(name0: String): String = {
+    var name = name0
+    val i = math.max(name.lastIndexOf('/'), name.lastIndexOf('\\'))
+    if (i >= 0) name = name.substring(i + 1)
+    val sb = new StringBuilder(name.length)
+    name.foreach { c => if (c >= 0x20 && c != 0x7f) sb.append(c) }
+    Normalizer.normalize(sb.toString, Normalizer.Form.NFC)
+  }
+
+  /** Port of `FormData.inches` (`pkg/modules/api/formdata.go:199-250`).
+    * Unit divisors are exact: pt/72, px/96, in/1, mm/25.4, cm/2.54, pc/6.
+    * Empty → None (reference sets -MaxFloat sentinel); unparsable → None.
+    */
+  def toInches(value0: String): Option[Double] = {
+    val value = value0
+    if (value.isEmpty) return None
+    val units = Seq("pt" -> 72.0, "px" -> 96.0, "in" -> 1.0,
+      "mm" -> 25.4, "cm" -> 2.54, "pc" -> 6.0)
+    units.collectFirst {
+      case (u, div) if value.endsWith(u) => (value.dropRight(u.length), div)
+    } match {
+      case Some((num, div)) => num.toDoubleOption.map(_ * (1.0 / div))
+      case None => value.toDoubleOption
+    }
+  }
+
+  /** sameSite canonicalization (`chromium/routes.go:27-30,117-158`):
+    * case-insensitive lax|strict|none → Lax|Strict|None; anything else
+    * unchanged.
+    */
+  def normalizeSameSite(v: String): String = v.toLowerCase match {
+    case "lax" => "Lax"
+    case "strict" => "Strict"
+    case "none" => "None"
+    case _ => v
+  }
+
+  /** Byte-size parse ("5MB" — humanize-style, `api/api.go:197,240`).
+    * Supports B/KB/MB/GB/TB decimal and KiB/MiB/GiB binary, bare = bytes.
+    */
+  def parseByteSize(s0: String): Option[Long] = {
+    val s = s0.trim
+    val re = """^([0-9]*\.?[0-9]+)\s*([A-Za-z]*)$""".r
+    s match {
+      case re(num, unit) =>
+        val mult: Option[Double] = unit.toUpperCase match {
+          case "" | "B" => Some(1d)
+          case "KB" => Some(1e3); case "MB" => Some(1e6)
+          case "GB" => Some(1e9); case "TB" => Some(1e12)
+          case "KIB" => Some(1024d); case "MIB" => Some(1024d * 1024)
+          case "GIB" => Some(math.pow(1024, 3)); case "TIB" => Some(math.pow(1024, 4))
+          case _ => None
+        }
+        mult.map(m => (num.toDouble * m).toLong)
+      case _ => None
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // Markdown → HTML (F9, `chromium/routes.go:709-782` `toHTML`): the
+  // reference pipes each .md file through gomarkdown and sanitizes with
+  // bluemonday UGC. Ours is a deterministic commonmark subset with an
+  // allowlist sanitizer — the engine's documented markdown spec; golden
+  // fixtures pin it (SURVEY.md §7.4 markdown-parity risk).
+  // ---------------------------------------------------------------------
+
+  private val allowedTags = Set(
+    "p", "br", "h1", "h2", "h3", "h4", "h5", "h6", "em", "strong", "code",
+    "pre", "blockquote", "ul", "ol", "li", "a", "img", "hr", "table",
+    "thead", "tbody", "tr", "th", "td")
+
+  /** Strip disallowed tags (script/style/iframe/… and event handlers). */
+  def sanitizeHtml(html: String): String = {
+    // drop script/style blocks wholesale
+    var out = html.replaceAll("(?is)<(script|style|iframe|object|embed|form)[^>]*>.*?</\\1>", "")
+    out = out.replaceAll("(?is)<(script|style|iframe|object|embed|form)[^>]*/?>", "")
+    // drop on*= handlers and javascript: urls inside remaining tags
+    out = out.replaceAll("(?i)\\son[a-z]+\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)", "")
+    out = out.replaceAll("(?i)(href|src)\\s*=\\s*([\"']?)\\s*javascript:[^\"'>\\s]*\\2", "$1=$2$2")
+    // remove any tag not in the allowlist (keep inner text)
+    val tagRe = "(?i)</?([a-z][a-z0-9]*)(\\s[^>]*)?/?>".r
+    tagRe.replaceAllIn(out, m =>
+      if (allowedTags.contains(m.group(1).toLowerCase))
+        java.util.regex.Matcher.quoteReplacement(m.matched)
+      else "")
+  }
+
+  private def inline(s0: String): String = {
+    var s = escapeHtml(s0)
+    s = s.replaceAll("""!\[([^\]]*)\]\(([^)\s]+)\)""", """<img src="$2" alt="$1" />""")
+    s = s.replaceAll("""\[([^\]]+)\]\(([^)\s]+)\)""", """<a href="$2">$1</a>""")
+    s = s.replaceAll("""\*\*([^*]+)\*\*""", "<strong>$1</strong>")
+    s = s.replaceAll("""(?<!\*)\*([^*]+)\*(?!\*)""", "<em>$1</em>")
+    s = s.replaceAll("""`([^`]+)`""", "<code>$1</code>")
+    s
+  }
+
+  def escapeHtml(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+
+  /** Deterministic commonmark-subset renderer: ATX headings, fenced code,
+    * unordered/ordered lists, blockquotes, hr, paragraphs, inline
+    * em/strong/code/link/img. Output is sanitized.
+    */
+  def markdownToHtml(md: String): String = {
+    val lines = md.split("\n", -1)
+    val out = new StringBuilder
+    var i = 0
+    var para = List.empty[String]
+    def flushPara(): Unit = if (para.nonEmpty) {
+      out.append("<p>").append(para.reverse.map(inline).mkString("<br />")).append("</p>\n")
+      para = Nil
+    }
+    while (i < lines.length) {
+      val line = lines(i)
+      val t = line.trim
+      if (t.startsWith("```")) {
+        flushPara()
+        val buf = new StringBuilder
+        i += 1
+        while (i < lines.length && !lines(i).trim.startsWith("```")) {
+          buf.append(escapeHtml(lines(i))).append("\n"); i += 1
+        }
+        out.append("<pre><code>").append(buf).append("</code></pre>\n")
+      } else if (t.matches("^#{1,6}\\s.*")) {
+        flushPara()
+        val level = t.takeWhile(_ == '#').length
+        out.append(s"<h$level>").append(inline(t.drop(level).trim)).append(s"</h$level>\n")
+      } else if (t.matches("^(-{3,}|\\*{3,}|_{3,})$")) {
+        flushPara(); out.append("<hr />\n")
+      } else if (t.startsWith("- ") || t.startsWith("* ")) {
+        flushPara()
+        out.append("<ul>\n")
+        while (i < lines.length && {
+          val u = lines(i).trim; u.startsWith("- ") || u.startsWith("* ")
+        }) { out.append("<li>").append(inline(lines(i).trim.drop(2))).append("</li>\n"); i += 1 }
+        i -= 1
+        out.append("</ul>\n")
+      } else if (t.matches("^\\d+\\.\\s.*")) {
+        flushPara()
+        out.append("<ol>\n")
+        while (i < lines.length && lines(i).trim.matches("^\\d+\\.\\s.*")) {
+          val u = lines(i).trim
+          out.append("<li>").append(inline(u.substring(u.indexOf('.') + 1).trim)).append("</li>\n")
+          i += 1
+        }
+        i -= 1
+        out.append("</ol>\n")
+      } else if (t.startsWith("> ")) {
+        flushPara()
+        out.append("<blockquote>").append(inline(t.drop(2))).append("</blockquote>\n")
+      } else if (t.isEmpty) {
+        flushPara()
+      } else {
+        para = t :: para
+      }
+      i += 1
+    }
+    flushPara()
+    sanitizeHtml(out.toString)
+  }
+}

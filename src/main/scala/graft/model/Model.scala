@@ -1,0 +1,157 @@
+package graft.model
+
+/** Core data model of the engine.
+  *
+  * The unit of work is a document made of ordered spans — the Spark
+  * re-expression of the reference's per-request file set
+  * (`pkg/modules/api/context.go:45-59`: working dir + form values + files).
+  * Per-row invariant vs the reference pipeline: span-sequence equality on
+  * (kind, text, media_ref, order).
+  */
+final case class DocSpan(
+    kind: String,      // text | html | markdown | media | pdf | page | embed
+    text: String,      // payload for text-like kinds ("" for media)
+    media_ref: String, // ref into a media table for media kinds ("" otherwise)
+    offset: Int        // within-document span order, 0-based dense
+)
+
+final case class Doc(doc_id: String, spans: Seq[DocSpan])
+
+/** Crawl seed (FIXTURES.md §1 `seeds`). `seq` is the deterministic
+  * tiebreak so crawl order is a pure function of data, never of task
+  * scheduling (SURVEY.md §7.4).
+  */
+final case class SeedUrl(url: String, priority: Double, seq: Long)
+
+/** Robots/allow-deny rule — the Spark analog of the reference's outbound
+  * allow/deny regex lists (`pkg/gotenberg/outbound.go:258-340`). Broadcast
+  * as a small Dataset and joined to the frontier.
+  */
+final case class RobotsRule(
+    host_pattern: String, // regex over the normalized URL
+    rule: String,         // "allow" | "deny"
+    deny_private_ips: Boolean,
+    deny_public_ips: Boolean
+)
+
+/** Synthetic DNS row (determinism stand-in for resolution pinning,
+  * `outbound.go:121-166`).
+  */
+final case class HostIps(host: String, ips: Seq[String])
+
+/** One frontier entry after canonicalization/scheduling (FIXTURES.md §1
+  * `frontier`). `host_hash` is the salted host hash — the partition key
+  * that defuses hot-domain skew (SURVEY.md §2.8, §4).
+  */
+final case class FrontierEntry(
+    url: String,        // raw URL as submitted
+    url_canon: String,  // canonicalized URL
+    url_hash: Long,     // murmur3 of url_canon
+    host: String,
+    host_hash: Int,     // salted host hash (partition key)
+    priority: Double,
+    seq: Long,
+    round: Int
+)
+
+/** Final URL-seen set row. */
+final case class SeenUrl(url_canon: String, url_hash: Long, round_first_seen: Int)
+
+/** Result of fetching one frontier entry (synthetic fetch in sandbox —
+  * deterministic doc keyed by url_hash, standing in for the Chromium
+  * navigate + wait barrier of `chromium/tasks.go:396-441`).
+  */
+final case class FetchResult(
+    url_canon: String,
+    url_hash: Long,
+    host: String,
+    round: Int,
+    status: Int,
+    bytes: Long,
+    doc: Doc,
+    outlinks: Seq[String],
+    error: String // "" on success; classified per events.go:376-433 otherwise
+)
+
+/** Per-partition lineage + fetch/convert metrics (FIXTURES.md §1
+  * `fetch_log`; analog of `chromium/network_aggregate.go:17-121` and the
+  * supervisor counters `gotenberg/supervisor.go:620-637`).
+  */
+final case class PartitionMetrics(
+    partition_id: Int,
+    round: Int,
+    urls_admitted: Long,
+    urls_deferred: Long,
+    urls_fetched: Long,
+    urls_converted: Long,
+    bytes_total: Long,
+    failed_count: Long,
+    wall_ms: Long,
+    tokens_spent: Long
+)
+
+/** Politeness + scheduling configuration — ports the supervisor envelope:
+  * per-host concurrency ≤ 6 (`chromium/chromium.go:454,668`), queue cap
+  * (`supervisor.go:302-317`), budget reset per round (restart-after
+  * semantics, `supervisor.go:539-602`).
+  */
+final case class CrawlConfig(
+    numPartitions: Int = 32,
+    saltsPerHost: Int = 4,       // skew salting factor
+    hostBudgetPerRound: Int = 6, // token bucket per host per round
+    maxQueuePerPartition: Int = 1 << 20,
+    bloomExpectedItems: Long = 1L << 20,
+    bloomFpp: Double = 0.01,
+    outlinksPerDoc: Int = 4,
+    maxRounds: Int = 3,
+    seed: Long = 42L
+)
+
+/** Split options (`pkg/gotenberg/pdfengine.go:140-160`): mode ∈
+  * {"", "intervals", "pages"}; span = N pages per part (intervals) or a
+  * page-range expression (pages); unify merges page-mode output.
+  */
+final case class SplitOptions(mode: String = "", span: String = "", unify: Boolean = false)
+
+/** Encryption options (`pdfengine.go:200-230`; qpdf semantics
+  * `qpdf/qpdf.go:359-407`: owner password defaults to user password,
+  * AES-256).
+  */
+final case class EncryptOptions(
+    userPassword: String = "",
+    ownerPassword: String = "",
+    allowPrinting: Boolean = true,
+    allowModifying: Boolean = true,
+    allowCopying: Boolean = true,
+    allowAnnotating: Boolean = true,
+    allowFillingForms: Boolean = true,
+    allowAccessibility: Boolean = true
+)
+
+/** Bookmark tree node (`pdfengine.go:246-259`). Children are flattened to
+  * (title, page, depth, path) rows in the columnar form to keep the type
+  * finite; the recursive case class is used in-operator.
+  */
+final case class Bookmark(title: String, page: Int, children: Seq[Bookmark] = Nil)
+
+/** Stamp/watermark descriptor (`pdfengine.go:162-198`). */
+final case class StampOptions(
+    source: String = "",     // text | image | pdf payload reference
+    sourceKind: String = "", // "" disables (no-op guard, §4 SURVEY.md)
+    pages: String = "",
+    options: Map[String, String] = Map.empty
+)
+
+/** Chromium-side page option subset that affects dataflow semantics
+  * (F6/F13; `chromium/chromium.go:119-242`).
+  */
+final case class PageOptions(
+    failOnHttpStatusCodes: Seq[Int] = Seq(499, 599),
+    failOnResourceHttpStatusCodes: Seq[Int] = Nil,
+    ignoreResourceHttpStatusDomains: Seq[String] = Nil,
+    singlePage: Boolean = false,
+    generateDocumentOutline: Boolean = false,
+    generateTaggedPdf: Boolean = false,
+    omitBackground: Boolean = false,
+    printBackground: Boolean = false
+)

@@ -1,0 +1,79 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Snapshot/checkpoint store — Iceberg-style table semantics over plain
+  * parquet (this sandbox ships no Iceberg runtime jars; the layout below
+  * is a faithful miniature of Iceberg's snapshot model and swaps for
+  * `writeTo(...).append()` + snapshot-id reads on a real cluster).
+  *
+  * Layout:
+  * {{{
+  *   <root>/v<N>/<table>/           parquet data per snapshot
+  *   <root>/v<N>/MANIFEST.json      tables + row counts + round
+  *   <root>/CURRENT                 text file: committed snapshot id
+  * }}}
+  *
+  * Commit protocol: write everything under `v<N>` (invisible to readers),
+  * then atomically move `CURRENT.tmp` → `CURRENT`. A crashed round leaves
+  * a dangling `v<N>` that the next run ignores — exactly Iceberg's
+  * snapshot atomicity, which is what makes the crawl resumable from the
+  * last committed round (north rule: resumable from checkpoint with
+  * per-partition lineage).
+  */
+final class SnapshotStore(val root: String) {
+
+  private def rootPath: Path = Paths.get(root)
+  private def currentFile: Path = rootPath.resolve("CURRENT")
+
+  def currentSnapshot: Option[Int] =
+    if (Files.exists(currentFile)) Some(Files.readString(currentFile).trim.toInt) else None
+
+  def snapshotDir(id: Int): String = s"$root/v$id"
+
+  def tablePath(id: Int, table: String): String = s"${snapshotDir(id)}/$table"
+
+  def hasTable(id: Int, table: String): Boolean =
+    Files.exists(Paths.get(tablePath(id, table), "_SUCCESS"))
+
+  def read(spark: SparkSession, id: Int, table: String): DataFrame =
+    spark.read.parquet(tablePath(id, table))
+
+  def readOrEmpty(spark: SparkSession, id: Option[Int], table: String, like: DataFrame): DataFrame =
+    id.filter(hasTable(_, table)) match {
+      case Some(s) => spark.read.parquet(tablePath(s, table))
+      case None => like.limit(0)
+    }
+
+  /** Stage a table into the (uncommitted) snapshot `id`. */
+  def write(df: DataFrame, id: Int, table: String,
+            sortWithinPartitionsBy: Seq[String] = Nil): Unit = {
+    val out =
+      if (sortWithinPartitionsBy.nonEmpty)
+        df.sortWithinPartitions(sortWithinPartitionsBy.map(org.apache.spark.sql.functions.col): _*)
+      else df
+    out.write.mode(SaveMode.Overwrite).parquet(tablePath(id, table))
+  }
+
+  /** Atomically commit snapshot `id` with manifest metadata. */
+  def commit(id: Int, round: Int, meta: Map[String, String] = Map.empty): Unit = {
+    Files.createDirectories(Paths.get(snapshotDir(id)))
+    val tables = Files.list(Paths.get(snapshotDir(id))).iterator().asScala
+      .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq.sorted
+    val metaJson = (meta + ("round" -> round.toString))
+      .map { case (k, v) => s""""$k": "$v"""" }.mkString(", ")
+    val manifest =
+      s"""{"snapshot_id": $id, "round": $round, "tables": [${tables.map(t => s""""$t"""").mkString(", ")}], "meta": {$metaJson}}"""
+    Files.writeString(Paths.get(snapshotDir(id), "MANIFEST.json"), manifest)
+    val tmp = rootPath.resolve("CURRENT.tmp")
+    Files.writeString(tmp, id.toString)
+    Files.move(tmp, currentFile, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def readManifest(id: Int): String =
+    Files.readString(Paths.get(snapshotDir(id), "MANIFEST.json"))
+}

@@ -1,0 +1,113 @@
+package graft
+
+import graft.model.CrawlConfig
+import graft.pipeline.CrawlJob
+import graft.sources.{SnapshotStore, SyntheticWeb}
+import graft.testkit.ReferenceCrawl
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** End-to-end crawl vs the straight-line reference model: final URL-seen
+  * set, per-round canonical frontier order, and output span-sequence
+  * equality (kind, text, media_ref, order) — the BASELINE.json
+  * correctness gates.
+  */
+class CrawlJobSpec extends SparkSpec {
+
+  private val universe = SyntheticWeb.Universe(numHosts = 23, pagesPerHost = 40,
+    seed = 7L, outlinksPerDoc = 3, spansPerDoc = 5)
+  private val cfg = CrawlConfig(numPartitions = 8, saltsPerHost = 2,
+    hostBudgetPerRound = 4, maxRounds = 3, bloomExpectedItems = 1 << 12)
+  private val robots = SyntheticWeb.defaultRobots
+  private val hostMap = SyntheticWeb.hostMap(universe.numHosts)
+  private val seeds = universe.seedUrls(60)
+
+  private def runEngine(root: String): CrawlJob.CrawlSummary = {
+    import spark.implicits._
+    CrawlJob.run(spark, seeds.toDS(), robots, hostMap.toDS(), universe, cfg, root)
+  }
+
+  lazy val model: ReferenceCrawl.Result =
+    ReferenceCrawl.run(seeds, robots, hostMap.map(h => h.host -> h.ips).toMap, universe, cfg)
+
+  lazy val storeRoot: String = Files.createTempDirectory("crawl-spec").toString
+  lazy val summary: CrawlJob.CrawlSummary = runEngine(storeRoot)
+
+  test("final URL-seen set matches the reference model") {
+    val store = new SnapshotStore(storeRoot)
+    summary // force
+    val last = store.currentSnapshot.get
+    val engineSeen = store.read(spark, last, "url_seen")
+      .select("url_canon", "round_first_seen")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(engineSeen === model.seen)
+  }
+
+  test("per-round frontier canonical order matches the reference model") {
+    summary
+    val store = new SnapshotStore(storeRoot)
+    model.rounds.foreach { rt =>
+      val engineOrder = store.read(spark, rt.round, "frontier")
+        .orderBy(col("host_hash"), col("priority").desc, col("seq"), col("url_canon"))
+        .select("url_canon").collect().map(_.getString(0)).toSeq
+      assert(engineOrder === rt.admittedOrdered, s"round ${rt.round}")
+    }
+  }
+
+  test("output spans satisfy span-sequence equality vs the model") {
+    summary
+    val store = new SnapshotStore(storeRoot)
+    model.rounds.foreach { rt =>
+      val engineDocs = store.read(spark, rt.round, "output_spans")
+        .selectExpr("doc_id",
+          "transform(spans, s -> struct(s.kind, s.text, s.media_ref, s.offset)) as spans")
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(s => (s.getString(0), s.getString(1), s.getString(2), s.getInt(3))))
+        .toMap
+      val modelDocs = rt.fetchedDocs.map { case (id, d) =>
+        id -> d.spans.map(s => (s.kind, s.text, s.media_ref, s.offset))
+      }
+      assert(engineDocs.keySet === modelDocs.keySet, s"round ${rt.round} doc ids")
+      modelDocs.foreach { case (id, spans) =>
+        assert(engineDocs(id) === spans, s"round ${rt.round} doc $id")
+      }
+    }
+  }
+
+  test("crawl is resumable from the committed snapshot") {
+    summary
+    val store = new SnapshotStore(storeRoot)
+    val before = store.currentSnapshot.get
+    // continue for 1 more round from the checkpoint
+    import spark.implicits._
+    val more = CrawlJob.run(spark, seeds.toDS(), robots, hostMap.toDS(), universe,
+      cfg.copy(maxRounds = 1), storeRoot)
+    val after = store.currentSnapshot.get
+    assert(after === before + 1)
+    // model run for 4 rounds total must agree with the resumed engine
+    val model4 = ReferenceCrawl.run(seeds, robots,
+      hostMap.map(h => h.host -> h.ips).toMap, universe, cfg.copy(maxRounds = 4))
+    val engineSeen = store.read(spark, after, "url_seen")
+      .select("url_canon", "round_first_seen")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(engineSeen === model4.seen)
+    assert(more.rounds.nonEmpty)
+  }
+
+  test("hot-host politeness budget is honored per round") {
+    summary
+    val store = new SnapshotStore(storeRoot)
+    (0 until math.min(cfg.maxRounds, store.currentSnapshot.get + 1)).foreach { r =>
+      if (store.hasTable(r, "frontier")) {
+        val perHost = store.read(spark, r, "frontier")
+          .groupBy("host").count().collect()
+        perHost.foreach { row =>
+          assert(row.getLong(1) <= cfg.hostBudgetPerRound,
+            s"round $r host ${row.getString(0)} over budget")
+        }
+      }
+    }
+  }
+}
