@@ -1,0 +1,221 @@
+package graft.datatools
+
+import graft.functions.UrlFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design (100 TB): no O(n²) anywhere —
+  *   - exact: hash-groupBy (one shuffle on the fingerprint);
+  *   - n-gram Jaccard: shingle inverted index self-join with a
+  *     document-frequency cap on shingles (hot-shingle skew defused by
+  *     dropping shingles that appear in > dfCap docs — standard
+  *     suffix-array-free candidate generation);
+  *   - MinHash LSH: signature → bands → bucket groupBy; pairs only form
+  *     inside a bucket;
+  *   - SimHash: 16-bit band blocking on the 64-bit signature;
+  *   - embedding near-dup: hyperplane-LSH bucketing, pairs within bucket.
+  * Every candidate pair is verified exactly before being reported
+  * (LSH/sketches generate candidates, never verdicts — same discipline
+  * as the URL-seen bloom layer).
+  */
+object Dedup {
+
+  /** Word shingles (k-grams of tokens) as a Column: sorted distinct
+    * n-gram strings.
+    */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = split(TextAnalysis.normalizedText(text), " ")
+    // transform over sliding windows: index i -> tokens[i..i+k)
+    val n = size(toks)
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(n - k, lit(0))),
+          i => when(i + k <= n, concat_ws(" ", slice(toks, i + lit(1), lit(k))))),
+        s => s.isNotNull))
+  }
+
+  /** Exact dedup: group identical normalized texts; emit one keeper
+    * (min doc_id) + the duplicate count. One shuffle on md5.
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(TextAnalysis.fingerprintMd5(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_dups"))
+
+  /** Exact n-gram Jaccard pairs ≥ threshold via shingle inverted index.
+    * dfCap drops shingles present in more than dfCap docs (stopword
+    * shingles contribute little discrimination and quadratic pairs).
+    */
+  def ngramJaccardPairs(docs: DataFrame, k: Int, threshold: Double,
+                        dfCap: Int = 1000,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val withSh = docs.select(col(idCol).as("id"),
+      shingles(col(textCol), k).as("sh"))
+      .withColumn("set_size", size(col("sh")))
+    val exploded = withSh.select(col("id"), col("set_size"), explode(col("sh")).as("shingle"))
+    val capped = exploded.withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .filter(col("df") <= dfCap).drop("df")
+    val pairs = capped.as("a").join(capped.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.set_size").as("size_a"), col("b.set_size").as("size_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs.withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("size_a") + col("size_b") - col("inter")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // -----------------------------------------------------------------
+  // MinHash + LSH
+  // -----------------------------------------------------------------
+  // 2^31-1: with 32-bit murmur inputs reduced mod p, a*h+b stays well
+  // under 2^63 (ANSI mode would reject a 2^61 prime's overflow).
+  private val MersennePrime = (1L << 31) - 1
+
+  /** Deterministic permutation parameters (a_i, b_i) seeded. */
+  def permutations(num: Int, seed: Long): Seq[(Long, Long)] =
+    (0 until num).map { i =>
+      val a = math.abs(graft.frontier.CuckooFilter.mix(seed + 2L * i)) % (MersennePrime - 1) + 1
+      val b = math.abs(graft.frontier.CuckooFilter.mix(seed + 2L * i + 1)) % MersennePrime
+      (a, b)
+    }
+
+  /** MinHash signature UDF-free: murmur3 each shingle (built-in hash),
+    * then per-permutation min of (a*h+b) mod p via aggregate().
+    */
+  def minhashSignature(shArr: Column, perms: Seq[(Long, Long)]): Column = {
+    val hashes = transform(shArr, s => pmod(hash(s).cast("long"), lit(MersennePrime)))
+    array(perms.map { case (a, b) =>
+      aggregate(hashes, lit(Long.MaxValue),
+        (acc, h) => least(acc, pmod(h * lit(a) + lit(b), lit(MersennePrime))))
+    }: _*)
+  }
+
+  /** MinHash LSH near-dup pairs, exact-Jaccard-verified.
+    * numHashes = bands × rowsPerBand.
+    */
+  def minhashLshPairs(docs: DataFrame, k: Int, threshold: Double,
+                      bands: Int = 16, rowsPerBand: Int = 4, seed: Long = 42L,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val perms = permutations(bands * rowsPerBand, seed)
+    val withSig = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sh", shingles(col("text"), k))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), perms))
+      .select("id", "sh", "sig")
+      .persist()
+    // band buckets: (band_idx, hash(slice of sig)) → ids
+    val banded = withSig.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)), b))).as(Seq("band", "bucket")))
+      .select("id", "band", "bucket")
+    val candidates = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    // exact verification (sketches propose, exactness disposes)
+    val sets = withSig.select(col("id"), col("sh"))
+    val verified = candidates
+      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+    verified
+  }
+
+  // -----------------------------------------------------------------
+  // SimHash
+  // -----------------------------------------------------------------
+
+  /** 64-bit SimHash of the token multiset (Scala-side; murmur3-based). */
+  def simhash64(text: String): Long = {
+    val toks = text.toLowerCase.replaceAll("\\s+", " ").trim.split(" ").filter(_.nonEmpty)
+    if (toks.isEmpty) return 0L
+    val acc = new Array[Int](64)
+    toks.foreach { t =>
+      val h32a = UrlFunctions.murmur3(t).toLong & 0xffffffffL
+      val h32b = UrlFunctions.murmur3("\u0001" + t).toLong & 0xffffffffL
+      val h = (h32a << 32) | h32b
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) acc(bit) += 1 else acc(bit) -= 1
+        bit += 1
+      }
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) { if (acc(bit) > 0) out |= (1L << bit); bit += 1 }
+    out
+  }
+
+  /** SimHash near-dup pairs: 4×16-bit band blocking, hamming ≤ maxDist
+    * verified via bit_count(xor).
+    */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sim = udf(simhash64 _)
+    val withSig = docs.select(col(idCol).as("id"), sim(col(textCol)).as("sig"))
+    val banded = withSig.select(col("id"), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("band", "bucket")))
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b")).distinct()
+    pairs.withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  // -----------------------------------------------------------------
+  // Embedding-cosine near-dup via hyperplane LSH
+  // -----------------------------------------------------------------
+
+  /** Deterministic hyperplanes: values from splitmix stream, ±1. */
+  def hyperplaneSignature(vec: Column, dim: Int, numPlanes: Int, seed: Long): Column = {
+    val planes = (0 until numPlanes).map { pIdx =>
+      val signs = (0 until dim).map { d =>
+        if ((graft.frontier.CuckooFilter.mix(seed + pIdx * 1009L + d) & 1L) == 0L) -1.0 else 1.0
+      }
+      // dot(vec, signs) > 0 → bit
+      val dot = (0 until dim).map(d => element_at(vec, d + 1) * lit(signs(d))).reduce(_ + _)
+      when(dot > 0, lit(1)).otherwise(lit(0))
+    }
+    concat_ws("", planes.map(_.cast("string")): _*)
+  }
+
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0d), (acc, v) => acc + v))
+    dot / (na * nb)
+  }
+
+  /** Near-dup embedding pairs: bucket by hyperplane signature, verify
+    * cosine ≥ threshold within bucket.
+    */
+  def embeddingNearDupPairs(embeddings: DataFrame, dim: Int, threshold: Double,
+                            numPlanes: Int = 8, seed: Long = 42L,
+                            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val withSig = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", hyperplaneSignature(col("v").cast("array<double>"), dim, numPlanes, seed))
+    val pairs = withSig.as("a").join(withSig.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.v").as("v_a"), col("b.v").as("v_b"))
+    pairs.withColumn("cos", round(cosine(col("v_a").cast("array<double>"),
+        col("v_b").cast("array<double>")), 6))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+}

@@ -1,0 +1,105 @@
+package graft.datatools
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata. The decode step is a clearly-marked
+  * deterministic STUB (no image/audio libs in this container — builder
+  * prompt instruction); everything Spark-side — schema, partitioning,
+  * batch shape, codec dispatch — is real and tested, and the stub swaps
+  * for a JNI/FFM decoder without touching the plumbing.
+  */
+object Multimodal {
+
+  final case class MediaMeta(
+      media_ref: String,
+      codec: String,       // "png" | "jpeg" | "wav" | "mp4" — from magic bytes
+      width: Int,          // images/video
+      height: Int,
+      duration_ms: Long,   // audio/video
+      n_frames: Int,
+      bytes_len: Long)
+
+  /** Synthesize a deterministic binary payload for a media_ref (the
+    * sandbox stand-in for object-store fetch). First 4 bytes select the
+    * codec; the rest is a splitmix byte stream.
+    */
+  def syntheticBytes(mediaRef: String, len: Int = 256): Array[Byte] = {
+    val h0 = graft.functions.UrlFunctions.murmur3(mediaRef).toLong
+    val out = new Array[Byte](len)
+    val magic = Math.floorMod(h0, 4L).toInt match {
+      case 0 => Array[Byte](0x89.toByte, 'P', 'N', 'G')
+      case 1 => Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte) // jpeg
+      case 2 => Array[Byte]('R', 'I', 'F', 'F')                                  // wav
+      case _ => Array[Byte](0, 0, 0, 0x18)                                       // mp4 ftyp-ish
+    }
+    System.arraycopy(magic, 0, out, 0, 4)
+    var s = h0
+    var i = 4
+    while (i < len) {
+      s = graft.frontier.CuckooFilter.mix(s)
+      out(i) = (s & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  def codecOf(bytes: Array[Byte]): String =
+    if (bytes.length < 4) "unknown"
+    else if ((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P') "png"
+    else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) "jpeg"
+    else if (bytes(0) == 'R' && bytes(1) == 'I') "wav"
+    else if (bytes(3) == 0x18) "mp4"
+    else "unknown"
+
+  /** ??? DECODE STUB ??? — deterministic fake of the real decoder: a
+    * production build replaces this body with an actual codec call; the
+    * signature, schema and batch shape stay identical.
+    */
+  def decodeStub(mediaRef: String, bytes: Array[Byte]): MediaMeta = {
+    val h = graft.frontier.CuckooFilter.mix(
+      graft.functions.UrlFunctions.murmur3(mediaRef).toLong)
+    val codec = codecOf(bytes)
+    val isImage = codec == "png" || codec == "jpeg"
+    MediaMeta(
+      media_ref = mediaRef,
+      codec = codec,
+      width = if (isImage || codec == "mp4") (64 + Math.floorMod(h, 1920L)).toInt else 0,
+      height = if (isImage || codec == "mp4") (64 + Math.floorMod(h >> 16, 1080L)).toInt else 0,
+      duration_ms = if (codec == "wav" || codec == "mp4") 500 + Math.floorMod(h >> 24, 60000L) else 0L,
+      n_frames = if (codec == "mp4") (1 + Math.floorMod(h >> 32, 300L)).toInt else if (isImage) 1 else 0,
+      bytes_len = bytes.length.toLong)
+  }
+
+  /** Attach synthetic media payloads to a docs frame that carries a
+    * media_ref column. Real plumbing: binary column, per-partition
+    * batch decode via mapPartitions (the Scala analog of mapInPandas —
+    * one decoder instance per partition, vectorized batch shape).
+    */
+  def withMediaMeta(spark: SparkSession, refs: DataFrame, refCol: String = "media_ref"): Dataset[MediaMeta] = {
+    import spark.implicits._
+    refs.select(col(refCol)).distinct().as[String].mapPartitions { it =>
+      // per-partition decoder init happens HERE in a real build
+      it.map { ref => decodeStub(ref, syntheticBytes(ref)) }
+    }
+  }
+
+  /** Frame sampling for video refs: every `stride`-th frame index —
+    * generator-shaped (UDTF analog, T4-style explode).
+    */
+  def sampleFrames(meta: Dataset[MediaMeta], stride: Int): DataFrame =
+    meta.toDF().filter(col("codec") === "mp4" && col("n_frames") > 0)
+      .select(col("media_ref"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+
+  /** Resize plumbing: new dims preserved-aspect-ratio — pure arithmetic
+    * on metadata (the real byte transform is the decoder's job).
+    */
+  def resizeMeta(meta: Dataset[MediaMeta], maxDim: Int): DataFrame =
+    meta.toDF().withColumn("scale",
+        when(greatest(col("width"), col("height")) <= maxDim, lit(1.0))
+          .otherwise(lit(maxDim).cast("double") / greatest(col("width"), col("height"))))
+      .withColumn("new_width", floor(col("width") * col("scale")).cast("int"))
+      .withColumn("new_height", floor(col("height") * col("scale")).cast("int"))
+}

@@ -1,0 +1,127 @@
+package graft.datatools
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (builder-prompt
+  * first-class components): language-ID, quality scoring, token
+  * counting, document fingerprinting. Everything here is built-in
+  * Column expressions — whole-stage-codegen'd, ANSI-SQL-mirrorable for
+  * the DuckDB oracle, zero UDFs on the hot path.
+  */
+object TextAnalysis {
+
+  /** Stopword markers per language — the n-gram heuristic. Chosen to be
+    * frequent function words with low cross-language collision.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " and ", " of "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "fr" -> Seq(" le ", " la ", " et "),
+    "es" -> Seq(" el ", " los ", " y "),
+    "zh" -> Seq("的", "是", "在")
+  )
+
+  /** Occurrence count of a literal needle — (len(s) - len(replace(s, n)))
+    * / len(n); identical arithmetic in Spark and DuckDB.
+    */
+  def countOccurrences(text: Column, needle: String): Column =
+    (length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(needle), ""))) / lit(needle.length)
+
+  /** Language score per language; ID = argmax with deterministic
+    * alphabetical tiebreak.
+    */
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      lang -> markers.map(countOccurrences(padded, _)).reduce(_ + _)
+    }
+  }
+
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    // greatest-score argmax; ties → alphabetically first language (the
+    // reverse fold makes the earliest language win equal scores)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.reverse.foldLeft(lit("und"): Column) { case (acc, (lang, s)) =>
+      when(s > 0 && s === best, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Whitespace token count: count of non-space runs. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword count: word-pieces + digits + punctuation as the
+    * regex token classes a byte-pair tokenizer would split on.
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Quality score in [0,1]: length band + punctuation ratio +
+    * stopword ratio + alpha ratio (the classic Gopher/C4-style gates,
+    * composed as a smooth score).
+    */
+  def qualityScore(text: Column): Column = {
+    val len = length(text).cast("double")
+    val toks = tokenCount(text).cast("double")
+    val punct = length(regexp_replace(text, "[^.!?,;:]", "")).cast("double")
+    val alpha = length(regexp_replace(text, "[^A-Za-z]", "")).cast("double")
+    val stop = countOccurrences(concat(lit(" "), lower(text), lit(" ")), " the ") +
+      countOccurrences(concat(lit(" "), lower(text), lit(" ")), " a ") +
+      countOccurrences(concat(lit(" "), lower(text), lit(" ")), " and ")
+    val lenScore = least(len / lit(500.0), lit(1.0))
+    val punctScore = least(punct / greatest(toks, lit(1.0)) * lit(5.0), lit(1.0))
+    val alphaScore = alpha / greatest(len, lit(1.0))
+    val stopScore = least(stop.cast("double") / greatest(toks, lit(1.0)) * lit(10.0), lit(1.0))
+    round((lenScore * 0.3 + punctScore * 0.2 + alphaScore * 0.3 + stopScore * 0.2), 6)
+  }
+
+  /** Normalized text for fingerprinting: lowercase, collapse whitespace. */
+  def normalizedText(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Content fingerprint: md5 of the normalized text (exact-dup key;
+    * SQL-mirrorable).
+    */
+  def fingerprintMd5(text: Column): Column = md5(normalizedText(text).cast("binary"))
+
+  /** Rolling polynomial hash (winnowing-style) over normalized text —
+    * the shift-resistant fingerprint. Base-31 mod 2^61-1 over UTF-16
+    * code units, window minimum sampling. Scala-side (used via UDF in
+    * non-oracle queries and by tests).
+    */
+  def rollingFingerprint(text: String, window: Int = 16): Long = {
+    val s = text.toLowerCase.replaceAll("\\s+", " ").trim
+    if (s.isEmpty) return 0L
+    val p = (1L << 61) - 1
+    val base = 31L
+    // prefix hashes of all `window`-grams, then min-sample (winnowing)
+    var h = 0L
+    val grams = new Array[Long](math.max(1, s.length - window + 1))
+    if (s.length <= window) {
+      s.foreach { c => h = mulmod(h, base, p); h = (h + c) % p }
+      return h
+    }
+    var pw = 1L
+    (0 until window).foreach { i =>
+      h = (mulmod(h, base, p) + s(i)) % p
+      if (i < window - 1) pw = mulmod(pw, base, p)
+    }
+    grams(0) = h
+    var i = window
+    while (i < s.length) {
+      h = (h - mulmod(s(i - window), pw, p) % p + p) % p
+      h = (mulmod(h, base, p) + s(i)) % p
+      grams(i - window + 1) = h
+      i += 1
+    }
+    // fingerprint = xor of window minima (robust, order-free)
+    grams.grouped(window).map(_.min).foldLeft(0L)(_ ^ _)
+  }
+
+  private def mulmod(a: Long, b: Long, m: Long): Long =
+    java.math.BigInteger.valueOf(a).multiply(java.math.BigInteger.valueOf(b))
+      .mod(java.math.BigInteger.valueOf(m)).longValueExact()
+}

@@ -1,0 +1,325 @@
+package graft.queries
+
+/** DuckDB oracle twins for [[Queries]]. Column names and rounding match
+  * the Spark side exactly (driver compare sorts columns by name and
+  * hashes values). Queries without a twin (q26 simhash, q33 media stub)
+  * are sketch/stub-specific and take the driver's rows-only check.
+  */
+object OracleSql {
+
+  // shared fragments
+  private val normText =
+    """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
+
+  private val noisyCanon =
+    """'https://host' || (o_custkey % 50)::VARCHAR || '.example.com/p/' || o_orderkey::VARCHAR"""
+
+  private val bigramSets =
+    s"""WITH toks AS (
+       |  SELECT doc_id AS id, string_split($normText, ' ') AS tk FROM documents
+       |), d AS (
+       |  SELECT id, list_distinct(list_transform(generate_series(1, len(tk) - 1),
+       |         i -> tk[i] || ' ' || tk[i + 1])) AS sh FROM toks
+       |), e AS (
+       |  SELECT id, len(sh) AS sz, unnest(sh) AS s FROM d
+       |), pairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, any_value(a.sz) AS sa,
+       |         any_value(b.sz) AS sb, count(*) AS inter
+       |  FROM e a JOIN e b ON a.s = b.s AND a.id < b.id
+       |  GROUP BY a.id, b.id
+       |)""".stripMargin
+
+  val all: Map[String, String] = Map(
+    "q01_agg_pushdown" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q02_filter_prune" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+        |FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 100000.0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q03_join_broadcast" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q04_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers_no_orders
+        |FROM customer WHERE NOT EXISTS
+        |  (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q05_semi_join" ->
+      """SELECT s_nationkey, count(*) AS n_suppliers
+        |FROM supplier WHERE EXISTS
+        |  (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity > 45)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q06_url_canonicalize" ->
+      s"""SELECT $noisyCanon AS url_canon, count(*) AS n,
+         |  min(o_orderkey) AS first_key
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q07_seen_antijoin" ->
+      s"""WITH urls AS (SELECT o_orderkey, $noisyCanon AS url_canon FROM orders),
+         |seen AS (SELECT url_canon FROM urls WHERE o_orderkey % 2 = 0)
+         |SELECT 'host' || (regexp_extract(url_canon, 'host(\\d+)', 1)) || '.example.com' AS host,
+         |  count(*) AS n_new
+         |FROM urls WHERE o_orderkey % 3 = 0
+         |  AND url_canon NOT IN (SELECT url_canon FROM seen)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q08_politeness_admission" ->
+      """WITH f AS (
+        |  SELECT 'host' || (o_custkey % 50)::VARCHAR AS host,
+        |    round(fmod(o_totalprice, 100), 4) AS priority, o_orderkey AS seq
+        |  FROM orders),
+        |r AS (SELECT host, priority,
+        |  row_number() OVER (PARTITION BY host ORDER BY priority DESC, seq) AS rnk FROM f)
+        |SELECT host, count(*) AS admitted, round(sum(priority), 4) AS sum_priority
+        |FROM r WHERE rnk <= 6 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q09_frontier_order" ->
+      """WITH f AS (
+        |  SELECT 'host' || (o_custkey % 20)::VARCHAR AS host,
+        |    round(fmod(o_totalprice, 1000), 4) AS priority, o_orderkey
+        |  FROM orders),
+        |r AS (SELECT host, o_orderkey, priority,
+        |  row_number() OVER (PARTITION BY host ORDER BY priority DESC, o_orderkey) AS rank FROM f)
+        |SELECT host, rank, o_orderkey, priority FROM r WHERE rank <= 3
+        |ORDER BY host, rank""".stripMargin,
+
+    "q10_status_expansion" ->
+      """SELECT o_orderpriority,
+        |  sum(CASE WHEN (o_orderkey % 600 BETWEEN 400 AND 499)
+        |             OR (o_orderkey % 600 BETWEEN 500 AND 599) THEN 1 ELSE 0 END) AS n_failing,
+        |  count(*) AS n_total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q11_domain_match" ->
+      """WITH h AS (SELECT CASE
+        |    WHEN c_custkey % 3 = 0 THEN 'sub.host' || (c_custkey % 10)::VARCHAR || '.example.com'
+        |    WHEN c_custkey % 3 = 1 THEN 'host7.example.org'
+        |    ELSE 'other' || (c_custkey % 10)::VARCHAR || '.net' END AS host
+        |  FROM customer)
+        |SELECT CASE WHEN host = 'example.com' OR host LIKE '%.example.com'
+        |         OR host = 'host7.example.org' OR host LIKE '%.host7.example.org'
+        |       THEN 1 ELSE 0 END AS ignored, count(*) AS n
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q12_robots_filter" ->
+      s"""WITH u AS (SELECT $noisyCanon AS url_canon FROM orders)
+         |SELECT CASE WHEN regexp_matches(url_canon, '^https://host(7|17|27|37|47)\\.example\\.com/.*')
+         |         OR regexp_matches(url_canon, '.*/p/\\d*00$$') THEN 1 ELSE 0 END AS denied,
+         |  count(*) AS n, count(DISTINCT url_canon) AS n_urls
+         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q13_ip_classify" ->
+      """SELECT CASE
+        |  WHEN c_custkey % 5 = 0 THEN 0
+        |  WHEN c_custkey % 5 = 1 THEN 0
+        |  WHEN c_custkey % 5 = 2 THEN 0
+        |  WHEN c_custkey % 5 = 3 THEN (CASE WHEN c_custkey % 32 BETWEEN 16 AND 31 THEN 0 ELSE 1 END)
+        |  ELSE 1 END AS is_public, count(*) AS n
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q14_net_aggregate" ->
+      """WITH ev AS (
+        |  SELECT *, user_id % 64 AS origin, user_id % 10 AS conv_id FROM events),
+        |h AS (SELECT conv_id, event_id AS heaviest_event,
+        |  row_number() OVER (PARTITION BY conv_id ORDER BY value DESC, event_id) AS rn FROM ev)
+        |SELECT e.conv_id, count(*) AS n_requests, round(sum(value), 4) AS bytes_total,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_failed,
+        |  least(count(DISTINCT origin), 64) AS n_origins,
+        |  any_value(h.heaviest_event) AS heaviest_event
+        |FROM ev e JOIN h ON e.conv_id = h.conv_id AND h.rn = 1
+        |GROUP BY e.conv_id ORDER BY e.conv_id""".stripMargin,
+
+    "q15_error_precedence" ->
+      """WITH u AS (SELECT user_id,
+        |  max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS has_error,
+        |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase,
+        |  max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS has_signup
+        |  FROM events GROUP BY 1)
+        |SELECT CASE WHEN has_error = 1 THEN 'error'
+        |  WHEN has_purchase = 1 THEN 'purchase'
+        |  WHEN has_signup = 1 THEN 'signup' ELSE 'ok' END AS verdict,
+        |  count(*) AS n_users
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q16_window_offset" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
+        |  (o_orderkey % 10 + 1)::BIGINT AS pages FROM orders)
+        |SELECT o_custkey, o_orderkey, pages,
+        |  coalesce(sum(pages) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS page_offset
+        |FROM o WHERE o_custkey % 100 = 0
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q17_split_explode" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id, i - 1 AS pos, toks[i] AS token
+        |FROM tk, generate_series(1, 5) AS g(i)
+        |WHERE i <= len(toks)
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    "q18_merge_ordered" ->
+      """WITH f AS (SELECT p_partkey % 12 AS grp,
+        |  (p_partkey % 30)::VARCHAR || '_' || lower(replace(p_brand, '#', '')) || '.pdf' AS fname
+        |  FROM part),
+        |k AS (SELECT grp, fname,
+        |  CAST(regexp_extract(fname, '^(\d+)', 1) AS BIGINT) AS num,
+        |  regexp_replace(fname, '^\d+', '') AS rest FROM f)
+        |SELECT grp, string_agg(fname, '|' ORDER BY num, rest, fname) AS merged_order,
+        |  count(*) AS n_parts
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q19_alphanum_key" ->
+      """WITH f AS (SELECT (p_partkey % 100)::VARCHAR || '_doc_' ||
+        |  (p_partkey % 7)::VARCHAR || '.pdf' AS fname FROM part)
+        |SELECT CAST(regexp_extract(fname, '^(\d+)', 1) AS BIGINT) AS num,
+        |  count(*) AS n, min(regexp_replace(fname, '^\d+', '')) AS first_rest
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q20_inches_units" ->
+      """WITH p AS (SELECT p_size,
+        |  ['pt','px','in','mm','cm','pc'][(p_partkey % 6 + 1)::INT] AS unit FROM part)
+        |SELECT unit, round(sum(CASE unit
+        |    WHEN 'pt' THEN p_size / 72.0 WHEN 'px' THEN p_size / 96.0
+        |    WHEN 'in' THEN p_size::DOUBLE WHEN 'mm' THEN p_size / 25.4
+        |    WHEN 'cm' THEN p_size / 2.54 ELSE p_size / 6.0 END), 6) AS total_inches,
+        |  count(*) AS n
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q21_duration_histogram" ->
+      """WITH e AS (SELECT event_type, abs(value) / 10.0 AS secs FROM events)
+        |SELECT event_type, CASE
+        |  WHEN secs <= 0.5 THEN '0.5' WHEN secs <= 1 THEN '1.0'
+        |  WHEN secs <= 2 THEN '2.0' WHEN secs <= 5 THEN '5.0'
+        |  WHEN secs <= 10 THEN '10.0' WHEN secs <= 30 THEN '30.0'
+        |  WHEN secs <= 60 THEN '60.0' ELSE 'inf' END AS bucket,
+        |  count(*) AS n
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q22_sessionize" ->
+      """WITH g AS (SELECT user_id, event_id, ts,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |s AS (SELECT user_id, event_id, ts,
+        |  CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM g),
+        |c AS (SELECT user_id, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM s)
+        |SELECT user_id, max(session_idx) AS n_sessions, count(*) AS n_events
+        |FROM c WHERE user_id % 20 = 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q23_dedup_exact" ->
+      s"""SELECT md5($normText) AS fingerprint, min(doc_id) AS keeper_id,
+         |  count(*) AS n_dups
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q24_ngram_jaccard" ->
+      s"""$bigramSets
+         |SELECT id_a, id_b,
+         |  round(CAST(inter AS DOUBLE) / (sa + sb - inter), 6) AS jaccard
+         |FROM pairs
+         |WHERE round(CAST(inter AS DOUBLE) / (sa + sb - inter), 6) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q25_minhash_lsh" ->
+      s"""$bigramSets
+         |SELECT id_a, id_b,
+         |  round(CAST(inter AS DOUBLE) / (sa + sb - inter), 6) AS jaccard
+         |FROM pairs
+         |WHERE round(CAST(inter AS DOUBLE) / (sa + sb - inter), 6) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q27_embed_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q28_ann_brute" ->
+      """WITH s AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |    round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cos
+        |  FROM embeddings c JOIN embeddings q
+        |    ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, corpus_id) AS rank FROM s)
+        |SELECT query_id, corpus_id, rank, cos FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q29_lang_id" ->
+      """WITH sc AS (SELECT lang AS actual,
+        |  ' ' || lower(text) || ' ' AS t FROM documents),
+        |s2 AS (SELECT actual,
+        |  (length(t) - length(replace(t, ' der ', ''))) / 5.0
+        |    + (length(t) - length(replace(t, ' und ', ''))) / 5.0
+        |    + (length(t) - length(replace(t, ' die ', ''))) / 5.0 AS s_de,
+        |  (length(t) - length(replace(t, ' the ', ''))) / 5.0
+        |    + (length(t) - length(replace(t, ' and ', ''))) / 5.0
+        |    + (length(t) - length(replace(t, ' of ', ''))) / 4.0 AS s_en,
+        |  (length(t) - length(replace(t, ' el ', ''))) / 4.0
+        |    + (length(t) - length(replace(t, ' los ', ''))) / 5.0
+        |    + (length(t) - length(replace(t, ' y ', ''))) / 3.0 AS s_es,
+        |  (length(t) - length(replace(t, ' le ', ''))) / 4.0
+        |    + (length(t) - length(replace(t, ' la ', ''))) / 4.0
+        |    + (length(t) - length(replace(t, ' et ', ''))) / 4.0 AS s_fr,
+        |  (length(t) - length(replace(t, '的', ''))) / 1.0
+        |    + (length(t) - length(replace(t, '是', ''))) / 1.0
+        |    + (length(t) - length(replace(t, '在', ''))) / 1.0 AS s_zh
+        |  FROM sc),
+        |p AS (SELECT actual, CASE
+        |  WHEN s_de > 0 AND s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+        |  WHEN s_en > 0 AND s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+        |  WHEN s_es > 0 AND s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+        |  WHEN s_fr > 0 AND s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+        |  WHEN s_zh > 0 AND s_zh = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'zh'
+        |  ELSE 'und' END AS pred FROM s2)
+        |SELECT pred, actual, count(*) AS n FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q30_quality" ->
+      """WITH q AS (SELECT source,
+        |  length(text)::DOUBLE AS len,
+        |  (CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END)::DOUBLE AS toks,
+        |  length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE AS punct,
+        |  length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS alpha,
+        |  (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5.0
+        |    + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' a ', ''))) / 3.0
+        |    + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' and ', ''))) / 5.0 AS stop
+        |  FROM documents)
+        |SELECT source, round(avg(round(
+        |    least(len / 500.0, 1.0) * 0.3
+        |    + least(punct / greatest(toks, 1.0) * 5.0, 1.0) * 0.2
+        |    + alpha / greatest(len, 1.0) * 0.3
+        |    + least(stop / greatest(toks, 1.0) * 10.0, 1.0) * 0.2, 6)), 6) AS avg_quality,
+        |  count(*) AS n_docs
+        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q31_token_count" ->
+      """WITH c AS (SELECT lang,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS subwords
+        |  FROM documents)
+        |SELECT lang, sum(ws_tokens) AS total_tokens, sum(subwords) AS total_subwords,
+        |  round(avg(ws_tokens), 4) AS avg_tokens
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q32_fingerprint" ->
+      s"""SELECT source, count(DISTINCT md5($normText)) AS n_distinct,
+         |  min(md5($normText)) AS min_fp
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

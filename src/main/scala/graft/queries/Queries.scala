@@ -1,0 +1,444 @@
+package graft.queries
+
+import graft.datatools.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.functions.{IpFunctions, UrlFunctions}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The driver-facing correctness surface: every operator family of
+  * SURVEY.md §2 plus the training-data operators, each as a
+  * deterministic query over the driver-generated parquet tables with a
+  * DuckDB-oracle twin (see [[OracleSql]]). Determinism rules:
+  * aggregates rounded, ranks tiebroken on ids, no engine-specific hash
+  * in any output column.
+  */
+object Queries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // --------------------------------------------------------------
+  // Synthetic URL column shared by the crawl-shaped queries: built
+  // from orders keys with canonicalization noise selected by key — the
+  // `seen-dup` fixture realized over driver data. The DuckDB oracle
+  // constructs the CANONICAL form directly, so these queries verify
+  // the canonicalizer against an independent specification.
+  // --------------------------------------------------------------
+  private def noisyUrl: Column = {
+    val host = concat(lit("host"), (col("o_custkey") % 50).cast("string"), lit(".example.com"))
+    val path = concat(lit("/p/"), col("o_orderkey").cast("string"))
+    val base = concat(lit("https://"), host, path)
+    when(col("o_orderkey") % 4 === 0, concat(lit("https://"), upper(host), path))
+      .when(col("o_orderkey") % 4 === 1, concat(lit("https://"), host, lit(":443"), path))
+      .when(col("o_orderkey") % 4 === 2, concat(base, lit("/")))
+      .otherwise(base)
+  }
+
+  private val canonUdf = udf(UrlFunctions.canonicalizeUrl _)
+
+  // q01 — scan + agg pushdown (S1/A-family): the TPC-H Q1 shape.
+  def q01AggPushdown(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // q02 — filter + projection pruning (F-family).
+  def q02FilterPrune(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 100000.0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderkey")
+
+  // q03 — broadcast join (J1).
+  def q03JoinBroadcast(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .join(broadcast(t(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy("c_mktsegment")
+
+  // q04 — left-anti join (the URL-seen shape, J/§2.5).
+  def q04AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val customer = t(spark, dir, "customer")
+    val orders = t(spark, dir, "orders")
+    customer.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_customers_no_orders"))
+      .orderBy("c_mktsegment")
+  }
+
+  // q05 — left-semi join (EXISTS).
+  def q05SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val supplier = t(spark, dir, "supplier")
+    val lineitem = t(spark, dir, "lineitem").filter(col("l_quantity") > 45)
+    supplier.join(lineitem, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .groupBy("s_nationkey").agg(count(lit(1)).as("n_suppliers"))
+      .orderBy("s_nationkey")
+  }
+
+  // q06 — URL canonicalization (seen-dup fixture over driver data).
+  def q06UrlCanonicalize(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .withColumn("url", noisyUrl)
+      .withColumn("url_canon", canonUdf(col("url")))
+      .groupBy("url_canon")
+      .agg(count(lit(1)).as("n"), min("o_orderkey").as("first_key"))
+      .orderBy("url_canon")
+
+  // q07 — seen-set anti-join over canonical URLs.
+  def q07SeenAntijoin(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val urls = orders.withColumn("url_canon", canonUdf(noisyUrl))
+    val seen = urls.filter(col("o_orderkey") % 2 === 0).select("url_canon")
+    val candidates = urls.filter(col("o_orderkey") % 3 === 0)
+    candidates.join(seen, Seq("url_canon"), "left_anti")
+      .withColumn("host", UrlFunctions.hostOfCol(col("url_canon")))
+      .groupBy("host").agg(count(lit(1)).as("n_new"))
+      .orderBy("host")
+  }
+
+  // q08 — politeness admission, relational twin of the token bucket
+  // (O5/§2.8): per-host budget 6, preference (priority DESC, seq).
+  def q08PolitenessAdmission(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+      .withColumn("host", concat(lit("host"), (col("o_custkey") % 50).cast("string")))
+      .withColumn("priority", round(col("o_totalprice") % 100, 4))
+      .withColumn("seq", col("o_orderkey"))
+    val w = Window.partitionBy("host").orderBy(col("priority").desc, col("seq"))
+    orders.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 6)
+      .groupBy("host")
+      .agg(count(lit(1)).as("admitted"), round(sum("priority"), 4).as("sum_priority"))
+      .orderBy("host")
+  }
+
+  // q09 — frontier priority order (sorted snapshot shape): top-3 per
+  // host with explicit rank.
+  def q09FrontierOrder(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+      .withColumn("host", concat(lit("host"), (col("o_custkey") % 20).cast("string")))
+      .withColumn("priority", round(col("o_totalprice") % 1000, 4))
+    val w = Window.partitionBy("host").orderBy(col("priority").desc, col("o_orderkey"))
+    orders.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("host", "rank", "o_orderkey", "priority")
+      .orderBy("host", "rank")
+  }
+
+  // q10 — status-code century expansion (F6, events.go:215-227).
+  def q10StatusExpansion(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+      .withColumn("status", (col("o_orderkey") % 600).cast("int"))
+    orders.withColumn("fails",
+        UrlFunctions.statusMatchesCol(col("status"), Seq(499, 599)).cast("int"))
+      .groupBy("o_orderpriority")
+      .agg(sum("fails").as("n_failing"), count(lit(1)).as("n_total"))
+      .orderBy("o_orderpriority")
+  }
+
+  // q11 — ignore-domain suffix match (J6, events.go:348-360).
+  def q11DomainMatch(spark: SparkSession, dir: String): DataFrame = {
+    val domains = Seq("example.com", "host7.example.org")
+    t(spark, dir, "customer")
+      .withColumn("host",
+        when(col("c_custkey") % 3 === 0,
+          concat(lit("sub.host"), (col("c_custkey") % 10).cast("string"), lit(".example.com")))
+          .when(col("c_custkey") % 3 === 1, lit("host7.example.org"))
+          .otherwise(concat(lit("other"), (col("c_custkey") % 10).cast("string"), lit(".net"))))
+      .withColumn("ignored", UrlFunctions.matchesAnyDomainCol(col("host"), domains).cast("int"))
+      .groupBy("ignored").agg(count(lit(1)).as("n"))
+      .orderBy("ignored")
+  }
+
+  // q12 — robots regex filtering (F1).
+  def q12RobotsFilter(spark: SparkSession, dir: String): DataFrame = {
+    val urls = t(spark, dir, "orders").withColumn("url_canon", canonUdf(noisyUrl))
+    urls.withColumn("denied",
+        (col("url_canon").rlike("""^https://host(7|17|27|37|47)\.example\.com/.*""") ||
+          col("url_canon").rlike(""".*/p/\d*00$""")).cast("int"))
+      .groupBy("denied").agg(count(lit(1)).as("n"),
+        count_distinct(col("url_canon")).as("n_urls"))
+      .orderBy("denied")
+  }
+
+  // q13 — IP classification (F2, IsPublicIP port in the gate).
+  def q13IpClassify(spark: SparkSession, dir: String): DataFrame = {
+    val isPublic = udf(IpFunctions.isPublicIp _)
+    t(spark, dir, "customer")
+      .withColumn("ip",
+        when(col("c_custkey") % 5 === 0, concat(lit("10."), (col("c_custkey") % 256).cast("string"), lit(".0.1")))
+          .when(col("c_custkey") % 5 === 1, concat(lit("192.168."), (col("c_custkey") % 256).cast("string"), lit(".9")))
+          .when(col("c_custkey") % 5 === 2, lit("127.0.0.1"))
+          .when(col("c_custkey") % 5 === 3, concat(lit("172."), (col("c_custkey") % 32).cast("string"), lit(".1.1")))
+          .otherwise(concat(lit("93.184."), (col("c_custkey") % 256).cast("string"), lit(".34"))))
+      .withColumn("is_public", isPublic(col("ip")).cast("int"))
+      .groupBy("is_public").agg(count(lit(1)).as("n"))
+      .orderBy("is_public")
+  }
+
+  // q14 — network aggregate (A1, network_aggregate.go:17-121): count,
+  // bytes, failures, capped distinct origins, heaviest resource.
+  def q14NetAggregate(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .withColumn("origin", (col("user_id") % 64).cast("long"))
+      .withColumn("conv_id", (col("user_id") % 10).cast("long"))
+    val w = Window.partitionBy("conv_id").orderBy(col("value").desc, col("event_id"))
+    val heaviest = ev.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("conv_id"), col("event_id").as("heaviest_event"))
+    ev.groupBy("conv_id").agg(
+        count(lit(1)).as("n_requests"),
+        round(sum("value"), 4).as("bytes_total"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_failed"),
+        least(count_distinct(col("origin")), lit(64L)).as("n_origins"))
+      .join(heaviest, "conv_id")
+      .orderBy("conv_id")
+  }
+
+  // q15 — error precedence chain (F7/§4, browser.go:492-563 order).
+  def q15ErrorPrecedence(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        max(when(col("event_type") === "error", 1).otherwise(0)).as("has_error"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("has_purchase"),
+        max(when(col("event_type") === "signup", 1).otherwise(0)).as("has_signup"))
+      .withColumn("verdict",
+        when(col("has_error") === 1, "error")
+          .when(col("has_purchase") === 1, "purchase")
+          .when(col("has_signup") === 1, "signup")
+          .otherwise("ok"))
+      .groupBy("verdict").agg(count(lit(1)).as("n_users"))
+      .orderBy("verdict")
+
+  // q16 — bookmark page-offset shift (T12/A6): running sum over a
+  // window, offset of each doc in its merge group.
+  def q16WindowOffset(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+      .withColumn("pages", (col("o_orderkey") % 10 + 1).cast("long"))
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    orders.withColumn("page_offset", coalesce(sum("pages").over(w), lit(0L)))
+      .filter(col("o_custkey") % 100 === 0)
+      .select("o_custkey", "o_orderkey", "pages", "page_offset")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // q17 — split/explode (T4): doc → first-5-token parts with part index.
+  def q17SplitExplode(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(slice(split(col("text"), " "), 1, 5)).as(Seq("pos", "token")))
+      .orderBy("doc_id", "pos")
+
+  // q18 — ordered merge (T5 + O1 prefix-number family): per-group
+  // ordered concatenation with the (num, rest) alphanumeric key.
+  def q18MergeOrdered(spark: SparkSession, dir: String): DataFrame = {
+    val parts = t(spark, dir, "part")
+      .withColumn("fname", concat((col("p_partkey") % 30).cast("string"), lit("_"),
+        lower(regexp_replace(col("p_brand"), "#", "")), lit(".pdf")))
+      .withColumn("grp", (col("p_partkey") % 12).cast("long"))
+    val keyed = parts.withColumn("num", regexp_extract(col("fname"), "^(\\d+)", 1).cast("long"))
+      .withColumn("rest", regexp_replace(col("fname"), "^\\d+", ""))
+    keyed.groupBy("grp")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("num"), col("rest"), col("fname")))),
+        s => s.getField("fname")), "|").as("merged_order"),
+        count(lit(1)).as("n_parts"))
+      .orderBy("grp")
+  }
+
+  // q19 — alphanumeric sort key extraction (O1 scalar surface).
+  def q19AlphanumKey(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .withColumn("fname", concat((col("p_partkey") % 100).cast("string"), lit("_doc_"),
+        (col("p_partkey") % 7).cast("string"), lit(".pdf")))
+      .withColumn("num", regexp_extract(col("fname"), "^(\\d+)", 1).cast("long"))
+      .withColumn("rest", regexp_replace(col("fname"), "^\\d+", ""))
+      .groupBy("num").agg(count(lit(1)).as("n"), min("rest").as("first_rest"))
+      .orderBy("num")
+
+  // q20 — unit conversion to inches (F12, exact divisors).
+  def q20InchesUnits(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "part")
+      .withColumn("unit", element_at(
+        array(lit("pt"), lit("px"), lit("in"), lit("mm"), lit("cm"), lit("pc")),
+        (col("p_partkey") % 6 + 1).cast("int")))
+      .withColumn("inches",
+        when(col("unit") === "pt", col("p_size") / 72.0)
+          .when(col("unit") === "px", col("p_size") / 96.0)
+          .when(col("unit") === "in", col("p_size").cast("double"))
+          .when(col("unit") === "mm", col("p_size") / 25.4)
+          .when(col("unit") === "cm", col("p_size") / 2.54)
+          .otherwise(col("p_size") / 6.0))
+    p.groupBy("unit").agg(round(sum("inches"), 6).as("total_inches"),
+        count(lit(1)).as("n"))
+      .orderBy("unit")
+  }
+
+  // q21 — duration histogram buckets (A4, chromium.go:604-661).
+  def q21DurationHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = Seq(0.5, 1, 2, 5, 10, 30, 60)
+    val ev = t(spark, dir, "events").withColumn("secs", abs(col("value")) / 10.0)
+    val bucketCol = buckets.reverse.foldLeft(lit("inf"): Column) { (acc, b) =>
+      when(col("secs") <= b, lit(b.toString)).otherwise(acc)
+    }
+    ev.withColumn("bucket", bucketCol)
+      .groupBy("event_type", "bucket").agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "bucket")
+  }
+
+  // q22 — sessionization (streaming-shaped: gap > 30 min starts a new
+  // session; §2.8 scheduling semantics over event time).
+  def q22Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val withGap = ev.withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("prev_ts").cast("timestamp")) > 1800L * 1000000L, 1).otherwise(0))
+    val sess = withGap.withColumn("session_idx",
+      sum("new_session").over(Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    sess.groupBy("user_id")
+      .agg(max("session_idx").as("n_sessions"), count(lit(1)).as("n_events"))
+      .filter(col("user_id") % 20 === 0)
+      .orderBy("user_id")
+  }
+
+  // ------------------- training-data operators -------------------
+
+  // q23 — exact dedup by normalized-text fingerprint.
+  def q23DedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(spark, dir, "documents"))
+      .orderBy("fingerprint")
+
+  // q24 — exact bigram Jaccard near-dup pairs (threshold 0.8; the
+  // corpus' planted near-dup pairs all sit ≥ 0.96, so the margin is
+  // wide on both sides).
+  def q24NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(spark, dir, "documents"), k = 2, threshold = 0.8,
+      dfCap = 1000).orderBy("id_a", "id_b")
+
+  // q25 — MinHash LSH near-dup pairs, exact-verified (same pair set as
+  // q24 when LSH recall is total — the oracle asserts exactly that;
+  // P(miss) at s≥0.96 with 16 bands × 4 rows ≈ 1e-13).
+  def q25MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(t(spark, dir, "documents"), k = 2, threshold = 0.8,
+      bands = 16, rowsPerBand = 4).orderBy("id_a", "id_b")
+
+  // q26 — SimHash near-dup pairs (no SQL oracle: sketch-specific).
+  def q26Simhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(spark, dir, "documents"), maxDist = 6)
+      .orderBy("id_a", "id_b")
+
+  // q27 — embedding cosine near-dup, exact brute-force baseline (the
+  // LSH-bucketed scale path is Dedup.embeddingNearDupPairs, unit-tested
+  // on planted vectors; this corpus' pair tail tops out at cos 0.51).
+  def q27EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").cast("array<double>").as("v_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").cast("array<double>").as("v_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", round(Dedup.cosine(col("v_a"), col("v_b")), 6))
+      .filter(col("cos") >= 0.4)
+      .select("id_a", "id_b", "cos")
+      .orderBy("id_a", "id_b")
+  }
+
+  // q28 — brute-force ANN top-5 (correctness baseline).
+  def q28AnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+      .select("query_id", "corpus_id", "rank", "cos")
+      .orderBy("query_id", "rank")
+  }
+
+  // q29 — language ID by stopword n-gram scores.
+  def q29LangId(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("pred", TextAnalysis.langId(col("text")))
+      .groupBy(col("pred"), col("lang").as("actual"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("pred", "actual")
+
+  // q30 — quality scoring.
+  def q30Quality(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("q", TextAnalysis.qualityScore(col("text")))
+      .groupBy("source").agg(round(avg("q"), 6).as("avg_quality"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("source")
+
+  // q31 — token counting (whitespace + BPE-ish regex classes).
+  def q31TokenCount(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("ws_tokens", TextAnalysis.tokenCount(col("text")))
+      .withColumn("subwords", TextAnalysis.subwordCount(col("text")))
+      .groupBy("lang").agg(
+        sum("ws_tokens").as("total_tokens"),
+        sum("subwords").as("total_subwords"),
+        round(avg("ws_tokens"), 4).as("avg_tokens"))
+      .orderBy("lang")
+
+  // q32 — document fingerprinting (md5 of normalized text).
+  def q32Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("fp", TextAnalysis.fingerprintMd5(col("text")))
+      .groupBy("source").agg(count_distinct(col("fp")).as("n_distinct"),
+        min("fp").as("min_fp"))
+      .orderBy("source")
+
+  // q33 — multimodal metadata plumbing (decode stub over binary
+  // payloads; no SQL oracle: stub-specific).
+  def q33MediaMeta(spark: SparkSession, dir: String): DataFrame = {
+    val refs = t(spark, dir, "documents")
+      .withColumn("media_ref", concat(lit("media://"), (col("doc_id") % 50).cast("string")))
+    Multimodal.withMediaMeta(spark, refs).toDF()
+      .groupBy("codec").agg(count(lit(1)).as("n"),
+        sum("bytes_len").as("total_bytes"))
+      .orderBy("codec")
+  }
+
+  /** name → query, in SURVEY.md §2 coverage order. */
+  val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q01_agg_pushdown" -> (q01AggPushdown _),
+    "q02_filter_prune" -> (q02FilterPrune _),
+    "q03_join_broadcast" -> (q03JoinBroadcast _),
+    "q04_anti_join" -> (q04AntiJoin _),
+    "q05_semi_join" -> (q05SemiJoin _),
+    "q06_url_canonicalize" -> (q06UrlCanonicalize _),
+    "q07_seen_antijoin" -> (q07SeenAntijoin _),
+    "q08_politeness_admission" -> (q08PolitenessAdmission _),
+    "q09_frontier_order" -> (q09FrontierOrder _),
+    "q10_status_expansion" -> (q10StatusExpansion _),
+    "q11_domain_match" -> (q11DomainMatch _),
+    "q12_robots_filter" -> (q12RobotsFilter _),
+    "q13_ip_classify" -> (q13IpClassify _),
+    "q14_net_aggregate" -> (q14NetAggregate _),
+    "q15_error_precedence" -> (q15ErrorPrecedence _),
+    "q16_window_offset" -> (q16WindowOffset _),
+    "q17_split_explode" -> (q17SplitExplode _),
+    "q18_merge_ordered" -> (q18MergeOrdered _),
+    "q19_alphanum_key" -> (q19AlphanumKey _),
+    "q20_inches_units" -> (q20InchesUnits _),
+    "q21_duration_histogram" -> (q21DurationHistogram _),
+    "q22_sessionize" -> (q22Sessionize _),
+    "q23_dedup_exact" -> (q23DedupExact _),
+    "q24_ngram_jaccard" -> (q24NgramJaccard _),
+    "q25_minhash_lsh" -> (q25MinhashLsh _),
+    "q26_simhash" -> (q26Simhash _),
+    "q27_embed_neardup" -> (q27EmbedNearDup _),
+    "q28_ann_brute" -> (q28AnnBrute _),
+    "q29_lang_id" -> (q29LangId _),
+    "q30_quality" -> (q30Quality _),
+    "q31_token_count" -> (q31TokenCount _),
+    "q32_fingerprint" -> (q32Fingerprint _),
+    "q33_media_meta" -> (q33MediaMeta _)
+  )
+}
