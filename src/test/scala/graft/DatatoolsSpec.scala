@@ -1,0 +1,136 @@
+package graft
+
+import graft.datatools.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Training-data operators on planted fixtures: LSH recall against
+  * exact ground truth, ANN baselines, text analysis, media plumbing.
+  */
+class DatatoolsSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    // 20 disjoint-vocabulary docs + 5 planted near-dup pairs (one token
+    // swapped) — only the planted pairs share any bigram
+    val base = (0 until 20).map { i =>
+      val words = (0 until 30).map(j => s"d${i}w$j")
+      (i.toLong, words.mkString(" "))
+    }
+    val dups = (0 until 5).map { i =>
+      val (id, text) = base(i)
+      val toks = text.split(" "); toks(15) = "CHANGED"
+      (100L + id, toks.mkString(" "))
+    }
+    (base ++ dups).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical normalized texts") {
+    import spark.implicits._
+    val withDup = docs.union(Seq((999L, docs.orderBy("doc_id").first().getString(1) + "  "))
+      .toDF("doc_id", "text")) // trailing whitespace normalizes away
+    val out = Dedup.exact(withDup)
+    assert(out.agg(sum("n_dups")).first().getLong(0) === 26L)
+    assert(out.filter(col("n_dups") === 2).count() === 1L)
+  }
+
+  test("minhash LSH finds exactly the exact-Jaccard pair set (planted near-dups)") {
+    val exact = Dedup.ngramJaccardPairs(docs, k = 2, threshold = 0.7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size === 5, s"expected 5 planted pairs, got $exact")
+    val lsh = Dedup.minhashLshPairs(docs, k = 2, threshold = 0.7, bands = 16, rowsPerBand = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === exact)
+  }
+
+  test("simhash: planted near-dups within hamming radius, unrelated docs far") {
+    import spark.implicits._
+    // simhash needs long docs for a small edit to stay within radius:
+    // 200 tokens, 1 changed → E[hamming] ≈ 64·P(bitsum=0) ≈ 3.6
+    val base = (0 until 15).map { i =>
+      (i.toLong, (0 until 200).map(j => s"s${i}t$j").mkString(" "))
+    }
+    val dups = (0 until 5).map { i =>
+      val toks = base(i)._2.split(" "); toks(77) = "CHANGED"
+      (100L + i, toks.mkString(" "))
+    }
+    val longDocs = (base ++ dups).toDF("doc_id", "text")
+    val planted = (0 until 5).map(i => (i.toLong, 100L + i)).toSet
+    val pairs = Dedup.simhashPairs(longDocs, maxDist = 12)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.subsetOf(pairs), s"missing planted pairs: ${planted -- pairs}")
+    assert(pairs.forall(p => planted.contains(p) || p._1 >= 100 || p._2 >= 100 ||
+      math.abs(p._1 - p._2) < 200), "no wild false pairs beyond sketch tolerance")
+    // scala-side simhash sanity: identical text → distance 0
+    assert(Dedup.simhash64("a b c") === Dedup.simhash64("a  b   c"))
+    assert(java.lang.Long.bitCount(
+      Dedup.simhash64("a b c d e f g h") ^ Dedup.simhash64("a b c d e f g CHANGED")) <= 16)
+  }
+
+  test("embedding near-dup LSH: planted duplicate vectors found with cosine 1.0") {
+    import spark.implicits._
+    val vecs = (0 until 50).map { i =>
+      val v = (0 until 16).map(d => math.sin(i * 17 + d).toFloat).toArray
+      (i.toLong, v)
+    }
+    val dups = (0 until 3).map(i => (200L + i, vecs(i)._2.map(x => x * 1.0001f)))
+    val emb = (vecs ++ dups).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(emb, dim = 16, threshold = 0.999, numPlanes = 6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0 until 3).map(i => (i.toLong, 200L + i)).toSet.subsetOf(pairs))
+  }
+
+  test("IVF top-k: probing all lists equals brute force; partial probe trades recall") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Similarity.ivfTopK(emb, queries, k = 5, nList = 8, nProbe = 8)
+      .select("query_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === brute, "nProbe = nList must equal brute force")
+    val partial = Similarity.ivfTopK(emb, queries, k = 5, nList = 8, nProbe = 4)
+      .select("query_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & partial).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall at half probe $recall")
+  }
+
+  test("language ID classifies planted multilingual snippets") {
+    import spark.implicits._
+    // (the driver corpus's lang column is synthetic — its text is the
+    // same English word-salad for every label — so accuracy is asserted
+    // on real-language snippets; cross-engine equivalence of the
+    // predictor over the corpus is q29's oracle)
+    val samples = Seq(
+      ("en", "the cat and the dog sat on the mat and looked out of the window"),
+      ("de", "der hund und die katze sitzen auf der matte und schauen aus die tür"),
+      ("fr", "le chien et la chatte sont sur le tapis et la porte est ouverte"),
+      ("es", "el perro y los gatos están en la alfombra y el sol brilla para los dos"),
+      ("zh", "这只猫是在垫子上的，狗也是在门口的，太阳是在天上的")).toDF("lang", "text")
+    val out = samples.withColumn("pred", TextAnalysis.langId(col("text")))
+    assert(out.filter(col("pred") =!= col("lang")).count() === 0)
+  }
+
+  test("rolling fingerprint is whitespace-robust and content-sensitive") {
+    val a = TextAnalysis.rollingFingerprint("the quick brown fox jumps over the lazy dog")
+    val b = TextAnalysis.rollingFingerprint("the  quick brown   fox jumps over the lazy dog")
+    val c = TextAnalysis.rollingFingerprint("the quick brown cat jumps over the lazy dog")
+    assert(a === b)
+    assert(a !== c)
+  }
+
+  test("multimodal: stubbed decode keeps real schema/batch plumbing") {
+    import spark.implicits._
+    val refs = (0 until 40).map(i => s"media://$i").toDF("media_ref")
+    val meta = Multimodal.withMediaMeta(spark, refs)
+    assert(meta.count() === 40)
+    val byCodec = meta.groupBy("codec").count().collect().map(r => r.getString(0)).toSet
+    assert(byCodec.subsetOf(Set("png", "jpeg", "wav", "mp4")))
+    // codec magic round-trips through the binary payload
+    val m = meta.filter(col("codec") === "png").head()
+    assert(Multimodal.codecOf(Multimodal.syntheticBytes(m.media_ref)) === "png")
+    // frame sampling only for video; resize keeps aspect ratio
+    val frames = Multimodal.sampleFrames(meta, stride = 10)
+    assert(frames.count() > 0)
+    val resized = Multimodal.resizeMeta(meta, maxDim = 128)
+    assert(resized.filter(col("new_width") > 128 || col("new_height") > 128).count() === 0)
+  }
+}
