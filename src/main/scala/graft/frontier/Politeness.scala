@@ -46,7 +46,9 @@ object Politeness {
   def admit(
       spark: SparkSession,
       frontier: Dataset[FrontierEntry],
-      cfg: CrawlConfig
+      cfg: CrawlConfig,
+      counters: Option[(org.apache.spark.util.LongAccumulator,
+        org.apache.spark.util.LongAccumulator)] = None
   ): Dataset[Admission] = {
     import spark.implicits._
 
@@ -74,6 +76,10 @@ object Politeness {
               overflow += heap.dequeue(); heap.enqueue(e)
             } else overflow += e
           }
+        }
+        counters.foreach { case (adm, dfr) =>
+          adm.add(heaps.valuesIterator.map(_.size.toLong).sum)
+          dfr.add(overflow.length.toLong)
         }
         val admitted = heaps.valuesIterator.flatMap(_.iterator).map(Admission(_, admitted = true))
         val deferred = overflow.iterator.map(Admission(_, admitted = false))

@@ -41,15 +41,19 @@ object RobotsFilter {
       df: DataFrame,
       urlCol: String,
       rules: Seq[RobotsRule],
-      hostMap: Dataset[HostIps]
+      hostMap: Dataset[HostIps],
+      assumeNormalized: Boolean = false
   ): DataFrame = {
     val allows = rules.filter(_.rule == "allow").map(_.host_pattern)
     val denies = rules.filter(_.rule == "deny").map(_.host_pattern)
     val denyPrivate = rules.exists(_.deny_private_ips)
     val denyPublic = rules.exists(_.deny_public_ips)
 
-    val normalizeUdf = udf(UrlFunctions.normalizeUrl _)
-    val norm = normalizeUdf(col(urlCol))
+    // normalization lowercases scheme+host; on an already-canonical
+    // column it is the identity, so the UDF is skipped (hot path)
+    val norm =
+      if (assumeNormalized) col(urlCol)
+      else udf(UrlFunctions.normalizeUrl _).apply(col(urlCol))
 
     val withNorm = df
       .withColumn("__norm", norm)

@@ -19,12 +19,18 @@ import org.apache.spark.sql.functions._
   *   outlinks feed the next round; every round commits an atomic
   *   snapshot so the job resumes from the last committed round.
   *
-  * Shuffle budget per round: ONE repartition (politeness, by salted
-  * host-hash — also the frontier's sort partitioning) + the anti-join
-  * shuffle only for bloom/cuckoo "maybe-seen" residue. Robots rules and
-  * the host map are broadcast. At 1000 executors nothing here is
-  * driver-bound except the bloom broadcast (sized bits ∝ seen count) and
-  * the 64 cuckoo byte-blobs.
+  * Physical-plan budget per round (scale discipline):
+  *   - ONE full shuffle: the politeness repartition by salted host-hash.
+  *     Admission, the sorted frontier write, the fetch and the
+  *     output-span write all stay in those partitions — no re-shuffle
+  *     of the heavy span payloads.
+  *   - The seen-layer anti-join shuffles only the bloom/cuckoo
+  *     "maybe-seen" residue (a few % of candidates at steady state).
+  *   - Robots rules and host map are broadcast; the bloom is one
+  *     broadcast sized ∝ seen count; cuckoo blobs are 64 fixed buckets.
+  *   - Counters ride on three single-pass aggregations (robots verdict,
+  *     admission flag, fetch stats) — no repeated count() jobs, no
+  *     recomputation of unpersisted lineage.
   */
 object CrawlJob {
 
@@ -42,6 +48,18 @@ object CrawlJob {
 
   final case class CrawlSummary(rounds: Seq[RoundStats], seenTotal: Long, wallMs: Long)
 
+  private val timing = sys.env.get("GRAFT_TIMING").contains("1")
+
+  private def timed[A](label: String)(f: => A): A = {
+    if (!timing) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[crawl-timing] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+  }
+
   def run(
       spark: SparkSession,
       seeds: Dataset[SeedUrl],
@@ -57,7 +75,6 @@ object CrawlJob {
     val store = new SnapshotStore(storeRoot)
 
     val emptySeen = Seq.empty[SeenUrl].toDF()
-    val emptyPending = Seq.empty[PendingUrl].toDS()
 
     // ---- resume from the last committed snapshot (north rule) ----
     val startRound = store.currentSnapshot.map(_ + 1).getOrElse(0)
@@ -65,41 +82,43 @@ object CrawlJob {
       store.readOrEmpty(spark, store.currentSnapshot, "url_seen", emptySeen)
     var pending: Dataset[PendingUrl] =
       if (startRound == 0) seeds.map(s => PendingUrl(s.url, s.priority, s.seq))
-      else store.readOrEmpty(spark, store.currentSnapshot, "pending", emptyPending.toDF())
-        .as[PendingUrl]
+      else store.readOrEmpty(spark, store.currentSnapshot,
+        "pending", Seq.empty[PendingUrl].toDF()).as[PendingUrl]
+    var seenCount: Long = if (startRound == 0) 0L else seen.count()
 
     val stats = scala.collection.mutable.ArrayBuffer.empty[RoundStats]
     var round = startRound
     var continue = true
 
     while (continue && round < startRound + cfg.maxRounds) {
-      // 1. canonicalize + hash (exact Scala canonicalizer → matches the
+      // 1. canonicalize + hash (exact Scala canonicalizer — matches the
       //    straight-line reference model bit-for-bit)
       val canonUdf = udf(UrlFunctions.canonicalizeUrl _)
       val withCanon = pending.toDF()
         .withColumn("url_canon", canonUdf(col("url")))
         .withColumn("url_hash", UrlFunctions.urlHashCol(col("url_canon")))
 
-      // 2. robots / allow-deny / IP-class admission (broadcast join)
-      val decided = RobotsFilter.decide(spark, withCanon, "url_canon", robots, hostMap)
+      // 2. robots / allow-deny / IP-class admission (broadcast join).
+      // Counters ride the pipeline via observe() — no separate job.
+      val robotsObs = new org.apache.spark.sql.Observation(s"robots-$round")
+      val decided = RobotsFilter.decide(spark, withCanon, "url_canon", robots, hostMap, assumeNormalized = true)
+        .observe(robotsObs,
+          count(lit(1)).as("total"),
+          sum(when(col("robots_verdict") =!= "ok", 1L).otherwise(0L)).as("denied"))
         .persist()
-      val denied = decided.filter(col("robots_verdict") =!= "ok")
       val allowed = decided.filter(col("robots_verdict") === "ok")
-      val deniedCount = denied.count()
 
       // 3. in-batch dedup: one row per url_canon — best priority, first seq
       val dedup = allowed.groupBy("url_canon", "url_hash")
         .agg(max("priority").as("priority"), min("seq").as("seq"))
 
-      // 4. URL-seen layer
-      val seenCount = seen.count()
-      val bloom = UrlSeen.buildBloom(spark, seen,
-        math.max(seenCount * 2, cfg.bloomExpectedItems), cfg.bloomFpp)
-      val cuckoo =
+      // 4. URL-seen layer (bloom → cuckoo → exact anti-join)
+      val bloom = timed("bloom-build")(UrlSeen.buildBloom(spark, seen,
+        math.max(seenCount * 2, cfg.bloomExpectedItems), cfg.bloomFpp))
+      val cuckoo = timed("cuckoo-build")(
         if (seenCount == 0) spark.emptyDataFrame
-        else UrlSeen.buildCuckoo(spark, seen, math.max(seenCount * 2, 1024L))
-      val newUrls = UrlSeen.filterNew(spark, dedup, seen, bloom, cuckoo).persist()
-      val newCount = newUrls.count()
+        else UrlSeen.buildCuckoo(spark, seen, math.max(seenCount * 2, 1024L)))
+      val newUrls = UrlSeen.filterNew(spark, dedup, seen, bloom, cuckoo)
 
       // 5. frontier entries with salted host hash
       val saltUdf = udf((host: String, h: Long) => UrlFunctions.hostSalt(host, h, cfg.saltsPerHost))
@@ -111,18 +130,27 @@ object CrawlJob {
         .select("url", "url_canon", "url_hash", "host", "host_hash", "priority", "seq", "round")
         .as[FrontierEntry]
 
-      // 6. politeness admission (the single full shuffle of the round)
-      val admissions = Politeness.admit(spark, frontier, cfg).persist()
-      val admitted = admissions.filter(_.admitted).map(_.entry).persist()
+      // 6. politeness admission — THE full shuffle of the round.
+      // Admission counters come from accumulators filled during the
+      // cache-materializing first action (the frontier write).
+      val admAcc = spark.sparkContext.longAccumulator(s"admitted-$round")
+      val defAcc = spark.sparkContext.longAccumulator(s"deferred-$round")
+      val admissions = Politeness.admit(spark, frontier, cfg, Some((admAcc, defAcc))).persist()
+      val admitted = admissions.filter(_.admitted).map(_.entry)
       val deferred = admissions.filter(!_.admitted).map(_.entry)
-      val admittedCount = admitted.count()
 
-      // 7. sorted frontier snapshot: per-partition (priority DESC, seq)
-      //    — the materialized min-heap order of the north rule
-      val frontierSorted = admitted.toDF()
-        .repartition(cfg.numPartitions, col("host_hash"))
-        .sortWithinPartitions(col("priority").desc, col("seq"), col("url_canon"))
-      store.write(frontierSorted, round, "frontier")
+      // 7. sorted frontier snapshot — already partitioned by host_hash
+      //    from the admission shuffle; sort within, no re-shuffle
+      timed("frontier-write")(store.write(admitted.toDF()
+        .sortWithinPartitions(col("priority").desc, col("seq"), col("url_canon")),
+        round, "frontier"))
+      val robotsMetrics = robotsObs.get
+      val candidateCount = robotsMetrics("total").asInstanceOf[Long]
+      val deniedCount = robotsMetrics("denied") match {
+        case null => 0L; case l: java.lang.Long => l.longValue(); case other => other.toString.toLong
+      }
+      val admittedCount = admAcc.value.longValue()
+      val deferredCount = defAcc.value.longValue()
 
       // 8. fetch + decompose + convert (narrow, partition-local)
       val uni = universe
@@ -149,32 +177,39 @@ object CrawlJob {
         }
       }.persist()
 
-      val fetchedCount = fetched.count()
-      val failedCount = fetched.filter(_.error.nonEmpty).count()
-
-      // 9. outputs: spans table (sorted snapshot) + per-partition lineage
-      store.write(
+      // 9. outputs: spans snapshot (sorted in-partition, no re-shuffle of
+      //    the heavy payload) + per-partition lineage metrics
+      timed("fetch+convert+spans-write")(store.write(
         fetched.filter(_.error.isEmpty).select($"doc_id", $"spans", $"round")
-          .repartition(cfg.numPartitions, col("doc_id"))
           .sortWithinPartitions("doc_id"),
-        round, "output_spans")
+        round, "output_spans"))
 
-      val metrics = fetched.toDF().groupBy("partition_id", "round").agg(
+      // per-partition lineage metrics: ONE aggregation job; the rows are
+      // tiny (≤ numPartitions), so global fetch stats derive locally and
+      // the metrics table is written from the collected rows
+      val metricsDf = fetched.toDF().groupBy("partition_id", "round").agg(
         count(lit(1)).as("urls_fetched"),
         sum(when(col("error") === "", 1L).otherwise(0L)).as("urls_converted"),
         sum("bytes").as("bytes_total"),
         sum(when(col("error") =!= "", 1L).otherwise(0L)).as("failed_count"),
         approx_count_distinct("host").as("unique_origins"),
         max_by(col("url_canon"), col("bytes")).as("heaviest_url"),
-        max("bytes").as("heaviest_bytes"))
-      store.write(metrics, round, "metrics")
+        max("bytes").as("heaviest_bytes"),
+        sum(size(col("outlinks"))).as("outlinks_total"))
+      val metricRows = timed("metrics-agg")(metricsDf.collect())
+      val fetchedCount = metricRows.map(_.getLong(2)).sum
+      val failedCount = metricRows.map(_.getLong(5)).sum
+      val outlinkCount = metricRows.map(r => if (r.isNullAt(9)) 0L else r.getLong(9)).sum
+      timed("metrics-write")(store.write(
+        spark.createDataFrame(java.util.Arrays.asList(metricRows: _*), metricsDf.schema)
+          .drop("outlinks_total"),
+        round, "metrics"))
 
-      // 10. seen ∪ admitted
+      // 10. seen ∪ admitted (full rewrite here; an Iceberg deployment
+      //     appends the delta under the same snapshot id)
       val newSeen = admitted.map(e => SeenUrl(e.url_canon, e.url_hash, e.round)).toDF()
-      val seenNext = seen.unionByName(newSeen)
-      store.write(seenNext.repartition(cfg.numPartitions,
-        pmod(col("url_hash"), lit(UrlSeen.CuckooBuckets.toLong))), round, "url_seen")
-      if (!cuckoo.isEmpty) store.write(cuckoo, round, "cuckoo")
+      timed("seen-write")(store.write(seen.unionByName(newSeen), round, "url_seen"))
+      if (!cuckoo.isEmpty) timed("cuckoo-write")(store.write(cuckoo, round, "cuckoo"))
 
       // 11. next pending = deferred ∪ outlinks of this round
       val outlinks = fetched.flatMap { f =>
@@ -184,34 +219,32 @@ object CrawlJob {
             seq = (UrlFunctions.murmur3(f.url_canon + "#" + i).toLong & Long.MaxValue))
         }
       }
-      val outlinkCount = outlinks.count()
       val pendingNext = deferred
         .map(e => PendingUrl(e.url_canon, e.priority, e.seq))
         .union(outlinks)
-      store.write(pendingNext.toDF(), round, "pending")
+      timed("pending-write")(store.write(pendingNext.toDF(), round, "pending"))
 
       // 12. atomic commit → resumable checkpoint
       store.commit(round, round, Map(
         "admitted" -> admittedCount.toString,
         "seen_total" -> (seenCount + admittedCount).toString))
 
-      stats += RoundStats(round, pending.count(), deniedCount, newCount,
-        admittedCount, admissions.filter(!_.admitted).count(), fetchedCount,
-        failedCount, outlinkCount, seenCount + admittedCount)
+      stats += RoundStats(round, candidateCount, deniedCount,
+        admittedCount + deferredCount, admittedCount, deferredCount,
+        fetchedCount, failedCount, outlinkCount, seenCount + admittedCount)
+      seenCount += admittedCount
 
       // reload state from the committed snapshot (truncates lineage —
-      // equivalent of Iceberg snapshot isolation between rounds)
+      // the equivalent of Iceberg snapshot isolation between rounds)
       seen = store.read(spark, round, "url_seen")
       pending = store.read(spark, round, "pending").as[PendingUrl]
 
-      decided.unpersist(); newUrls.unpersist(); admissions.unpersist()
-      admitted.unpersist(); fetched.unpersist()
+      decided.unpersist(); admissions.unpersist(); fetched.unpersist()
 
       continue = admittedCount > 0
       round += 1
     }
 
-    CrawlSummary(stats.toSeq, stats.lastOption.map(_.seenTotal).getOrElse(0L),
-      (System.nanoTime() - t0) / 1000000L)
+    CrawlSummary(stats.toSeq, seenCount, (System.nanoTime() - t0) / 1000000L)
   }
 }

@@ -38,13 +38,24 @@ object SyntheticWeb {
       math.min(numHosts - 1, (x * numHosts).toInt)
     }
 
-    def seedUrls(n: Int): Seq[SeedUrl] =
-      (0 until n).map { i =>
-        val r = mix(seed ^ (i.toLong * 0x9e3779b9L))
-        val h = pickHost(r)
-        val p = Math.floorMod(mix(r), pagesPerHost.toLong).toInt
-        SeedUrl(pageUrl(h, p), priority = 1.0 + Math.floorMod(r, 100L) / 100.0, seq = i.toLong)
-      }
+    def seedUrl(i: Long): SeedUrl = {
+      val r = mix(seed ^ (i * 0x9e3779b9L))
+      val h = pickHost(r)
+      val p = Math.floorMod(mix(r), pagesPerHost.toLong).toInt
+      SeedUrl(pageUrl(h, p), priority = 1.0 + Math.floorMod(r, 100L) / 100.0, seq = i)
+    }
+
+    def seedUrls(n: Int): Seq[SeedUrl] = (0L until n.toLong).map(seedUrl)
+
+    /** Distributed twin of [[seedUrls]] — same values, generated on the
+      * executors (a 10^8-seed list must never be built on the driver).
+      */
+    def seedUrlsDS(spark: org.apache.spark.sql.SparkSession, n: Long,
+                   partitions: Int = 64): org.apache.spark.sql.Dataset[SeedUrl] = {
+      import spark.implicits._
+      val self = this
+      spark.range(0L, n, 1L, partitions).map(i => self.seedUrl(i))
+    }
 
     /** HTTP status: deterministic sprinkle of failures (~3% 404, ~1% 500,
       * ~0.5% 503) keyed by url hash — enough to exercise F6/F7 routing.
