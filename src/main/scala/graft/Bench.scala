@@ -84,8 +84,8 @@ object Bench {
       "q01_agg_pushdown", "q03_join_broadcast", "q05_semi_join",
       "q06_url_canonicalize", "q08_politeness_admission", "q10_status_expansion",
       "q14_net_aggregate", "q16_window_offset", "q17_split_explode",
-      "q22_sessionize", "q24_ngram_jaccard", "q25_minhash_lsh",
-      "q27_embed_neardup", "q28_ann_brute", "q29_lang_id", "q31_token_count")
+      "q22_sessionize", "q23_dedup_exact", "q25_minhash_lsh",
+      "q26_simhash", "q28_ann_brute", "q29_lang_id", "q31_token_count")
     val qmap = SparkEntry.queries
     val spark = newSession(cpus)
     val results = headline.flatMap { name =>

@@ -194,12 +194,23 @@ object Dedup {
     concat_ws("", planes.map(_.cast("string")): _*)
   }
 
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
-    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, v) => acc + v))
-    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0d), (acc, v) => acc + v))
-    dot / (na * nb)
+  /** Left-to-right double accumulation, identical order to DuckDB's
+    * list_cosine_similarity (oracle parity). A tight-loop UDF: Spark's
+    * higher-order array functions (`aggregate`/`zip_with`) are
+    * interpreted per row — 20-50× slower than this on 64-dim vectors.
+    */
+  private val cosineUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i); val y = b(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  def cosine(a: Column, b: Column): Column = cosineUdf(a, b)
 
   /** Near-dup embedding pairs: bucket by hyperplane signature, verify
     * cosine ≥ threshold within bucket.
