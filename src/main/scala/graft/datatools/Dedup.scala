@@ -194,23 +194,15 @@ object Dedup {
     concat_ws("", planes.map(_.cast("string")): _*)
   }
 
-  /** Left-to-right double accumulation, identical order to DuckDB's
-    * list_cosine_similarity (oracle parity). A tight-loop UDF: Spark's
-    * higher-order array functions (`aggregate`/`zip_with`) are
-    * interpreted per row — 20-50× slower than this on 64-dim vectors.
+  /** Native Catalyst expression (whole-stage codegen'd fused loop) —
+    * see [[graft.functions.CosineSimilarityExpr]]. Left-to-right double
+    * accumulation, identical order to DuckDB's list_cosine_similarity
+    * (oracle parity). Spark's higher-order `aggregate`/`zip_with`
+    * equivalents are interpreted per row; a Scala UDF pays serde — the
+    * expression beats both (extension preference order).
     */
-  private val cosineUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
-    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) {
-      val x = a(i); val y = b(i)
-      dot += x * y; na += x * x; nb += y * y
-      i += 1
-    }
-    dot / (math.sqrt(na) * math.sqrt(nb))
-  }
-
-  def cosine(a: Column, b: Column): Column = cosineUdf(a, b)
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarityExpr.cosine(a, b)
 
   /** Near-dup embedding pairs: bucket by hyperplane signature, verify
     * cosine ≥ threshold within bucket.
