@@ -317,6 +317,14 @@ object OracleSql {
         |  round(avg(ws_tokens), 4) AS avg_tokens
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q34_subresource_filter" ->
+      """SELECT doc_id,
+        |  (1 + CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END
+        |     + CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END)::BIGINT AS n_allowed,
+        |  (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_denied
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q32_fingerprint" ->
       s"""SELECT source, count(DISTINCT md5($normText)) AS n_distinct,
          |  min(md5($normText)) AS min_fp

@@ -405,6 +405,25 @@ object Queries {
       .orderBy("codec")
   }
 
+  // q34 — sub-resource filtering at scale (F5): explode resources,
+  // re-check each against the deny policy, aggregate failures per doc.
+  def q34SubresourceFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, dir, "documents")
+      .withColumn("resources", array(
+        concat(lit("https://cdn"), (col("doc_id") % 7).cast("string"), lit(".example.net/a.css")),
+        when(col("doc_id") % 3 === 0, lit("https://ads.banned.net/x.js"))
+          .otherwise(concat(lit("https://img"), (col("doc_id") % 5).cast("string"), lit(".example.net/i.png"))),
+        when(col("doc_id") % 5 === 0, lit("file:///tmp/x.bin"))
+          .otherwise(lit("https://static.example.net/s.js"))))
+    val rules = Seq(graft.model.RobotsRule(""".*banned\.net.*""", "deny",
+      deny_private_ips = false, deny_public_ips = false))
+    graft.frontier.SubResources.filterResources(spark, docs, rules,
+        spark.emptyDataset[graft.model.HostIps])
+      .select("doc_id", "n_allowed", "n_denied")
+      .orderBy("doc_id")
+  }
+
   /** name → query, in SURVEY.md §2 coverage order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_agg_pushdown" -> (q01AggPushdown _),
@@ -439,6 +458,7 @@ object Queries {
     "q30_quality" -> (q30Quality _),
     "q31_token_count" -> (q31TokenCount _),
     "q32_fingerprint" -> (q32Fingerprint _),
-    "q33_media_meta" -> (q33MediaMeta _)
+    "q33_media_meta" -> (q33MediaMeta _),
+    "q34_subresource_filter" -> (q34SubresourceFilter _)
   )
 }
