@@ -59,31 +59,38 @@ object Politeness {
       .repartition(cfg.numPartitions, col("host_hash"))
       .mapPartitions { it =>
         // per (host, saltIdx) bounded heap of the best quota_i entries;
-        // heap root = worst kept entry (reverse preference)
+        // heap root = worst kept entry (reverse preference). Deferred
+        // rows STREAM out as they lose — only the heaps (Σ quotas) stay
+        // in memory, never the frontier tail (10^10-scale discipline).
         val heaps = mutable.Map.empty[(String, Int), mutable.PriorityQueue[FrontierEntry]]
-        val overflow = mutable.ArrayBuffer.empty[FrontierEntry]
         var intake = 0L
-        it.foreach { e =>
+        var deferredCount = 0L
+        val deferred: Iterator[Admission] = it.flatMap { e =>
           val saltIdx = Math.floorMod(e.url_hash, salts.toLong).toInt
           val quota = budget / salts + (if (saltIdx < budget % salts) 1 else 0)
-          if (quota == 0 || intake >= cfg.maxQueuePerPartition) overflow += e
-          else {
-            val heap = heaps.getOrElseUpdate((e.host, saltIdx),
-              mutable.PriorityQueue.empty(preference)) // max-heap on preference = worst-first root
-            intake += 1
-            if (heap.size < quota) heap.enqueue(e)
-            else if (preference.lt(e, heap.head)) {
-              overflow += heap.dequeue(); heap.enqueue(e)
-            } else overflow += e
+          val loser: Option[FrontierEntry] =
+            if (quota == 0 || intake >= cfg.maxQueuePerPartition) Some(e)
+            else {
+              val heap = heaps.getOrElseUpdate((e.host, saltIdx),
+                mutable.PriorityQueue.empty(preference)) // max-heap = worst-first root
+              intake += 1
+              if (heap.size < quota) { heap.enqueue(e); None }
+              else if (preference.lt(e, heap.head)) {
+                val out = heap.dequeue(); heap.enqueue(e); Some(out)
+              } else Some(e)
+            }
+          deferredCount += loser.size
+          loser.map(Admission(_, admitted = false))
+        }
+        // admitted emits AFTER the input is exhausted (lazy tail)
+        val admitted: Iterator[Admission] = Iterator.single(()).flatMap { _ =>
+          counters.foreach { case (adm, dfr) =>
+            adm.add(heaps.valuesIterator.map(_.size.toLong).sum)
+            dfr.add(deferredCount)
           }
+          heaps.valuesIterator.flatMap(_.iterator).map(Admission(_, admitted = true))
         }
-        counters.foreach { case (adm, dfr) =>
-          adm.add(heaps.valuesIterator.map(_.size.toLong).sum)
-          dfr.add(overflow.length.toLong)
-        }
-        val admitted = heaps.valuesIterator.flatMap(_.iterator).map(Admission(_, admitted = true))
-        val deferred = overflow.iterator.map(Admission(_, admitted = false))
-        admitted ++ deferred
+        deferred ++ admitted
       }
   }
 }

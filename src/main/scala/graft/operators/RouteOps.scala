@@ -45,6 +45,31 @@ object RouteOps {
   }
 
   // -----------------------------------------------------------------
+  // T3 compatibility surface: the 129 office extensions LibreOffice
+  // accepts (`libreoffice/api/api.go:783-916`) — the route's input
+  // gate; a user switching from the reference keeps the same set.
+  // -----------------------------------------------------------------
+  val OfficeExtensions: Set[String] = Set(
+    ".123", ".602", ".abw", ".bib", ".bmp", ".cdr", ".cgm", ".cmx", ".csv",
+    ".cwk", ".dbf", ".dif", ".doc", ".docm", ".docx", ".dot", ".dotm",
+    ".dotx", ".dxf", ".emf", ".eps", ".epub", ".fodg", ".fodp", ".fods",
+    ".fodt", ".fopd", ".gif", ".htm", ".html", ".hwp", ".jpeg", ".jpg",
+    ".key", ".ltx", ".lwp", ".mcw", ".met", ".mml", ".mw", ".numbers",
+    ".odd", ".odg", ".odm", ".odp", ".ods", ".odt", ".otg", ".oth", ".otp",
+    ".ots", ".ott", ".pages", ".pbm", ".pcd", ".pct", ".pcx", ".pdb",
+    ".pdf", ".pgm", ".png", ".pot", ".potm", ".potx", ".ppm", ".pps",
+    ".ppt", ".pptm", ".pptx", ".psd", ".psw", ".pub", ".pwp", ".pxl",
+    ".ras", ".rtf", ".sda", ".sdc", ".sdd", ".sdp", ".sdw", ".sgl", ".slk",
+    ".smf", ".stc", ".std", ".sti", ".stw", ".svg", ".svm", ".swf", ".sxc",
+    ".sxd", ".sxg", ".sxi", ".sxm", ".sxw", ".tga", ".tif", ".tiff",
+    ".txt", ".uof", ".uop", ".uos", ".uot", ".vdx", ".vor", ".vsd",
+    ".vsdm", ".vsdx", ".wb2", ".wk1", ".wks", ".wmf", ".wpd", ".wpg",
+    ".wps", ".xbm", ".xhtml", ".xls", ".xlsb", ".xlsm", ".xlsx", ".xlt",
+    ".xltm", ".xltx", ".xlw", ".xml", ".xpm", ".zabw")
+
+  def isOfficeDocument(name: String): Boolean = OfficeExtensions.contains(extOf(name))
+
+  // -----------------------------------------------------------------
   // S4/S5: file scan by extension (`api/formdata.go:375-450,499-556`):
   // case-insensitive extension match, excluding reserved buckets,
   // ordered by AlphanumericSort (O1). Spans carry the "filename" in

@@ -82,6 +82,15 @@ class RouteOpsSpec extends AnyFunSuite {
     assert(RouteOps.zipOrder(Seq("10_b.pdf", "/x/2_a.pdf")) === Seq("2_a.pdf", "10_b.pdf"))
   }
 
+  test("T3: office extension gate matches the reference's 129-format set") {
+    assert(RouteOps.OfficeExtensions.size === 129)
+    assert(RouteOps.isOfficeDocument("report.DOCX"))
+    assert(RouteOps.isOfficeDocument("sheet.csv"))
+    assert(RouteOps.isOfficeDocument("slides.key"))
+    assert(!RouteOps.isOfficeDocument("archive.zip"))
+    assert(!RouteOps.isOfficeDocument("noext"))
+  }
+
   test("F10: cookie normalization validates required fields") {
     val c = RouteOps.Cookie("n", "v", "d.test", sameSite = "LAX")
     assert(RouteOps.normalizeCookie(c).map(_.sameSite) === Right("Lax"))
