@@ -45,7 +45,7 @@ object RouteOps {
   }
 
   // -----------------------------------------------------------------
-  // T3 compatibility surface: the 129 office extensions LibreOffice
+  // T3 compatibility surface: the 130 office extensions LibreOffice
   // accepts (`libreoffice/api/api.go:783-916`) — the route's input
   // gate; a user switching from the reference keeps the same set.
   // -----------------------------------------------------------------

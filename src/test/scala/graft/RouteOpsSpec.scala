@@ -82,8 +82,8 @@ class RouteOpsSpec extends AnyFunSuite {
     assert(RouteOps.zipOrder(Seq("10_b.pdf", "/x/2_a.pdf")) === Seq("2_a.pdf", "10_b.pdf"))
   }
 
-  test("T3: office extension gate matches the reference's 129-format set") {
-    assert(RouteOps.OfficeExtensions.size === 129)
+  test("T3: office extension gate matches the reference's 130-format set") {
+    assert(RouteOps.OfficeExtensions.size === 130)
     assert(RouteOps.isOfficeDocument("report.DOCX"))
     assert(RouteOps.isOfficeDocument("sheet.csv"))
     assert(RouteOps.isOfficeDocument("slides.key"))
