@@ -157,6 +157,45 @@ object SpanOps {
   def bookmarkSpan(title: String, page: Int, depth: Int = 0): DocSpan =
     DocSpan(BookmarkKind, s"$title@$page", depth.toString, 0)
 
+  // -----------------------------------------------------------------
+  // T11 read/write bookmarks (`pdfcpu/pdfcpu.go:303-480`): the nested
+  // outline tree flattens to depth-first spans (depth rides media_ref)
+  // and reconstructs exactly — the columnar form of the recursive
+  // `Bookmark{title,page,children}` (`pdfengine.go:246-259`).
+  // -----------------------------------------------------------------
+  def bookmarksToSpans(tree: Seq[Bookmark], depth: Int = 0): Seq[DocSpan] =
+    tree.flatMap(b => bookmarkSpan(b.title, b.page, depth) +:
+      bookmarksToSpans(b.children, depth + 1))
+
+  def spansToBookmarks(spans: Seq[DocSpan]): Seq[Bookmark] = {
+    val flat = spans.filter(_.kind == BookmarkKind).map { s =>
+      val i = s.text.lastIndexOf('@')
+      (s.text.take(i), s.text.drop(i + 1).toIntOption.getOrElse(0),
+        s.media_ref.toIntOption.getOrElse(0))
+    }
+    def build(from: Int, depth: Int): (Seq[Bookmark], Int) = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Bookmark]
+      var i = from
+      while (i < flat.length && flat(i)._3 >= depth) {
+        if (flat(i)._3 == depth) {
+          val (title, page, _) = flat(i)
+          val (children, next) = build(i + 1, depth + 1)
+          out += Bookmark(title, page, children)
+          i = next
+        } else i += 1 // malformed depth jump: skip
+      }
+      (out.toSeq, i)
+    }
+    build(0, 0)._1
+  }
+
+  /** Write bookmarks onto a doc (replacing existing outline). */
+  def writeBookmarks(doc: Doc, tree: Seq[Bookmark]): Doc =
+    doc.copy(spans = reoffset(
+      doc.spans.filterNot(_.kind == BookmarkKind) ++ bookmarksToSpans(tree)))
+
+  def readBookmarks(doc: Doc): Seq[Bookmark] = spansToBookmarks(doc.spans)
+
   def shiftBookmark(span: DocSpan, offset: Int): DocSpan = {
     val i = span.text.lastIndexOf('@')
     if (i < 0) span
