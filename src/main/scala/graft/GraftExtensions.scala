@@ -1,0 +1,50 @@
+package graft
+
+import graft.functions.{CosineSimilarityExpr, IpFunctions, TextFunctions, UrlFunctions}
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.functions.udf
+
+/** SQL-facing surface of the engine: the scalar ports registered as
+  * session functions, so `spark.sql` users get the same semantics as
+  * the Column/Dataset API. Two entry points:
+  *
+  *   - `GraftExtensions` for `spark.sql.extensions=graft.GraftExtensions`
+  *     (injects the native cosine expression at session build);
+  *   - `GraftFunctions.register(spark)` for an existing session (adds
+  *     the UDF-backed scalars too).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_similarity"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[CosineSimilarityExpr].getName, "cosine_similarity"),
+        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          CosineSimilarityExpr(children.head, children(1))))
+  }
+}
+
+object GraftFunctions {
+
+  /** Column API for the native expression. */
+  def cosine_similarity(a: Column, b: Column): Column = CosineSimilarityExpr.cosine(a, b)
+
+  /** Register every scalar port on an existing session. */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_similarity",
+      exprs => CosineSimilarityExpr(exprs.head, exprs(1)), "scala_udf")
+    spark.udf.register("url_canonicalize", udf(UrlFunctions.canonicalizeUrl _))
+    spark.udf.register("url_normalize", udf(UrlFunctions.normalizeUrl _))
+    spark.udf.register("url_host", udf(UrlFunctions.hostOf _))
+    spark.udf.register("is_public_ip", udf(IpFunctions.isPublicIp _))
+    spark.udf.register("sanitize_filename", udf(TextFunctions.sanitizeFilename _))
+    spark.udf.register("to_inches", udf((s: String) =>
+      TextFunctions.toInches(s).map(java.lang.Double.valueOf).orNull))
+    spark.udf.register("markdown_to_html", udf(TextFunctions.markdownToHtml _))
+    spark.udf.register("normalize_domain", udf(UrlFunctions.normalizeDomain _))
+    spark.udf.register("simhash64", udf(graft.datatools.Dedup.simhash64 _))
+    spark.udf.register("rolling_fingerprint", udf((s: String) =>
+      graft.datatools.TextAnalysis.rollingFingerprint(s)))
+  }
+}

@@ -424,6 +424,16 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // q35 — IVF ANN (the scale path of q28; rows-only check: centroid
+  // assignment is engine-specific, recall is spec'd vs brute force in
+  // DatatoolsSpec).
+  def q35AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5, nList = 16, nProbe = 8)
+      .select("query_id", "corpus_id", "rank", "cos")
+      .orderBy("query_id", "rank")
+  }
+
   /** name → query, in SURVEY.md §2 coverage order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_agg_pushdown" -> (q01AggPushdown _),
@@ -459,6 +469,7 @@ object Queries {
     "q31_token_count" -> (q31TokenCount _),
     "q32_fingerprint" -> (q32Fingerprint _),
     "q33_media_meta" -> (q33MediaMeta _),
-    "q34_subresource_filter" -> (q34SubresourceFilter _)
+    "q34_subresource_filter" -> (q34SubresourceFilter _),
+    "q35_ann_ivf" -> (q35AnnIvf _)
   )
 }

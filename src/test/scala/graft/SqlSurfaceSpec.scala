@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The SQL-facing function surface: registered scalars behave exactly
+  * like their Scala ports from spark.sql text.
+  */
+class SqlSurfaceSpec extends SparkSpec {
+
+  test("registered functions work from spark.sql") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT
+        |  cosine_similarity(array(1d, 0d), array(1d, 0d)) AS cos,
+        |  url_canonicalize('https://HOST.x:443/a/') AS canon,
+        |  url_host('https://a.b.c/x') AS host,
+        |  is_public_ip('10.0.0.1') AS priv,
+        |  is_public_ip('8.8.8.8') AS pub,
+        |  sanitize_filename('/tmp/evil.pdf') AS name,
+        |  to_inches('72pt') AS inches,
+        |  normalize_domain('*.Example.COM') AS dom
+        |""".stripMargin).collect()(0)
+    assert(row.getDouble(0) === 1.0)
+    assert(row.getString(1) === "https://host.x/a")
+    assert(row.getString(2) === "a.b.c")
+    assert(!row.getBoolean(3) && row.getBoolean(4))
+    assert(row.getString(5) === "evil.pdf")
+    assert(row.getDouble(6) === 1.0)
+    assert(row.getString(7) === "example.com")
+  }
+
+  test("cosine_similarity via registry is the native expression (codegen plan)") {
+    GraftFunctions.register(spark)
+    val df = spark.range(10)
+      .withColumn("a", array(col("id").cast("double"), lit(1.0)))
+      .withColumn("b", array(lit(2.0), col("id").cast("double")))
+      .selectExpr("cosine_similarity(a, b) AS c")
+    assert(df.queryExecution.executedPlan.toString().contains("cosine_similarity"))
+    assert(df.count() === 10)
+  }
+
+  test("markdown_to_html matches the Scala port") {
+    GraftFunctions.register(spark)
+    val html = spark.sql("SELECT markdown_to_html('# T\\n\\n**b**') AS h")
+      .collect()(0).getString(0)
+    assert(html === graft.functions.TextFunctions.markdownToHtml("# T\n\n**b**"))
+    assert(html.contains("<h1>T</h1>"))
+  }
+}
