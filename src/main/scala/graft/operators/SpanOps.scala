@@ -79,6 +79,30 @@ object SpanOps {
       decorated.map(t => DocSpan(PageKind, t, "", 0)) ++ media))
   }
 
+  // -----------------------------------------------------------------
+  // T2 screenshot (`chromium/tasks.go:183-243`): render the document to
+  // ONE media span (png/jpeg/webp + quality + dimensions ride the attr
+  // channel; the payload ref derives deterministically from content so
+  // identical pages screenshot identically).
+  // -----------------------------------------------------------------
+  val ScreenshotFormats = Set("png", "jpeg", "webp")
+
+  def screenshot(doc: Doc, format: String = "png", quality: Int = 100,
+                 width: Int = 800, height: Int = 600): Either[String, Doc] = {
+    if (!ScreenshotFormats.contains(format))
+      return Left(s"screenshot format '$format' is not supported")
+    if (quality < 0 || quality > 100)
+      return Left(s"screenshot quality must be within [0, 100] (got $quality)")
+    val rendered = render(doc)
+    val content = rendered.spans.filter(_.kind == PageKind).map(_.text).mkString("\n")
+    val ref = s"shot://${Integer.toHexString(graft.functions.UrlFunctions.murmur3(content))}.$format"
+    val span = withAttrs(DocSpan("media", "", "", 0).copy(media_ref = ""),
+      Map("fmt" -> format, "q" -> quality.toString, "w" -> width.toString, "h" -> height.toString))
+    // attr channel occupies media_ref for pages; for a screenshot the
+    // payload ref IS the identity, so attrs append after a '#'
+    Right(doc.copy(spans = Seq(DocSpan("media", "", ref + "#" + span.media_ref.stripPrefix("attr:"), 0))))
+  }
+
   /** Plain-text projection of HTML (tag strip + entity decode) — what the
     * reference's pdftotext oracle asserts against (`test/integration`).
     */

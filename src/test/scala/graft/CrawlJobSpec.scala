@@ -96,6 +96,21 @@ class CrawlJobSpec extends SparkSpec {
     assert(more.rounds.nonEmpty)
   }
 
+  test("snapshot time travel: older committed rounds stay readable after later commits") {
+    summary
+    val store = new SnapshotStore(storeRoot)
+    val last = store.currentSnapshot.get
+    assert(last >= 1)
+    // round-0 seen is a strict subset of the latest seen
+    val seen0 = store.read(spark, 0, "url_seen").select("url_canon")
+      .collect().map(_.getString(0)).toSet
+    val seenN = store.read(spark, last, "url_seen").select("url_canon")
+      .collect().map(_.getString(0)).toSet
+    assert(seen0.subsetOf(seenN) && seen0.size < seenN.size)
+    // manifests exist per committed snapshot
+    (0 to last).foreach { r => assert(store.readManifest(r).contains("\"round\"")) }
+  }
+
   test("hot-host politeness budget is honored per round") {
     summary
     val store = new SnapshotStore(storeRoot)

@@ -49,6 +49,21 @@ class SpanOpsSpec extends AnyFunSuite {
     assert(r.spans.forall(s => s.text.startsWith("H\n") && s.text.endsWith("\nF")))
   }
 
+  // ---- T2 screenshot ----
+
+  test("screenshot: one media span, deterministic ref, format/quality validated") {
+    val d = doc("d", "html" -> "<p>One</p>", "html" -> "<p>Two</p>")
+    val s1 = SpanOps.screenshot(d, "png", 90).toOption.get
+    assert(s1.spans.length === 1 && s1.spans.head.kind === "media")
+    assert(s1.spans.head.media_ref.startsWith("shot://"))
+    assert(s1.spans.head.media_ref.contains("fmt=png") &&
+      s1.spans.head.media_ref.contains("q=90"))
+    // same content → same ref (deterministic identity)
+    assert(SpanOps.screenshot(d, "png", 90).toOption.get === s1)
+    assert(SpanOps.screenshot(d, "bmp").isLeft)
+    assert(SpanOps.screenshot(d, "png", 101).isLeft)
+  }
+
   // ---- T4 split (split-intervals fixture) ----
 
   test("split intervals span=1 on 3 pages → parts {base}_0..2 (routes.go:299-315)") {
