@@ -52,6 +52,20 @@ class HotHostSpec extends SparkSpec {
     }
   }
 
+  test("O4: per-partition queue cap defers the overflow (supervisor.go:302-317)") {
+    import spark.implicits._
+    val cfg = CrawlConfig(numPartitions = 1, saltsPerHost = 1,
+      hostBudgetPerRound = 1000, maxQueuePerPartition = 100)
+    val entries = (0 until 500).map { i =>
+      val u = s"https://h$i.test/p"
+      val h = UrlFunctions.urlHash(u)
+      FrontierEntry(u, u, h, s"h$i.test", 0, 1.0, i.toLong, 0)
+    }
+    val adm = Politeness.admit(spark, entries.toDS(), cfg).collect()
+    assert(adm.count(_.admitted) === 100)
+    assert(adm.count(!_.admitted) === 400)
+  }
+
   test("T11: bookmark tree flattens and reconstructs exactly; merge shifts nested pages") {
     val tree = Seq(
       Bookmark("Part I", 1, Seq(

@@ -71,6 +71,12 @@ class ScalarsSpec extends AnyFunSuite {
     }
   }
 
+  test("O2: digit-suffix order reassembles split parts (pdfcpu.go:226)") {
+    val parts = Seq("doc_10.pdf", "doc_2.pdf", "doc_0.pdf", "doc_1.pdf")
+    assert(parts.sorted(AlphaSort.digitSuffixOrdering) ===
+      Seq("doc_0.pdf", "doc_1.pdf", "doc_2.pdf", "doc_10.pdf"))
+  }
+
   // ---------------- IsPublicIP (outbound.go:69-114) ----------------
 
   test("IsPublicIP: v4 classes") {
