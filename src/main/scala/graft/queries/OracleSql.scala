@@ -92,13 +92,13 @@ object OracleSql {
         |  FROM orders),
         |r AS (SELECT host, o_orderkey, priority,
         |  row_number() OVER (PARTITION BY host ORDER BY priority DESC, o_orderkey) AS rank FROM f)
-        |SELECT host, rank, o_orderkey, priority FROM r WHERE rank <= 3
+        |SELECT host, rank::INT AS rank, o_orderkey, priority FROM r WHERE rank <= 3
         |ORDER BY host, rank""".stripMargin,
 
     "q10_status_expansion" ->
       """SELECT o_orderpriority,
         |  sum(CASE WHEN (o_orderkey % 600 BETWEEN 400 AND 499)
-        |             OR (o_orderkey % 600 BETWEEN 500 AND 599) THEN 1 ELSE 0 END) AS n_failing,
+        |             OR (o_orderkey % 600 BETWEEN 500 AND 599) THEN 1 ELSE 0 END)::BIGINT AS n_failing,
         |  count(*) AS n_total
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -135,7 +135,7 @@ object OracleSql {
         |h AS (SELECT conv_id, event_id AS heaviest_event,
         |  row_number() OVER (PARTITION BY conv_id ORDER BY value DESC, event_id) AS rn FROM ev)
         |SELECT e.conv_id, count(*) AS n_requests, round(sum(value), 4) AS bytes_total,
-        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_failed,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_failed,
         |  least(count(DISTINCT origin), 64) AS n_origins,
         |  any_value(h.heaviest_event) AS heaviest_event
         |FROM ev e JOIN h ON e.conv_id = h.conv_id AND h.rn = 1
@@ -158,13 +158,13 @@ object OracleSql {
         |  (o_orderkey % 10 + 1)::BIGINT AS pages FROM orders)
         |SELECT o_custkey, o_orderkey, pages,
         |  coalesce(sum(pages) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS page_offset
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS page_offset
         |FROM o WHERE o_custkey % 100 = 0
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q17_split_explode" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-        |SELECT doc_id, i - 1 AS pos, toks[i] AS token
+        |SELECT doc_id, (i - 1)::INT AS pos, toks[i] AS token
         |FROM tk, generate_series(1, 5) AS g(i)
         |WHERE i <= len(toks)
         |ORDER BY doc_id, pos""".stripMargin,
@@ -217,7 +217,7 @@ object OracleSql {
         |c AS (SELECT user_id, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
         |  FROM s)
-        |SELECT user_id, max(session_idx) AS n_sessions, count(*) AS n_events
+        |SELECT user_id, max(session_idx)::BIGINT AS n_sessions, count(*) AS n_events
         |FROM c WHERE user_id % 20 = 0 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q23_dedup_exact" ->
@@ -256,7 +256,7 @@ object OracleSql {
         |    ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY cos DESC, corpus_id) AS rank FROM s)
-        |SELECT query_id, corpus_id, rank, cos FROM r WHERE rank <= 5
+        |SELECT query_id, corpus_id, rank::INT AS rank, cos FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 
     "q29_lang_id" ->
@@ -313,7 +313,7 @@ object OracleSql {
         |    ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS subwords
         |  FROM documents)
-        |SELECT lang, sum(ws_tokens) AS total_tokens, sum(subwords) AS total_subwords,
+        |SELECT lang, sum(ws_tokens)::BIGINT AS total_tokens, sum(subwords)::BIGINT AS total_subwords,
         |  round(avg(ws_tokens), 4) AS avg_tokens
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 

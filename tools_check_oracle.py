@@ -22,6 +22,10 @@ for name in sorted(oracle):
                 if df[c].dtype == object: df[c] = df[c].astype(str)
             return df.sort_values(by=list(df.columns)).reset_index(drop=True)
         s, d = norm(spark_df), norm(duck_df)
+        dt_mismatch = [(c, str(s[c].dtype), str(d[c].dtype)) for c in s.columns
+                       if c in d.columns and str(s[c].dtype) != str(d[c].dtype)]
+        if dt_mismatch:
+            bad.append((name, f'dtypes {dt_mismatch}')); continue
         if list(s.columns) != list(d.columns):
             bad.append((name, f'cols spark={list(s.columns)} duck={list(d.columns)}')); continue
         if len(s) != len(d):
