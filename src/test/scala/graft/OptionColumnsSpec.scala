@@ -1,0 +1,62 @@
+package graft
+
+import graft.model.{FormData, LibreOfficeOptions, OptionColumns, SplitOptions}
+import org.apache.spark.sql.functions._
+
+class OptionColumnsSpec extends SparkSpec {
+
+  test("cookies JSON parses to typed structs with sameSite canonicalized") {
+    import spark.implicits._
+    val df = Seq(
+      ("""[{"name":"a","value":"1","domain":"d.test","sameSite":"lax"},
+          {"name":"b","value":"2","domain":"d.test","secure":true,"sameSite":"STRICT"}]""",
+        """{"X-Api":"k","User-Agent":"g"}""",
+        """{"Author":"Ada","Title":"T"}""",
+        """[499,599]"""),
+      ("not json", null, null, null))
+      .toDF("cookies", "extraHttpHeaders", "metadata", "failOnHttpStatusCodes")
+    val out = OptionColumns.bindNested(df)
+    val r0 = out.collect()(0)
+    val cookies = r0.getSeq[org.apache.spark.sql.Row](0)
+    assert(cookies.map(_.getAs[String]("sameSite")) === Seq("Lax", "Strict"))
+    assert(cookies(1).getAs[Boolean]("secure"))
+    assert(r0.getMap[String, String](1).get("X-Api") === Some("k"))
+    assert(r0.getMap[String, String](2).get("Author") === Some("Ada"))
+    assert(r0.getSeq[Int](3) === Seq(499, 599))
+    // malformed JSON → null (error-row guard, not a crash)
+    val r1 = out.collect()(1)
+    assert(r1.isNullAt(0))
+  }
+
+  test("LibreOffice options bind with the exact reference defaults") {
+    val o = LibreOfficeOptions.bind(FormData(Map.empty))
+    assert(o === LibreOfficeOptions()) // every default from api.go:253-305
+    assert(o.quality === 90 && o.maxImageResolution === 300 &&
+      o.zoom === 100 && o.openBookmarkLevels === -1 &&
+      o.nativeWatermarkColor === 8388223 && o.nativeWatermarkFontName === "Helvetica" &&
+      o.updateIndexes && o.exportFormFields && o.exportBookmarks &&
+      o.displayPdfDocumentTitle && o.useTransitionEffects)
+  }
+
+  test("LibreOffice validation: quality bounds and DPI steps (routes.go:217-257)") {
+    val f1 = FormData(Map("quality" -> "0"))
+    LibreOfficeOptions.bind(f1)
+    assert(f1.errors.exists(_.contains("quality")))
+    val f2 = FormData(Map("maxImageResolution" -> "301"))
+    LibreOfficeOptions.bind(f2)
+    assert(f2.errors.exists(_.contains("maxImageResolution")))
+    val ok = FormData(Map("quality" -> "85", "maxImageResolution" -> "600",
+      "exportNotes" -> "true", "pdfa" -> "PDF/A-2b"))
+    val o = LibreOfficeOptions.bind(ok)
+    assert(ok.errors.isEmpty && o.quality === 85 && o.maxImageResolution === 600 &&
+      o.exportNotes && o.pdfA === "PDF/A-2b")
+  }
+
+  test("native-vs-post-process PDF/A decision (routes.go:336-337,389-394)") {
+    val o = LibreOfficeOptions(pdfA = "PDF/A-2b")
+    assert(LibreOfficeOptions.convertNatively(o, SplitOptions(), hasPostProcessing = false))
+    assert(!LibreOfficeOptions.convertNatively(o, SplitOptions("intervals", "1"), hasPostProcessing = false))
+    assert(!LibreOfficeOptions.convertNatively(o, SplitOptions(), hasPostProcessing = true))
+    assert(!LibreOfficeOptions.convertNatively(LibreOfficeOptions(), SplitOptions(), hasPostProcessing = false))
+  }
+}
