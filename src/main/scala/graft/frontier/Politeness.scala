@@ -47,6 +47,9 @@ object Politeness {
       spark: SparkSession,
       frontier: Dataset[FrontierEntry],
       cfg: CrawlConfig,
+      // stats-only accumulators (admitted, deferred): task retries can
+      // over-count; correctness never depends on them (the admitted SET
+      // comes from the returned Dataset)
       counters: Option[(org.apache.spark.util.LongAccumulator,
         org.apache.spark.util.LongAccumulator)] = None
   ): Dataset[Admission] = {

@@ -205,6 +205,13 @@ object CrawlJob {
           .drop("outlinks_total"),
         round, "metrics"))
 
+      // per-URL lineage (FIXTURES.md fetch_log): slim projection of the
+      // cached fetch frame — status/bytes/error per URL, no spans
+      timed("fetch-log-write")(store.write(
+        fetched.toDF().select("url_canon", "url_hash", "host", "round",
+          "partition_id", "status", "bytes", "error"),
+        round, "fetch_log"))
+
       // 10. seen ∪ admitted (full rewrite here; an Iceberg deployment
       //     appends the delta under the same snapshot id)
       val newSeen = admitted.map(e => SeenUrl(e.url_canon, e.url_hash, e.round)).toDF()
