@@ -138,8 +138,12 @@ object UrlFunctions {
     murmur3(host) * 31 + s
   }
 
-  def hostSaltCol(host: Column, urlHash: Column, salts: Int): Column =
-    hash(host) * lit(31) + (pmod(urlHash, lit(salts.toLong))).cast("int")
+  def hostSaltCol(host: Column, urlHash: Column, salts: Int): Column = {
+    // compute in long, then wrap to 32-bit two's-complement explicitly:
+    // ANSI mode rejects the silent int overflow the JVM twin relies on
+    val v = hash(host).cast("long") * lit(31L) + pmod(urlHash, lit(salts.toLong))
+    (pmod(v + lit(2147483648L), lit(4294967296L)) - lit(2147483648L)).cast("int")
+  }
 
   // ---------------------------------------------------------------------
   // Domain normalize / match (`events.go:307-360`).
