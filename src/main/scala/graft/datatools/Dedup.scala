@@ -57,29 +57,52 @@ object Dedup {
     docs.groupBy(TextAnalysis.fingerprintMd5(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_dups"))
 
-  /** Exact n-gram Jaccard pairs ≥ threshold via shingle inverted index.
-    * dfCap drops shingles present in more than dfCap docs (stopword
-    * shingles contribute little discrimination and quadratic pairs).
+  /** Exact n-gram Jaccard pairs ≥ threshold via a PREFIX-FILTERED
+    * shingle inverted index (AllPairs/PPJoin family, Bayardo et al.
+    * WWW'07 / Xiao et al. WWW'08): order every document's shingles by a
+    * global (df ASC, shingle) rank and index only its first
+    * `|s| - ⌈t·|s|⌉ + 1` shingles — two sets with Jaccard ≥ t MUST
+    * collide inside those prefixes, so candidate generation shrinks by
+    * ~(1-t)² while the result stays EXACT (every candidate pair is
+    * verified on the full sets). This is what keeps the exact baseline
+    * usable when word-salad corpora make every common shingle a hot
+    * key; the dfCap guard additionally drops degenerate
+    * everywhere-shingles (they cannot push a pair over t on their own
+    * once prefixes rule).
     */
   def ngramJaccardPairs(docs: DataFrame, k: Int, threshold: Double,
-                        dfCap: Int = 1000,
+                        dfCap: Int = 1000000,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // small-file sources arrive as one partition; shingle construction
     // is the heavy narrow stage, so spread it first
     val withSh = docs.repartition(col(idCol)).select(col(idCol).as("id"),
       shingles(col(textCol), k).as("sh"))
       .withColumn("set_size", size(col("sh")))
+      .filter(col("set_size") > 0)
+      .persist()
     val exploded = withSh.select(col("id"), col("set_size"), explode(col("sh")).as("shingle"))
-    val capped = exploded.withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
-      .filter(col("df") <= dfCap).drop("df")
-    val pairs = capped.as("a").join(capped.as("b"),
+    val dfCounts = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+    // global prefix order: rarest shingles first (df ASC, shingle) —
+    // both documents of any qualifying pair agree on this ranking
+    val ranked = exploded.join(dfCounts, "shingle")
+      .withColumn("rank_in_doc", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("shingle"))))
+      .withColumn("prefix_len",
+        col("set_size") - ceil(col("set_size") * threshold).cast("int") + 1)
+      .filter(col("rank_in_doc") <= col("prefix_len"))
+      .select("id", "shingle")
+    val candidates = ranked.as("a").join(ranked.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.set_size").as("size_a"), col("b.set_size").as("size_b"))
-      .agg(count(lit(1)).as("inter"))
-    pairs.withColumn("jaccard",
-        round(col("inter").cast("double") /
-          (col("size_a") + col("size_b") - col("inter")).cast("double"), 6))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    // exact verification on the FULL sets
+    val sets = withSh.select(col("id"), col("sh"))
+    candidates
+      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
