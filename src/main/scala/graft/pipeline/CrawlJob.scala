@@ -79,7 +79,9 @@ object CrawlJob {
     // ---- resume from the last committed snapshot (north rule) ----
     val startRound = store.currentSnapshot.map(_ + 1).getOrElse(0)
     var seen: DataFrame =
-      store.readOrEmpty(spark, store.currentSnapshot, "url_seen", emptySeen)
+      store.currentSnapshot
+        .filter(store.hasTable(_, "url_seen_delta"))
+        .map(c => store.readSeen(spark, c)).getOrElse(emptySeen)
     var pending: Dataset[PendingUrl] =
       if (startRound == 0) seeds.map(s => PendingUrl(s.url, s.priority, s.seq))
       else store.readOrEmpty(spark, store.currentSnapshot,
@@ -212,10 +214,10 @@ object CrawlJob {
           "partition_id", "status", "bytes", "error"),
         round, "fetch_log"))
 
-      // 10. seen ∪ admitted (full rewrite here; an Iceberg deployment
-      //     appends the delta under the same snapshot id)
+      // 10. seen ∪ admitted — DELTA write only (O(new), the Iceberg
+      //     append): readers union url_seen_delta across snapshots
       val newSeen = admitted.map(e => SeenUrl(e.url_canon, e.url_hash, e.round)).toDF()
-      timed("seen-write")(store.write(seen.unionByName(newSeen), round, "url_seen"))
+      timed("seen-write")(store.write(newSeen, round, "url_seen_delta"))
       if (!cuckoo.isEmpty) timed("cuckoo-write")(store.write(cuckoo, round, "cuckoo"))
 
       // 11. next pending = deferred ∪ outlinks of this round
@@ -243,7 +245,7 @@ object CrawlJob {
 
       // reload state from the committed snapshot (truncates lineage —
       // the equivalent of Iceberg snapshot isolation between rounds)
-      seen = store.read(spark, round, "url_seen")
+      seen = store.readSeen(spark, round)
       pending = store.read(spark, round, "pending").as[PendingUrl]
 
       decided.unpersist(); admissions.unpersist(); fetched.unpersist()

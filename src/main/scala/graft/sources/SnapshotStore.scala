@@ -76,4 +76,19 @@ final class SnapshotStore(val root: String) {
 
   def readManifest(id: Int): String =
     Files.readString(Paths.get(snapshotDir(id), "MANIFEST.json"))
+
+  /** Union a per-round DELTA table across snapshots 0..upTo — the
+    * Iceberg-append read path: each round writes only its new rows and
+    * readers see the concatenation (one multi-path parquet scan, no
+    * shuffle, no per-round rewrite).
+    */
+  def readDeltas(spark: SparkSession, upTo: Int, table: String): DataFrame = {
+    val paths = (0 to upTo).filter(hasTable(_, table)).map(tablePath(_, table))
+    require(paths.nonEmpty, s"no $table deltas up to snapshot $upTo")
+    spark.read.parquet(paths: _*)
+  }
+
+  /** The full URL-seen set as of snapshot `upTo`. */
+  def readSeen(spark: SparkSession, upTo: Int): DataFrame =
+    readDeltas(spark, upTo, "url_seen_delta")
 }

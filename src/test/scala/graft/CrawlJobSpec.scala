@@ -38,7 +38,7 @@ class CrawlJobSpec extends SparkSpec {
     val store = new SnapshotStore(storeRoot)
     summary // force
     val last = store.currentSnapshot.get
-    val engineSeen = store.read(spark, last, "url_seen")
+    val engineSeen = store.readSeen(spark, last)
       .select("url_canon", "round_first_seen")
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     assert(engineSeen === model.seen)
@@ -89,7 +89,7 @@ class CrawlJobSpec extends SparkSpec {
     // model run for 4 rounds total must agree with the resumed engine
     val model4 = ReferenceCrawl.run(seeds, robots,
       hostMap.map(h => h.host -> h.ips).toMap, universe, cfg.copy(maxRounds = 4))
-    val engineSeen = store.read(spark, after, "url_seen")
+    val engineSeen = store.readSeen(spark, after)
       .select("url_canon", "round_first_seen")
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     assert(engineSeen === model4.seen)
@@ -102,9 +102,9 @@ class CrawlJobSpec extends SparkSpec {
     val last = store.currentSnapshot.get
     assert(last >= 1)
     // round-0 seen is a strict subset of the latest seen
-    val seen0 = store.read(spark, 0, "url_seen").select("url_canon")
+    val seen0 = store.readSeen(spark, 0).select("url_canon")
       .collect().map(_.getString(0)).toSet
-    val seenN = store.read(spark, last, "url_seen").select("url_canon")
+    val seenN = store.readSeen(spark, last).select("url_canon")
       .collect().map(_.getString(0)).toSet
     assert(seen0.subsetOf(seenN) && seen0.size < seenN.size)
     // manifests exist per committed snapshot

@@ -30,7 +30,7 @@ class DeterminismSpec extends SparkSpec {
       universe, cfg, root)
     val store = new SnapshotStore(root)
     val last = store.currentSnapshot.get
-    val seen = store.read(spark, last, "url_seen")
+    val seen = store.readSeen(spark, last)
       .collect().map(r => r.getAs[String]("url_canon") -> r.getAs[Int]("round_first_seen")).toMap
     val order = (0 to last).flatMap { r =>
       store.read(spark, r, "frontier")
