@@ -21,12 +21,22 @@ final class CuckooFilter private (
     val numBuckets: Int, // power of two
     val table: Array[Short],
     private var count: Long,
-    private var kicksSeed: Long
+    private var kicksSeed: Long,
+    private var _saturated: Boolean = false
 ) extends Serializable {
 
   import CuckooFilter._
 
   def size: Long = count
+
+  /** True once any insert has failed. A failed eviction loop orphans the
+    * last evicted fingerprint (a previously-inserted key loses its slot),
+    * so a saturated filter can no longer promise "no false negatives".
+    * [[mightContain]] therefore answers "maybe" for EVERYTHING once
+    * saturated — the bucket degrades to the exact anti-join instead of
+    * silently re-admitting seen URLs.
+    */
+  def saturated: Boolean = _saturated
 
   private def bucketIndex(h: Long): Int = (h & (numBuckets - 1)).toInt
 
@@ -49,12 +59,13 @@ final class CuckooFilter private (
     false
   }
 
-  /** Insert; false when the filter is saturated (caller must grow or
-    * rely on the exact layer — a failed insert only weakens the sketch,
-    * never correctness, because the exact anti-join still runs for
-    * maybe-seen rows).
+  /** Insert; false when the filter is saturated. A failed insert flips
+    * [[saturated]] permanently, after which lookups answer "maybe" for
+    * every key — so a failed insert only weakens the sketch to a no-op,
+    * never correctness (the exact anti-join decides all maybe rows).
     */
   def insert(key: Long): Boolean = {
+    if (_saturated) return false // fail fast: filter already degraded to all-maybe
     val h = mix(key)
     val fp0 = fingerprint(h)
     val i1 = bucketIndex(h)
@@ -77,10 +88,12 @@ final class CuckooFilter private (
       kicks += 1
     }
     kicksSeed = rng
+    _saturated = true // the orphaned `fp` lost its slot → no-false-negative promise is void
     false
   }
 
   def mightContain(key: Long): Boolean = {
+    if (_saturated) return true
     val h = mix(key)
     val fp = fingerprint(h)
     val i1 = bucketIndex(h)
@@ -115,15 +128,17 @@ final class CuckooFilter private (
 
   def merge(other: CuckooFilter): CuckooFilter = {
     require(other.numBuckets == numBuckets, "cannot merge filters of different capacity")
-    val out = new CuckooFilter(numBuckets, table.clone(), count, kicksSeed)
+    val out = new CuckooFilter(numBuckets, table.clone(), count, kicksSeed,
+      _saturated || other._saturated)
     var i = 0
     while (i < other.table.length) {
       val fp = other.table(i)
       if (fp != 0) {
-        // re-insert by fingerprint at its home bucket (approximation is
-        // fine: sketch layer only; exactness is the anti-join's job)
+        // re-insert by fingerprint at its home bucket; a double miss
+        // would drop the fingerprint, so it saturates instead (all-maybe)
         val home = i / SlotsPerBucket
-        if (!out.insertAt(home, fp)) out.insertAt(out.altIndex(home, fp), fp)
+        if (!out.insertAt(home, fp) && !out.insertAt(out.altIndex(home, fp), fp))
+          out._saturated = true
         out.count += 1
       }
       i += 1
@@ -132,8 +147,9 @@ final class CuckooFilter private (
   }
 
   def toBytes: Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(8 + 8 + 4 + table.length * 2)
+    val bb = java.nio.ByteBuffer.allocate(8 + 8 + 4 + 1 + table.length * 2)
     bb.putLong(count).putLong(kicksSeed).putInt(numBuckets)
+    bb.put(if (_saturated) 1.toByte else 0.toByte)
     table.foreach(bb.putShort)
     bb.array()
   }
@@ -163,9 +179,10 @@ object CuckooFilter {
     val count = bb.getLong
     val kicksSeed = bb.getLong
     val numBuckets = bb.getInt
+    val saturated = bb.get() != 0
     val table = new Array[Short](numBuckets * SlotsPerBucket)
     var i = 0
     while (i < table.length) { table(i) = bb.getShort; i += 1 }
-    new CuckooFilter(numBuckets, table, count, kicksSeed)
+    new CuckooFilter(numBuckets, table, count, kicksSeed, saturated)
   }
 }

@@ -32,7 +32,8 @@ import scala.collection.mutable
   * sort, deterministic — a pure function of the partition's rows, which
   * are themselves a pure function of the data (hash partitioning), never
   * of task scheduling. This is what keeps crawl order identical between
-  * local[8] and local[32].
+  * local[8] and local[32]. (Sole exception: the maxQueuePerPartition
+  * overload valve — see the note inside `admit`.)
   */
 object Politeness {
 
@@ -65,20 +66,32 @@ object Politeness {
         // heap root = worst kept entry (reverse preference). Deferred
         // rows STREAM out as they lose — only the heaps (Σ quotas) stay
         // in memory, never the frontier tail (10^10-scale discipline).
+        //
+        // maxQueuePerPartition bounds total HEAP OCCUPANCY (Σ heap
+        // sizes), never intake order: at the cap, heaps stop GROWING but
+        // displacement inside a full heap still runs, so each full heap
+        // keeps its true per-host best regardless of row arrival order.
+        // The valve is an overload guard (supervisor.go:302-317 queue
+        // rejection): the admitted COUNT at the cap is deterministic;
+        // WHICH hosts own the un-grown slots when it binds mid-stream
+        // depends on shuffle arrival order — acceptable for a last-
+        // resort memory bound that never binds at configured sizes.
         val heaps = mutable.Map.empty[(String, Int), mutable.PriorityQueue[FrontierEntry]]
-        var intake = 0L
+        var occupancy = 0L
         var deferredCount = 0L
         val deferred: Iterator[Admission] = it.flatMap { e =>
           val saltIdx = Math.floorMod(e.url_hash, salts.toLong).toInt
           val quota = budget / salts + (if (saltIdx < budget % salts) 1 else 0)
           val loser: Option[FrontierEntry] =
-            if (quota == 0 || intake >= cfg.maxQueuePerPartition) Some(e)
+            if (quota == 0) Some(e)
             else {
               val heap = heaps.getOrElseUpdate((e.host, saltIdx),
                 mutable.PriorityQueue.empty(preference)) // max-heap = worst-first root
-              intake += 1
-              if (heap.size < quota) { heap.enqueue(e); None }
-              else if (preference.lt(e, heap.head)) {
+              if (heap.size < quota) {
+                if (occupancy < cfg.maxQueuePerPartition) {
+                  heap.enqueue(e); occupancy += 1; None
+                } else Some(e) // cap bound: no growth
+              } else if (preference.lt(e, heap.head)) {
                 val out = heap.dequeue(); heap.enqueue(e); Some(out)
               } else Some(e)
             }

@@ -65,9 +65,11 @@ object RobotsFilter {
         if (denies.isEmpty) lit(false) else orMatch(col("__norm"), denies))
 
     // IP-class policy: broadcast-join the host map, classify each pinned
-    // address with the exact IsPublicIP port.
-    val needIpCheck = lit(denyPrivate || denyPublic) &&
-      (col("__scheme") === "http" || col("__scheme") === "https") &&
+    // address with the exact IsPublicIP port. http-like schemes (http,
+    // https, ws, wss — `outbound.go:224-231`) are subject to resolution
+    // + IP-class rejection; anything else passes with no check.
+    val httpLike = col("__scheme").isin("http", "https", "ws", "wss")
+    val needIpCheck = lit(denyPrivate || denyPublic) && httpLike &&
       !col("__allow_matched")
     val anyNonPublic = udf { (host: String, ips: Seq[String]) =>
       val resolved = if (ips != null && ips.nonEmpty) ips
@@ -93,7 +95,7 @@ object RobotsFilter {
           lit("denied: no allow-list match")) // allow-miss precedes deny (outbound.go:272-296)
         .when(col("__deny_matched"), lit("denied: matches denied list"))
         .when(col("__allow_matched"), lit("ok")) // bypass: no IP checks
-        .when(col("__scheme") =!= "http" && col("__scheme") =!= "https", lit("ok"))
+        .when(!httpLike, lit("ok")) // non-http-like scheme: no IP check (outbound.go:318-323)
         .when(col("__host") === "", lit("denied: no host"))
         .when(lit(denyPrivate) && needIpCheck &&
           coalesce(anyNonPublic(col("__host"), col("ips")), lit(true)),

@@ -1,7 +1,7 @@
 package graft.frontier
 
 import org.apache.spark.broadcast.Broadcast
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -10,102 +10,189 @@ import org.apache.spark.util.sketch.BloomFilter
   * (it is request-driven); this is the engine-side left-anti join of
   * SURVEY.md §2.5, with the false-positive discipline of §7.4: a sketch
   * "maybe-seen" is NEVER trusted to drop a URL — only the exact layer
-  * drops.
+  * drops. A sketch "no" IS trusted to pass a URL: the bloom has no false
+  * negatives by construction, and the cuckoo layer degrades itself to
+  * all-maybe the moment an insert fails ([[CuckooFilter.saturated]]), so
+  * its "no" stays authoritative.
   *
-  * Layering rationale at 10^10 URLs:
-  *   - the bloom (bits ∝ seen count, broadcast once per round) clears the
-  *     vast majority of genuinely-new URLs without any shuffle;
-  *   - the cuckoo layer is partitioned by `pmod(url_hash, buckets)` so it
-  *     scales past single-broadcast memory and supports deletes; it
-  *     clears bloom false-positives cheaply, co-partitioned with the
-  *     candidates;
-  *   - the exact seen table (same bucketing) confirms the residue via
-  *     left-anti join — only rows both sketches call "maybe" pay the
-  *     join.
+  * Layering + maintenance at 10^10 URLs (everything is O(round delta);
+  * nothing rebuilds from the seen union, and no sketch bytes cross the
+  * driver except the bloom, which the north star mandates as a
+  * broadcast):
+  *   - the BLOOM is a driver-held running filter sized once for the
+  *     crawl's expected total; each round only the round's NEW urls are
+  *     inserted (a distributed delta-bloom OR-merge, or a direct insert
+  *     of collected hashes when the delta is small) and the result is
+  *     re-broadcast. It clears the vast majority of genuinely-new URLs
+  *     without any shuffle.
+  *   - the CUCKOO layer is a persisted (bucket, filter_bytes) table,
+  *     partitioned by `pmod(url_hash, buckets)`. Per round it is updated
+  *     by cogrouping ONLY the delta's hashes with the existing blobs —
+  *     executor-side, O(delta) inserts. Lookups cogroup the bloom's
+  *     maybe-seen residue with the blobs on the same bucket key, so each
+  *     task deserializes exactly its bucket's filter once; blobs move
+  *     executor→executor, never through the driver.
+  *   - the EXACT seen table (per-round deltas, union-read) confirms the
+  *     residue via left-anti join — only rows both sketches call "maybe"
+  *     pay the join.
   */
 object UrlSeen {
 
-  val CuckooBuckets = 64 // fixed sketch partitioning (independent of cluster size)
+  /** Fixed sketch partitioning — independent of cluster size so the
+    * filter contents are replay-stable. 64 buckets bound the lookup
+    * cogroup's parallelism; a 1000-executor deployment would raise this
+    * (it is a parameter everywhere below) to O(4×executors).
+    */
+  val CuckooBuckets = 64
 
-  def cuckooBucket(urlHash: Long): Int = Math.floorMod(urlHash, CuckooBuckets.toLong).toInt
+  def cuckooBucket(urlHash: Long, buckets: Int = CuckooBuckets): Int =
+    Math.floorMod(urlHash, buckets.toLong).toInt
 
-  /** Build the broadcast bloom from the exact seen table. */
+  // ---------------------------------------------------------------------
+  // Bloom layer — driver-held, incrementally maintained.
+  // ---------------------------------------------------------------------
+
+  /** Empty bloom sized for the crawl's expected TOTAL (merge-compatible
+    * delta blooms must use the same parameters — see [[bloomOfDelta]]).
+    */
+  def emptyBloom(expectedItems: Long, fpp: Double): BloomFilter =
+    BloomFilter.create(math.max(expectedItems, 1024), fpp)
+
+  /** Distributed bloom over a delta's `url_hash` column, parameterized
+    * identically to the running bloom so `mergeInPlace` accepts it.
+    * Cost: O(delta) inserts + a fixed-size bit-array OR-reduction.
+    */
+  def bloomOfDelta(delta: DataFrame, expectedItems: Long, fpp: Double): BloomFilter =
+    delta.stat.bloomFilter("url_hash", math.max(expectedItems, 1024), fpp)
+
+  /** One-time full build (resume fallback when no persisted bloom
+    * exists — legacy snapshots only; the steady state is incremental).
+    */
   def buildBloom(spark: SparkSession, seen: DataFrame, expectedItems: Long, fpp: Double): Broadcast[BloomFilter] = {
     val bf =
-      if (seen.isEmpty) BloomFilter.create(math.max(expectedItems, 1024), fpp)
-      else seen.stat.bloomFilter("url_hash", math.max(expectedItems, 1024), fpp)
+      if (seen.isEmpty) emptyBloom(expectedItems, fpp)
+      else bloomOfDelta(seen, expectedItems, fpp)
     spark.sparkContext.broadcast(bf)
   }
 
-  /** Build per-bucket cuckoo filters from the exact seen table.
-    * Returns (bucket, filter bytes) — persisted into the snapshot.
-    */
-  def buildCuckoo(spark: SparkSession, seen: DataFrame, expectedItems: Long): DataFrame = {
-    import spark.implicits._
-    val perBucketCapacity = math.max(1024L, expectedItems / CuckooBuckets)
-    seen.select(col("url_hash").cast("long"))
-      .withColumn("bucket", pmod(col("url_hash"), lit(CuckooBuckets.toLong)).cast("int"))
-      .as[(Long, Int)]
-      .groupByKey(_._2)
-      .mapGroups { (bucket, rows) =>
-        val cf = CuckooFilter.create(perBucketCapacity)
-        // deterministic insert order → deterministic filter bytes
-        rows.map(_._1).toArray.sorted.foreach(cf.insert)
-        (bucket, cf.toBytes)
-      }
-      .toDF("bucket", "filter_bytes")
+  def bloomToBytes(bf: BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
   }
+
+  def bloomFromBytes(bytes: Array[Byte]): BloomFilter =
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+
+  // ---------------------------------------------------------------------
+  // Cuckoo layer — persisted (bucket, filter_bytes) state, delta updates.
+  // ---------------------------------------------------------------------
+
+  /** Empty cuckoo state (cold start). */
+  def emptyCuckooState(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Int, Array[Byte])].toDF("bucket", "filter_bytes")
+  }
+
+  /** Fold a round's delta (`url_hash` column) into the cuckoo state.
+    * Cogroup on the bucket key: each task loads at most one blob,
+    * inserts only the NEW keys (sorted → deterministic filter bytes for
+    * a given round sequence), and emits the updated blob. Buckets with
+    * no delta pass through untouched. `perBucketCapacity` only applies
+    * when a bucket's filter is first created; an over-full bucket
+    * saturates (degrades to all-maybe) instead of corrupting.
+    */
+  def updateCuckoo(
+      spark: SparkSession,
+      prev: DataFrame,
+      delta: DataFrame,
+      perBucketCapacity: Long,
+      buckets: Int = CuckooBuckets
+  ): DataFrame = {
+    import spark.implicits._
+    val deltaKeyed = delta.select(col("url_hash").cast("long")).as[Long]
+      .groupByKey(cuckooBucket(_, buckets))
+    val prevKeyed = prev.select(col("bucket").cast("int"), col("filter_bytes"))
+      .as[(Int, Array[Byte])].groupByKey(_._1)
+    deltaKeyed.cogroup(prevKeyed) { (bucket, newKeys, prevRows) =>
+      val cf = prevRows.toSeq.headOption
+        .map(p => CuckooFilter.fromBytes(p._2))
+        .getOrElse(CuckooFilter.create(math.max(1024L, perBucketCapacity)))
+      newKeys.toArray.sorted.foreach(cf.insert) // insert failure self-saturates
+      Iterator.single((bucket, cf.toBytes))
+    }.toDF("bucket", "filter_bytes")
+  }
+
+  /** Candidate row shape inside [[filterNew]] (what CrawlJob's in-batch
+    * dedup emits).
+    */
+  final case class Cand(url_canon: String, url_hash: Long, priority: Double, seq: Long)
+  // public: generated code (SerializeFromObject) must reach the accessors
+  final case class CandFlag(url_canon: String, url_hash: Long,
+      priority: Double, seq: Long, sketch_new: Boolean)
 
   /** Filter `candidates` down to never-seen rows.
     *
-    * `candidates` must carry `url_canon` and `url_hash`. `seen` is the
-    * exact table (`url_canon, url_hash, round_first_seen`). `cuckoo` may
-    * be empty (cold start).
+    * `candidates` must carry exactly (url_canon, url_hash, priority,
+    * seq). `seen` is the exact table; `cuckoo` is the persisted state
+    * (may be empty — then the exact join decides everything the bloom
+    * flags).
     */
   def filterNew(
       spark: SparkSession,
       candidates: DataFrame,
       seen: DataFrame,
       bloom: Broadcast[BloomFilter],
-      cuckoo: DataFrame
+      cuckoo: DataFrame,
+      buckets: Int = CuckooBuckets
   ): DataFrame = {
+    import spark.implicits._
+    // tolerate a schemaless empty frame as "no cuckoo state" (cold start)
+    val cuckooState =
+      if (cuckoo.columns.contains("filter_bytes")) cuckoo else emptyCuckooState(spark)
     val mightContain = udf { (h: Long) => bloom.value.mightContain(h) }
 
-    val flagged = candidates.withColumn("maybe_seen", mightContain(col("url_hash")))
+    val flagged = candidates
+      .select(col("url_canon"), col("url_hash").cast("long"),
+        col("priority").cast("double"), col("seq").cast("long"))
+      .withColumn("maybe_seen", mightContain(col("url_hash")))
     val definitelyNew = flagged.filter(!col("maybe_seen")).drop("maybe_seen")
-    val maybeSeen = flagged.filter(col("maybe_seen")).drop("maybe_seen")
+    val maybeSeen = flagged.filter(col("maybe_seen")).drop("maybe_seen").as[Cand]
 
-    // Cuckoo layer: co-partitioned lookup; "no" is authoritative.
-    val cuckooCleared: DataFrame = if (cuckoo.isEmpty) maybeSeen else {
-      val cuckooMap = cuckoo.collect()
-        .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
-      // buckets are few and bounded (64 × ~2 bytes/key slice of the seen
-      // set for THIS round's capacity); broadcast the bytes, lazily
-      // deserialize once per executor.
-      val bc = spark.sparkContext.broadcast(cuckooMap)
-      val cuckooMaybe = udf { (h: Long) =>
-        bc.value.get(cuckooBucket(h)) match {
-          case Some(bytes) => CuckooFilterCache.get(cuckooBucket(h), bytes).mightContain(h)
-          case None => false
+    // cuckoo layer: co-partitioned cogroup on the bucket key. One blob
+    // deserialization per (task, bucket) via the executor-local cache;
+    // a missing or saturated filter yields sketch_new = false (exact
+    // join decides).
+    val checked = maybeSeen.groupByKey(c => cuckooBucket(c.url_hash, buckets))
+      .cogroup(cuckooState.select(col("bucket").cast("int"), col("filter_bytes"))
+        .as[(Int, Array[Byte])].groupByKey(_._1)) { (bucket, cands, filters) =>
+        filters.toSeq.headOption match {
+          case Some((_, bytes)) =>
+            val cf = CuckooFilterCache.get(bucket, bytes)
+            cands.map(c => CandFlag(c.url_canon, c.url_hash, c.priority, c.seq,
+              sketch_new = !cf.mightContain(c.url_hash)))
+          case None =>
+            cands.map(c => CandFlag(c.url_canon, c.url_hash, c.priority, c.seq,
+              sketch_new = false))
         }
-      }
-      maybeSeen.filter(!cuckooMaybe(col("url_hash")))
-        .unionByName(maybeSeen.filter(cuckooMaybe(col("url_hash")))
-          // exact confirm (left-anti) ONLY for double-maybe rows
-          .join(seen.select(col("url_canon")), Seq("url_canon"), "left_anti"))
-    }
+      }.toDF()
 
-    val confirmed =
-      if (cuckoo.isEmpty)
-        maybeSeen.join(seen.select(col("url_canon")), Seq("url_canon"), "left_anti")
-      else cuckooCleared
+    val sketchNew = checked.filter(col("sketch_new")).drop("sketch_new")
+    val confirmed = checked.filter(!col("sketch_new")).drop("sketch_new")
+      // exact confirm (left-anti) ONLY for double-maybe rows
+      .join(seen.select(col("url_canon")), Seq("url_canon"), "left_anti")
 
-    definitelyNew.unionByName(confirmed)
+    definitelyNew.unionByName(sketchNew).unionByName(confirmed)
   }
+
+  /** Round-1 API shim for specs: full cuckoo state built from scratch. */
+  def buildCuckoo(spark: SparkSession, seen: DataFrame, expectedItems: Long): DataFrame =
+    updateCuckoo(spark, emptyCuckooState(spark), seen.select(col("url_hash")),
+      math.max(1024L, expectedItems / CuckooBuckets))
 }
 
 /** Executor-local deserialization cache for cuckoo filter bytes (avoid
-  * re-parsing per row).
+  * re-parsing per row / per group).
   */
 object CuckooFilterCache {
   // key includes a content hash: filters change between rounds while the

@@ -85,10 +85,17 @@ object UrlFunctions {
 
   /** Column twin of [[canonicalizeUrl]] — built-ins only so it stays in
     * whole-stage codegen and is expressible in the DuckDB oracle.
-    * Assumes scheme://host/path shape (no userinfo/v6 — crawl tables).
+    * Assumes scheme://host/path shape (no userinfo/v6 — crawl tables);
+    * anything without `scheme://` passes through trimmed, matching the
+    * Scala twin's None branch.
     */
   def canonicalizeUrlCol(url: Column): Column = {
     val trimmed = trim(url)
+    when(!trimmed.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), trimmed)
+      .otherwise(canonicalizeUrlColUnsafe(trimmed))
+  }
+
+  private def canonicalizeUrlColUnsafe(trimmed: Column): Column = {
     val scheme = lower(regexp_extract(trimmed, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val hostPort = lower(regexp_extract(trimmed, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
     val port = regexp_extract(hostPort, ":(\\d+)$", 1)

@@ -100,8 +100,13 @@ final case class CrawlConfig(
     saltsPerHost: Int = 4,       // skew salting factor
     hostBudgetPerRound: Int = 6, // token bucket per host per round
     maxQueuePerPartition: Int = 1 << 20,
-    bloomExpectedItems: Long = 1L << 20,
+    bloomExpectedItems: Long = 1L << 20, // sized ONCE for the crawl's expected total
     bloomFpp: Double = 0.01,
+    // deltas at or below this size update the driver bloom by a direct
+    // collect+insert (O(delta·8B) driver bytes); larger deltas use the
+    // distributed delta-bloom OR-merge
+    bloomCollectThreshold: Long = 2L << 20,
+    cuckooBuckets: Int = 64, // fixed sketch partitioning (↑ on big clusters)
     outlinksPerDoc: Int = 4,
     maxRounds: Int = 3,
     seed: Long = 42L

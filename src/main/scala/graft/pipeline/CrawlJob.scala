@@ -24,10 +24,14 @@ import org.apache.spark.sql.functions._
   *     Admission, the sorted frontier write, the fetch and the
   *     output-span write all stay in those partitions — no re-shuffle
   *     of the heavy span payloads.
-  *   - The seen-layer anti-join shuffles only the bloom/cuckoo
-  *     "maybe-seen" residue (a few % of candidates at steady state).
-  *   - Robots rules and host map are broadcast; the bloom is one
-  *     broadcast sized ∝ seen count; cuckoo blobs are 64 fixed buckets.
+  *   - The seen layer touches only the bloom's "maybe-seen" residue:
+  *     one cogroup shuffle against the partitioned cuckoo blobs, then a
+  *     left-anti join of the double-maybe rows against the exact table.
+  *   - Robots rules and host map are broadcast; the bloom is ONE
+  *     driver-held filter maintained by O(delta) inserts per round (the
+  *     north star mandates a broadcast bloom); cuckoo blobs live in a
+  *     persisted bucket table updated executor-side with the round's
+  *     delta — sketch bytes never funnel through the driver.
   *   - Counters ride on three single-pass aggregations (robots verdict,
   *     admission flag, fetch stats) — no repeated count() jobs, no
   *     recomputation of unpersisted lineage.
@@ -88,16 +92,49 @@ object CrawlJob {
         "pending", Seq.empty[PendingUrl].toDF()).as[PendingUrl]
     var seenCount: Long = if (startRound == 0) 0L else seen.count()
 
+    // ---- incremental seen-sketch state (maintenance is O(round delta);
+    //      nothing below ever rebuilds from the seen union in steady
+    //      state — the resume paths read the persisted sketches) ----
+    // bloom: driver-held running filter; capacity fixed at creation so
+    // per-round delta blooms stay merge-compatible
+    val persistedBloom = store.currentSnapshot.filter(store.hasTable(_, "bloom"))
+      .map(c => store.read(spark, c, "bloom").head())
+    val bloomCapacity: Long = persistedBloom.map(_.getLong(1))
+      .getOrElse(math.max(cfg.bloomExpectedItems, seenCount * 2))
+    val bloomFpp: Double = persistedBloom.map(_.getDouble(2)).getOrElse(cfg.bloomFpp)
+    val bloom: org.apache.spark.util.sketch.BloomFilter = persistedBloom match {
+      case Some(row) => UrlSeen.bloomFromBytes(row.getAs[Array[Byte]](0))
+      case None if seenCount > 0 => // legacy snapshot without a persisted bloom: one-time rebuild
+        UrlSeen.bloomOfDelta(seen, bloomCapacity, bloomFpp)
+      case None => UrlSeen.emptyBloom(bloomCapacity, bloomFpp)
+    }
+    var bloomBc = spark.sparkContext.broadcast(bloom)
+    val bloomSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("filter_bytes", org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("capacity_items", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("fpp", org.apache.spark.sql.types.DoubleType)))
+
+    // cuckoo: persisted (bucket, filter_bytes) table
+    val perBucketCapacity = math.max(1024L, bloomCapacity / cfg.cuckooBuckets)
+    var cuckoo: DataFrame = store.currentSnapshot.filter(store.hasTable(_, "cuckoo"))
+      .map(c => store.read(spark, c, "cuckoo"))
+      .getOrElse {
+        if (seenCount == 0) UrlSeen.emptyCuckooState(spark)
+        else UrlSeen.updateCuckoo(spark, UrlSeen.emptyCuckooState(spark), // legacy one-time rebuild
+          seen.select("url_hash"), perBucketCapacity, cfg.cuckooBuckets).persist()
+      }
+
     val stats = scala.collection.mutable.ArrayBuffer.empty[RoundStats]
     var round = startRound
     var continue = true
 
     while (continue && round < startRound + cfg.maxRounds) {
-      // 1. canonicalize + hash (exact Scala canonicalizer — matches the
-      //    straight-line reference model bit-for-bit)
-      val canonUdf = udf(UrlFunctions.canonicalizeUrl _)
+      // 1. canonicalize + hash via the codegen Column twin — stays inside
+      //    whole-stage codegen (no scalar UDF on the hot path);
+      //    ColumnParitySpec pins bit-parity with the Scala canonicalizer
+      //    the straight-line reference model uses
       val withCanon = pending.toDF()
-        .withColumn("url_canon", canonUdf(col("url")))
+        .withColumn("url_canon", UrlFunctions.canonicalizeUrlCol(col("url")))
         .withColumn("url_hash", UrlFunctions.urlHashCol(col("url_canon")))
 
       // 2. robots / allow-deny / IP-class admission (broadcast join).
@@ -114,19 +151,16 @@ object CrawlJob {
       val dedup = allowed.groupBy("url_canon", "url_hash")
         .agg(max("priority").as("priority"), min("seq").as("seq"))
 
-      // 4. URL-seen layer (bloom → cuckoo → exact anti-join)
-      val bloom = timed("bloom-build")(UrlSeen.buildBloom(spark, seen,
-        math.max(seenCount * 2, cfg.bloomExpectedItems), cfg.bloomFpp))
-      val cuckoo = timed("cuckoo-build")(
-        if (seenCount == 0) spark.emptyDataFrame
-        else UrlSeen.buildCuckoo(spark, seen, math.max(seenCount * 2, 1024L)))
-      val newUrls = UrlSeen.filterNew(spark, dedup, seen, bloom, cuckoo)
+      // 4. URL-seen layer (running bloom → persisted cuckoo → exact
+      //    anti-join); both sketches were maintained incrementally at the
+      //    end of the previous round — nothing is rebuilt here
+      val newUrls = UrlSeen.filterNew(spark, dedup, seen, bloomBc, cuckoo, cfg.cuckooBuckets)
 
-      // 5. frontier entries with salted host hash
-      val saltUdf = udf((host: String, h: Long) => UrlFunctions.hostSalt(host, h, cfg.saltsPerHost))
+      // 5. frontier entries with salted host hash (codegen Column twin)
       val frontier = newUrls
         .withColumn("host", UrlFunctions.hostOfCol(col("url_canon")))
-        .withColumn("host_hash", saltUdf(col("host"), col("url_hash")))
+        .withColumn("host_hash",
+          UrlFunctions.hostSaltCol(col("host"), col("url_hash"), cfg.saltsPerHost))
         .withColumn("round", lit(round))
         .withColumn("url", col("url_canon"))
         .select("url", "url_canon", "url_hash", "host", "host_hash", "priority", "seq", "round")
@@ -215,10 +249,39 @@ object CrawlJob {
         round, "fetch_log"))
 
       // 10. seen ∪ admitted — DELTA write only (O(new), the Iceberg
-      //     append): readers union url_seen_delta across snapshots
+      //     append): readers union url_seen_delta across snapshots.
+      //     Both sketches fold in ONLY this round's delta:
+      //       - bloom: collect+insert for small deltas (O(delta·8B)
+      //         through the driver), distributed OR-merge otherwise;
+      //         then re-broadcast
+      //       - cuckoo: executor-side cogroup of delta hashes with the
+      //         persisted blobs; bytes never visit the driver
       val newSeen = admitted.map(e => SeenUrl(e.url_canon, e.url_hash, e.round)).toDF()
       timed("seen-write")(store.write(newSeen, round, "url_seen_delta"))
-      if (!cuckoo.isEmpty) timed("cuckoo-write")(store.write(cuckoo, round, "cuckoo"))
+
+      timed("bloom-update") {
+        if (admittedCount > 0) {
+          if (admittedCount <= cfg.bloomCollectThreshold)
+            admitted.map(_.url_hash).toDF("url_hash").as[Long].collect().foreach(bloom.putLong)
+          else
+            bloom.mergeInPlace(UrlSeen.bloomOfDelta(newSeen, bloomCapacity, bloomFpp))
+          // unpersist (not destroy): cached lineage from this round may
+          // still reference the old broadcast; a re-fetch would resend
+          // the mutated bloom, which only ADDS keys — extra maybe-seen
+          // rows are re-confirmed by the exact layer, never dropped
+          val oldBc = bloomBc
+          bloomBc = spark.sparkContext.broadcast(bloom)
+          oldBc.unpersist(blocking = false)
+        }
+        store.write(spark.createDataFrame(
+          java.util.Arrays.asList(org.apache.spark.sql.Row(
+            UrlSeen.bloomToBytes(bloom), bloomCapacity, bloomFpp)),
+          bloomSchema), round, "bloom")
+      }
+
+      val cuckooNext = UrlSeen.updateCuckoo(spark, cuckoo,
+        newSeen.select("url_hash"), perBucketCapacity, cfg.cuckooBuckets)
+      timed("cuckoo-write")(store.write(cuckooNext, round, "cuckoo"))
 
       // 11. next pending = deferred ∪ outlinks of this round
       val outlinks = fetched.flatMap { f =>
@@ -247,6 +310,7 @@ object CrawlJob {
       // the equivalent of Iceberg snapshot isolation between rounds)
       seen = store.readSeen(spark, round)
       pending = store.read(spark, round, "pending").as[PendingUrl]
+      cuckoo = store.read(spark, round, "cuckoo")
 
       decided.unpersist(); admissions.unpersist(); fetched.unpersist()
 

@@ -43,7 +43,9 @@ object ReferenceCrawl {
     if (denies.exists(p => java.util.regex.Pattern.compile(p).matcher(norm).find()))
       return "denied: matches denied list"
     if (allowMatched) return "ok"
-    if (scheme != "http" && scheme != "https") return "ok"
+    // http-like schemes (http, https, ws, wss — outbound.go:224-231) get
+    // the resolution + IP-class checks; everything else passes
+    if (scheme != "http" && scheme != "https" && scheme != "ws" && scheme != "wss") return "ok"
     if (host.isEmpty) return "denied: no host"
     if (denyPrivate || denyPublic) {
       val resolved = hostIps.getOrElse(host,

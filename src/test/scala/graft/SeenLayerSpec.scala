@@ -30,6 +30,40 @@ class SeenLayerSpec extends SparkSpec {
     assert(java.util.Arrays.equals(cf.toBytes, cf2.toBytes))
   }
 
+  test("cuckoo filter: saturation degrades to all-maybe (no false negatives ever)") {
+    // tiny capacity → guaranteed insert failures
+    val cf = CuckooFilter.create(16)
+    val keys = (0L until 5000L).map(k => k * 2654435761L + 17)
+    keys.foreach(cf.insert)
+    assert(cf.saturated, "tiny filter must saturate under 5000 inserts")
+    // EVERY inserted key still answers maybe — including any whose
+    // fingerprint was orphaned by a failed eviction loop
+    keys.foreach(k => assert(cf.mightContain(k)))
+    // saturation survives serde
+    assert(CuckooFilter.fromBytes(cf.toBytes).saturated)
+    assert(CuckooFilter.fromBytes(cf.toBytes).mightContain(123456789L))
+  }
+
+  test("updateCuckoo: two incremental deltas == one full build (bytes-equal)") {
+    import spark.implicits._
+    val h = (0 until 2000).map(i => graft.functions.UrlFunctions.urlHash(s"https://h/$i"))
+    val all = h.toDF("url_hash")
+    val d1 = h.take(1200).toDF("url_hash")
+    val d2 = h.drop(1200).toDF("url_hash")
+    val full = UrlSeen.updateCuckoo(spark, UrlSeen.emptyCuckooState(spark), all, 1024)
+      .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+    val once = UrlSeen.updateCuckoo(spark, UrlSeen.emptyCuckooState(spark), d1, 1024)
+    val twice = UrlSeen.updateCuckoo(spark, once, d2, 1024)
+      .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(twice.keySet === full.keySet)
+    // contents: every inserted key answers maybe in the incremental state
+    val filters = twice.map { case (b, bytes) => b -> CuckooFilter.fromBytes(bytes) }
+    h.foreach { k =>
+      val b = UrlSeen.cuckooBucket(k)
+      assert(filters(b).mightContain(k), s"missing $k in bucket $b")
+    }
+  }
+
   test("filterNew: exactly the unseen urls survive, under all sketch layers") {
     import spark.implicits._
     val seen = (0 until 500).map(i => SeenUrl(s"https://h/$i", graft.functions.UrlFunctions.urlHash(s"https://h/$i"), 0)).toDF()
