@@ -28,8 +28,9 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.all.toMap
 
-  /** DuckDB oracle twins; queries absent here (q26 simhash, q33 media
-    * stub) take the driver's rows-only check.
+  /** DuckDB oracle twins — one per query (35/35): even the sketch
+    * layers share hash functions with DuckDB or inline their constants
+    * into the generated SQL.
     */
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -189,15 +189,17 @@ object Dedup {
   // SimHash
   // -----------------------------------------------------------------
 
-  /** 64-bit SimHash of the token multiset (Scala-side; murmur3-based). */
+  /** 64-bit SimHash of the token multiset. Token hash is
+    * [[TextAnalysis.md5Lower64]] (= DuckDB `md5_number_lower`) so the
+    * whole signature — and therefore the banding and hamming joins —
+    * has an exact ANSI-SQL oracle twin (q26).
+    */
   def simhash64(text: String): Long = {
     val toks = text.toLowerCase.replaceAll("\\s+", " ").trim.split(" ").filter(_.nonEmpty)
     if (toks.isEmpty) return 0L
     val acc = new Array[Int](64)
     toks.foreach { t =>
-      val h32a = UrlFunctions.murmur3(t).toLong & 0xffffffffL
-      val h32b = UrlFunctions.murmur3("\u0001" + t).toLong & 0xffffffffL
-      val h = (h32a << 32) | h32b
+      val h = TextAnalysis.md5Lower64(t)
       var bit = 0
       while (bit < 64) {
         if (((h >>> bit) & 1L) == 1L) acc(bit) += 1 else acc(bit) -= 1
@@ -235,13 +237,22 @@ object Dedup {
   // Embedding-cosine near-dup via hyperplane LSH
   // -----------------------------------------------------------------
 
-  /** Deterministic hyperplanes: values from splitmix stream, ±1. */
-  def hyperplaneSignature(vec: Column, dim: Int, numPlanes: Int, seed: Long): Column = {
-    val planes = (0 until numPlanes).map { pIdx =>
-      val signs = (0 until dim).map { d =>
+  /** Deterministic ±1 hyperplane matrix — shared by the Spark signature
+    * AND the generated oracle SQL (the signs are inlined as literals into
+    * the DuckDB twin, so both engines bucket identically).
+    */
+  def hyperplaneSigns(dim: Int, numPlanes: Int, seed: Long): Seq[Seq[Double]] =
+    (0 until numPlanes).map { pIdx =>
+      (0 until dim).map { d =>
         if ((graft.frontier.CuckooFilter.mix(seed + pIdx * 1009L + d) & 1L) == 0L) -1.0 else 1.0
       }
-      // dot(vec, signs) > 0 → bit
+    }
+
+  /** Deterministic hyperplanes: values from splitmix stream, ±1. */
+  def hyperplaneSignature(vec: Column, dim: Int, numPlanes: Int, seed: Long): Column = {
+    val planes = hyperplaneSigns(dim, numPlanes, seed).map { signs =>
+      // dot(vec, signs) > 0 → bit (strict left-to-right sum — the oracle
+      // twin adds in the same order, so the fp rounding is identical)
       val dot = (0 until dim).map(d => element_at(vec, d + 1) * lit(signs(d))).reduce(_ + _)
       when(dot > 0, lit(1)).otherwise(lit(0))
     }
@@ -258,20 +269,38 @@ object Dedup {
   def cosine(a: Column, b: Column): Column =
     graft.functions.CosineSimilarityExpr.cosine(a, b)
 
-  /** Near-dup embedding pairs: bucket by hyperplane signature, verify
-    * cosine ≥ threshold within bucket.
+  /** Per-table seed for multi-table LSH (a large odd stride keeps the
+    * tables' splitmix streams disjoint).
+    */
+  def tableSeed(seed: Long, table: Int): Long = seed + 7919L * table
+
+  /** Near-dup embedding pairs via MULTI-TABLE hyperplane LSH: L
+    * independent tables of `numPlanes` hyperplanes each; a pair is a
+    * candidate when it collides in ANY table (recall 1-(1-p^k)^L), and
+    * every candidate is verified with the exact cosine. Candidates form
+    * only inside (table, bucket) groups — the bucketed, never-cartesian
+    * scale shape; recall is tuned by L without touching the verify cost
+    * of true pairs.
     */
   def embeddingNearDupPairs(embeddings: DataFrame, dim: Int, threshold: Double,
-                            numPlanes: Int = 8, seed: Long = 42L,
+                            numPlanes: Int = 8, numTables: Int = 1, seed: Long = 42L,
                             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val withSig = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", hyperplaneSignature(col("v").cast("array<double>"), dim, numPlanes, seed))
-    val pairs = withSig.as("a").join(withSig.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.v").as("v_a"), col("b.v").as("v_b"))
-    pairs.withColumn("cos", round(cosine(col("v_a").cast("array<double>"),
-        col("v_b").cast("array<double>")), 6))
+    val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("vd", col("v").cast("array<double>"))
+    val buckets = (0 until numTables).map(t =>
+      hyperplaneSignature(col("vd"), dim, numPlanes, tableSeed(seed, t)))
+    val banded = vecs
+      .select(col("id"), posexplode(array(buckets: _*)).as(Seq("table", "bucket")))
+    val candidates = banded.as("a").join(banded.as("b"),
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    // exact verification (sketches propose, exactness disposes)
+    val sets = vecs.select(col("id"), col("vd"))
+    candidates
+      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("vd", "v_a"), "id_a")
+      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("vd", "v_b"), "id_b")
+      .withColumn("cos", round(cosine(col("v_a"), col("v_b")), 6))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

@@ -28,7 +28,9 @@ object Multimodal {
   def syntheticBytes(mediaRef: String, len: Int = 256): Array[Byte] = {
     val h0 = graft.functions.UrlFunctions.murmur3(mediaRef).toLong
     val out = new Array[Byte](len)
-    val magic = Math.floorMod(h0, 4L).toInt match {
+    // codec pick hashes with md5Lower64 (= DuckDB md5_number_lower) so
+    // the codec distribution has an exact SQL oracle twin (q33)
+    val magic = (TextAnalysis.md5Lower64(mediaRef) & 3L).toInt match {
       case 0 => Array[Byte](0x89.toByte, 'P', 'N', 'G')
       case 1 => Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte) // jpeg
       case 2 => Array[Byte]('R', 'I', 'F', 'F')                                  // wav

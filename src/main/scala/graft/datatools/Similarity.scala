@@ -35,14 +35,17 @@ object Similarity {
   }
 
   /** Deterministic centroid pick: the nList corpus vectors with the
-    * smallest murmur3(id) — uniform pseudo-random, reproducible, no
-    * iteration (k-means would converge better; determinism and one-pass
-    * cost win here, and probing covers the slack).
+    * smallest md5(id-as-string) — uniform pseudo-random, reproducible,
+    * no iteration (k-means would converge better; determinism and
+    * one-pass cost win here, and probing covers the slack). md5 of the
+    * decimal id is chosen over Spark's murmur `hash()` so the pick —
+    * and therefore the whole IVF plan — has an exact SQL oracle twin
+    * (q35: `ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT nList`).
     */
   def pickCentroids(corpus: DataFrame, nList: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     corpus.select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("centroid"))
-      .orderBy(hash(col("cid")), col("cid"))
+      .orderBy(md5(col("cid").cast("string")), col("cid"))
       .limit(nList)
 
   /** IVF top-k: assign corpus rows to their nearest centroid, probe the
@@ -55,10 +58,12 @@ object Similarity {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).cast("array<double>").as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
 
-    // corpus → nearest centroid (broadcast cents; one pass)
+    // corpus → nearest centroid (broadcast cents; one pass). Ranking
+    // keys round to 6 so near-tie assignment is fp-robust and matches
+    // the SQL oracle twin; exact ties break on cid.
     val assignW = Window.partitionBy("corpus_id").orderBy(col("csim").desc, col("cid"))
     val assigned = c.join(broadcast(cents))
-      .withColumn("csim", Dedup.cosine(col("cv"), col("centroid")))
+      .withColumn("csim", round(Dedup.cosine(col("cv"), col("centroid")), 6))
       .withColumn("crank", row_number().over(assignW))
       .filter(col("crank") === 1)
       .select(col("corpus_id"), col("cv"), col("cid").as("list_id"))
@@ -66,7 +71,7 @@ object Similarity {
     // query → nProbe nearest centroids
     val probeW = Window.partitionBy("query_id").orderBy(col("qsim").desc, col("cid"))
     val probes = q.join(broadcast(cents))
-      .withColumn("qsim", Dedup.cosine(col("qv"), col("centroid")))
+      .withColumn("qsim", round(Dedup.cosine(col("qv"), col("centroid")), 6))
       .withColumn("prank", row_number().over(probeW))
       .filter(col("prank") <= nProbe)
       .select(col("query_id"), col("qv"), col("cid").as("list_id"))

@@ -78,6 +78,17 @@ object TextAnalysis {
     round((lenScore * 0.3 + punctScore * 0.2 + alphaScore * 0.3 + stopScore * 0.2), 6)
   }
 
+  /** Low 64 bits of md5(s), matching DuckDB's `md5_number_lower`
+    * (little-endian read of digest bytes 8..16) — the cross-engine
+    * 64-bit string hash used wherever an oracle-checkable hash is
+    * needed (SimHash token hashing, multimodal codec sniffing).
+    */
+  def md5Lower64(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.ByteBuffer.wrap(d, 8, 8).order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+  }
+
   /** Normalized text for fingerprinting: lowercase, collapse whitespace. */
   def normalizedText(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))

@@ -1,11 +1,44 @@
 package graft.queries
 
-/** DuckDB oracle twins for [[Queries]]. Column names and rounding match
-  * the Spark side exactly (driver compare sorts columns by name and
-  * hashes values). Queries without a twin (q26 simhash, q33 media stub)
-  * are sketch/stub-specific and take the driver's rows-only check.
+/** DuckDB oracle twins for [[Queries]] — ALL 35 queries have one.
+  * Column names and rounding match the Spark side exactly (driver
+  * compare sorts columns by name and hashes values). Sketch-parameter
+  * queries (q26 simhash, q27 hyperplane LSH, q35 IVF) share their hash
+  * functions with DuckDB (`md5_number_lower`, md5-ordered centroids) or
+  * inline the sketch constants into the generated SQL, so even the
+  * sketch layers are cross-engine-verified, not just the verified tail.
   */
 object OracleSql {
+
+  /** One LSH table's bucket string: k CASE-bits over inlined ±1 signs,
+    * concatenated — generated from the SAME sign matrix the Spark
+    * signature uses ([[graft.datatools.Dedup.hyperplaneSigns]]), with
+    * the dot product summed in the same left-to-right order.
+    */
+  private def hyperBucketSql(vecExpr: String, dim: Int, planes: Int, seed: Long): String =
+    graft.datatools.Dedup.hyperplaneSigns(dim, planes, seed).map { signs =>
+      val dot = signs.zipWithIndex
+        .map { case (s, d) => s"$vecExpr[${d + 1}]*(${if (s < 0) "-1.0" else "1.0"})" }
+        .mkString(" + ")
+      s"(CASE WHEN $dot > 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+
+  private def q27Sql: String = {
+    val tables = (0 until 6).map { t =>
+      val b = hyperBucketSql("v", dim = 64, planes = 4,
+        seed = graft.datatools.Dedup.tableSeed(42L, t))
+      s"SELECT id, $t AS tbl, $b AS bucket FROM v"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |banded AS (
+       |  $tables),
+       |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM banded a JOIN banded b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id),
+       |j AS (SELECT id_a, id_b,
+       |  round(list_cosine_similarity(va.v, vb.v), 6) AS cos
+       |  FROM pairs JOIN v va ON va.id = id_a JOIN v vb ON vb.id = id_b)
+       |SELECT id_a, id_b, cos FROM j WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin
+  }
 
   // shared fragments
   private val normText =
@@ -241,12 +274,57 @@ object OracleSql {
          |WHERE round(CAST(inter AS DOUBLE) / (sa + sb - inter), 6) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
 
-    "q27_embed_neardup" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
-        |ORDER BY id_a, id_b""".stripMargin,
+    "q26_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id AS id, unnest(string_split($normText, ' ')) AS t FROM documents),
+         |th AS (SELECT id, md5_number_lower(t) AS h FROM toks WHERE t <> ''),
+         |bits AS (SELECT id, g.bit,
+         |  sum(CASE WHEN ((h >> g.bit) & 1) = 1 THEN 1 ELSE -1 END) AS acc
+         |  FROM th CROSS JOIN generate_series(0, 63) AS g(bit) GROUP BY id, g.bit),
+         |sig AS (SELECT id,
+         |  sum(CASE WHEN acc > 0 THEN (1::UBIGINT << bit) ELSE 0::UBIGINT END)::UBIGINT AS s
+         |  FROM bits GROUP BY id),
+         |banded AS (SELECT id, s, g.band, (s >> (g.band * 16)) & 65535 AS bucket
+         |  FROM sig CROSS JOIN generate_series(0, 3) AS g(band)),
+         |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
+         |SELECT id_a, id_b, bit_count(xor(sa, sb))::INT AS hamming
+         |FROM pairs WHERE bit_count(xor(sa, sb)) <= 6
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q27_embed_neardup" -> q27Sql,
+
+    "q33_media_meta" ->
+      """WITH refs AS (SELECT DISTINCT 'media://' || (doc_id % 50)::VARCHAR AS media_ref
+        |  FROM documents),
+        |c AS (SELECT CASE (md5_number_lower(media_ref) & 3)
+        |    WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'wav' ELSE 'mp4'
+        |  END AS codec FROM refs)
+        |SELECT codec, count(*) AS n, (count(*) * 256)::BIGINT AS total_bytes
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q35_ann_ivf" ->
+      """WITH cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS centroid
+        |    FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+        |c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+        |    WHERE vec_id < 10),
+        |assign AS (SELECT corpus_id, cv, cid AS list_id FROM (
+        |  SELECT corpus_id, cv, cid, row_number() OVER (PARTITION BY corpus_id
+        |    ORDER BY round(list_cosine_similarity(cv, centroid), 6) DESC, cid) AS crank
+        |  FROM c CROSS JOIN cents) WHERE crank = 1),
+        |probes AS (SELECT query_id, qv, cid AS list_id FROM (
+        |  SELECT query_id, qv, cid, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY round(list_cosine_similarity(qv, centroid), 6) DESC, cid) AS prank
+        |  FROM q CROSS JOIN cents) WHERE prank <= 8),
+        |scored AS (SELECT query_id, corpus_id,
+        |    round(list_cosine_similarity(cv, qv), 6) AS cos
+        |  FROM assign JOIN probes USING (list_id) WHERE corpus_id <> query_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, corpus_id) AS rank FROM scored)
+        |SELECT query_id, corpus_id, rank::INT AS rank, cos FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
 
     "q28_ann_brute" ->
       """WITH s AS (

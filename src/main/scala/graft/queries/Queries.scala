@@ -332,24 +332,23 @@ object Queries {
     Dedup.minhashLshPairs(t(spark, dir, "documents"), k = 2, threshold = 0.8,
       bands = 16, rowsPerBand = 4).orderBy("id_a", "id_b")
 
-  // q26 — SimHash near-dup pairs (no SQL oracle: sketch-specific).
+  // q26 — SimHash near-dup pairs. Token hash is md5Lower64
+  // (= DuckDB md5_number_lower), so signature, banding and hamming all
+  // have an exact SQL twin.
   def q26Simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(t(spark, dir, "documents"), maxDist = 6)
       .orderBy("id_a", "id_b")
 
-  // q27 — embedding cosine near-dup, exact brute-force baseline (the
-  // LSH-bucketed scale path is Dedup.embeddingNearDupPairs, unit-tested
-  // on planted vectors; this corpus' pair tail tops out at cos 0.51).
-  def q27EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val emb = t(spark, dir, "embeddings")
-    val a = emb.select(col("vec_id").as("id_a"), col("embedding").cast("array<double>").as("v_a"))
-    val b = emb.select(col("vec_id").as("id_b"), col("embedding").cast("array<double>").as("v_b"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", round(Dedup.cosine(col("v_a"), col("v_b")), 6))
-      .filter(col("cos") >= 0.4)
-      .select("id_a", "id_b", "cos")
+  // q27 — embedding cosine near-dup via the SCALE path: multi-table
+  // hyperplane LSH (6 tables × 4 planes), candidates only inside
+  // (table, bucket) groups, exact cosine verification — no cartesian
+  // anywhere. The oracle twin inlines the same ±1 hyperplanes, so both
+  // engines bucket identically (brute force remains the recall baseline
+  // in DatatoolsSpec).
+  def q27EmbedNearDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupPairs(t(spark, dir, "embeddings"), dim = 64,
+      threshold = 0.4, numPlanes = 4, numTables = 6)
       .orderBy("id_a", "id_b")
-  }
 
   // q28 — brute-force ANN top-5 (correctness baseline).
   def q28AnnBrute(spark: SparkSession, dir: String): DataFrame = {
@@ -395,7 +394,7 @@ object Queries {
       .orderBy("source")
 
   // q33 — multimodal metadata plumbing (decode stub over binary
-  // payloads; no SQL oracle: stub-specific).
+  // payloads); codec sniff keys on md5Lower64 → exact SQL twin.
   def q33MediaMeta(spark: SparkSession, dir: String): DataFrame = {
     val refs = t(spark, dir, "documents")
       .withColumn("media_ref", concat(lit("media://"), (col("doc_id") % 50).cast("string")))
@@ -424,9 +423,10 @@ object Queries {
       .orderBy("doc_id")
   }
 
-  // q35 — IVF ANN (the scale path of q28; rows-only check: centroid
-  // assignment is engine-specific, recall is spec'd vs brute force in
-  // DatatoolsSpec).
+  // q35 — IVF ANN (the scale path of q28). Centroid pick orders by
+  // md5(vec_id-as-string) and ranking keys round to 6, so the whole
+  // index — assignment, probing, top-k — has an exact SQL twin; recall
+  // vs brute force is additionally spec'd in DatatoolsSpec.
   def q35AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5, nList = 16, nProbe = 8)
