@@ -88,15 +88,14 @@ object Bench {
       "q26_simhash", "q28_ann_brute", "q29_lang_id", "q31_token_count")
     val qmap = SparkEntry.queries
     val spark = newSession(cpus)
-    val results = headline.flatMap { name =>
-      qmap.get(name).map { fn =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case _: Throwable =>
-          try fn(spark, sfDir).count() catch { case _: Throwable => () }
-        }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
+    // a failing headline query FAILS the bench (no silent near-zero
+    // timings for broken queries)
+    val results = headline.map { name =>
+      val fn = qmap.getOrElse(name,
+        sys.error(s"bench headline query $name missing from SparkEntry.queries"))
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      name -> (System.nanoTime() - t0) / 1e9
     }
     spark.stop()
 
@@ -118,6 +117,6 @@ object Bench {
       .mkString("{", ",", "}")
     val totalQuerySec = results.map(_._2).sum
     println(
-      f"""{"metric":"frontier throughput (URLs fetched+converted/sec) at local[32]","value":$thr32%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","crawl":{"urls_per_run":$urls,"n_pair":"local[2] -> local[8]","sec_n_best":$s2%.2f,"urls_per_sec_n":$thr2%.1f,"sec_4n_best":$s8%.2f,"urls_per_sec_4n":$thr8%.1f,"scaling_efficiency_n_to_4n":$eff%.3f,"urls_local32":$f32,"sec_local32":$s32%.2f,"urls_per_sec_local32":$thr32%.1f},"total_query_sec":$totalQuerySec%.2f}""")
+      f"""{"metric":"frontier throughput (URLs fetched+converted/sec) at local[32]","value":$thr32%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","crawl":{"urls_per_run":$urls,"n_pair":"local[2] -> local[8]","sec_n_best":$s2%.2f,"sec_n_runs":[$s2a%.2f,$s2b%.2f],"urls_per_sec_n":$thr2%.1f,"sec_4n_best":$s8%.2f,"sec_4n_runs":[$s8a%.2f,$s8b%.2f],"urls_per_sec_4n":$thr8%.1f,"scaling_efficiency_n_to_4n":$eff%.3f,"urls_local32":$f32,"sec_local32":$s32%.2f,"urls_per_sec_local32":$thr32%.1f},"total_query_sec":$totalQuerySec%.2f}""")
   }
 }

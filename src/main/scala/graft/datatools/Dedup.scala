@@ -66,12 +66,17 @@ object Dedup {
     * ~(1-t)² while the result stays EXACT (every candidate pair is
     * verified on the full sets). This is what keeps the exact baseline
     * usable when word-salad corpora make every common shingle a hot
-    * key; the dfCap guard additionally drops degenerate
-    * everywhere-shingles (they cannot push a pair over t on their own
-    * once prefixes rule).
+    * key.
+    *
+    * `dfCap` is an APPROXIMATION knob, off by default: capping drops
+    * shingles that appear in more than dfCap docs from the index, which
+    * can miss a qualifying pair whose shared prefix shingles are all
+    * hot (degenerate corpora made of everywhere-shingles). Leave it at
+    * the default for exact results; set it only as an adversarial-skew
+    * escape hatch, accepting the documented recall loss.
     */
   def ngramJaccardPairs(docs: DataFrame, k: Int, threshold: Double,
-                        dfCap: Int = 1000000,
+                        dfCap: Int = Int.MaxValue,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // small-file sources arrive as one partition; shingle construction
     // is the heavy narrow stage, so spread it first
@@ -95,9 +100,24 @@ object Dedup {
     val candidates = ranked.as("a").join(ranked.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-    // exact verification on the FULL sets
-    val sets = withSh.select(col("id"), col("sh"))
-    candidates
+    verifyJaccard(candidates, withSh.select(col("id"), col("sh")), threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs, with a SIZE
+    * prefilter so the heavy shingle arrays only ship for pairs that can
+    * possibly qualify: J(A,B) ≤ min/max, so `min ≥ t·max` is necessary.
+    * The size join moves two ints per pair; the array join that follows
+    * only sees the survivors.
+    */
+  private def verifyJaccard(candidates: DataFrame, sets: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sets.select(col("id"), size(col("sh")).as("sz"))
+    val sized = candidates
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .filter(least(col("sz_a"), col("sz_b")).cast("double") >=
+        lit(threshold) * greatest(col("sz_a"), col("sz_b")))
+      .select("id_a", "id_b")
+    sized
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
@@ -172,17 +192,9 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-    // exact verification (sketches propose, exactness disposes)
-    val sets = withSig.select(col("id"), col("sh"))
-    val verified = candidates
-      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard", round(col("inter").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
-    verified
+    // exact verification (sketches propose, exactness disposes), sizes
+    // prefiltered so shingle arrays only ship for plausible pairs
+    verifyJaccard(candidates, withSig.select(col("id"), col("sh")), threshold)
   }
 
   // -----------------------------------------------------------------

@@ -78,6 +78,118 @@ object TextAnalysis {
     round((lenScore * 0.3 + punctScore * 0.2 + alphaScore * 0.3 + stopScore * 0.2), 6)
   }
 
+  // -------------------------------------------------------------------
+  // FUSED single-pass twins (hot path). The Column versions above are
+  // 15+ full-text regexp_replace scans per doc — each one a regex-engine
+  // pass plus a string rebuild, the dominant text-stage cost at 100 TB.
+  // The fused UDFs below compute the same integers/doubles in one or two
+  // plain scans; TextFusedParitySpec pins bit-equality against the
+  // Column stack (which in turn is pinned to the DuckDB oracle), so the
+  // oracle contract is untouched.
+  // -------------------------------------------------------------------
+
+  /** Non-overlapping occurrence count — identical to the
+    * `(len(s) - len(replace(s, n, ''))) / len(n)` arithmetic (replace
+    * removes matches left-to-right, non-overlapping).
+    */
+  def countNonOverlap(s: String, needle: String): Int = {
+    var c = 0
+    var i = s.indexOf(needle)
+    while (i >= 0) { c += 1; i = s.indexOf(needle, i + needle.length) }
+    c
+  }
+
+  /** Scala twin of Spark's `trim` (strips U+0020 ONLY — not Java trim's
+    * all-controls) — needed for token-count parity.
+    */
+  private def trimSpaces(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && s.charAt(a) == ' ') a += 1
+    while (b > a && s.charAt(b - 1) == ' ') b -= 1
+    s.substring(a, b)
+  }
+
+  private def isRegexSpace(c: Char): Boolean = // Java regex \s
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Scala twin of [[tokenCount]]: `size(split(trim(text), "\\s+"))`
+    * with the empty→0 guard. Spark's split uses limit -1, which keeps
+    * BOTH the leading and the trailing empty token when the string
+    * starts/ends with a separator — the run-count arithmetic below
+    * reproduces that.
+    */
+  def tokenCountScala(text: String): Int = {
+    val t = trimSpaces(text)
+    if (t.isEmpty) 0
+    else {
+      var segments = 0
+      var inTok = false
+      var i = 0
+      while (i < t.length) {
+        val ws = isRegexSpace(t.charAt(i))
+        if (!ws && !inTok) { segments += 1; inTok = true }
+        else if (ws) inTok = false
+        i += 1
+      }
+      segments + (if (isRegexSpace(t.charAt(0))) 1 else 0) +
+        (if (isRegexSpace(t.charAt(t.length - 1))) 1 else 0)
+    }
+  }
+
+  /** Half-up 6-decimal round — Spark's `round(col, 6)` on doubles. */
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Fused language ID: one lowercase pass + 15 indexOf scans (no regex,
+    * no string rebuilds). Same argmax + alphabetical tiebreak as
+    * [[langId]].
+    */
+  def langIdScala(text: String): String = {
+    val padded = " " + text.toLowerCase(java.util.Locale.ROOT) + " "
+    val scores = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      lang -> markers.map(countNonOverlap(padded, _)).sum
+    }
+    val best = scores.map(_._2).max
+    scores.collectFirst { case (l, s) if s > 0 && s == best => l }.getOrElse("und")
+  }
+
+  def langIdFused(text: Column): Column = {
+    val f = udf(langIdScala _)
+    f(text)
+  }
+
+  /** Fused quality score: single char scan for punct/alpha counts +
+    * token runs, three stopword indexOf scans — same double arithmetic,
+    * op for op, as [[qualityScore]].
+    */
+  def qualityScoreScala(text: String): Double = {
+    var punct = 0
+    var alpha = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c == '.' || c == '!' || c == '?' || c == ',' || c == ';' || c == ':') punct += 1
+      else if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) alpha += 1
+      i += 1
+    }
+    val len = text.length.toDouble
+    val toks = tokenCountScala(text).toDouble
+    val padded = " " + text.toLowerCase(java.util.Locale.ROOT) + " "
+    val stop = (countNonOverlap(padded, " the ") + countNonOverlap(padded, " a ") +
+      countNonOverlap(padded, " and ")).toDouble
+    val lenScore = math.min(len / 500.0, 1.0)
+    val punctScore = math.min(punct / math.max(toks, 1.0) * 5.0, 1.0)
+    val alphaScore = alpha / math.max(len, 1.0)
+    val stopScore = math.min(stop / math.max(toks, 1.0) * 10.0, 1.0)
+    round6(lenScore * 0.3 + punctScore * 0.2 + alphaScore * 0.3 + stopScore * 0.2)
+  }
+
+  def qualityScoreFused(text: Column): Column = {
+    val f = udf(qualityScoreScala _)
+    f(text)
+  }
+
   /** Low 64 bits of md5(s), matching DuckDB's `md5_number_lower`
     * (little-endian read of digest bytes 8..16) — the cross-engine
     * 64-bit string hash used wherever an oracle-checkable hash is

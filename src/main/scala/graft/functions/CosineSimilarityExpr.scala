@@ -17,11 +17,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Accumulation is left-to-right in double, matching both the UDF it
   * replaces and DuckDB's `list_cosine_similarity` (oracle parity).
   * Mismatched lengths use the common prefix; null input → null.
+  * Defined edge semantics:
+  *   - a NULL ELEMENT yields null (DuckDB raises instead, so no oracle
+  *     query can observe a divergence; null is the Spark-idiomatic
+  *     choice over failing the task);
+  *   - a NaN result (zero-norm vector) yields -1.0 — the observed
+  *     DuckDB list_cosine_similarity behavior, pinned by CosineExprSpec.
   */
 case class CosineSimilarityExpr(left: Expression, right: Expression)
     extends BinaryExpression with Serializable {
 
   override def dataType: DataType = DoubleType
+
+  // element nulls produce a null result even for non-null inputs
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -39,11 +48,13 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getDouble(i); val yi = y.getDouble(i)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
     }
-    dot / (math.sqrt(nx) * math.sqrt(ny))
+    val r = dot / (math.sqrt(nx) * math.sqrt(ny))
+    if (java.lang.Double.isNaN(r)) -1.0 else r
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -59,11 +70,15 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double $xi = $x.getDouble($i);
          |  double $yi = $y.getDouble($i);
          |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |  if (java.lang.Double.isNaN(${ev.value})) ${ev.value} = -1.0;
+         |}
        """.stripMargin
     })
 

@@ -320,10 +320,11 @@ object Queries {
 
   // q24 — exact bigram Jaccard near-dup pairs (threshold 0.8; the
   // corpus' planted near-dup pairs all sit ≥ 0.96, so the margin is
-  // wide on both sides).
+  // wide on both sides). No dfCap: the entry stays EXACT — prefix
+  // filtering + the size prefilter carry the skew load.
   def q24NgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(t(spark, dir, "documents"), k = 2, threshold = 0.8,
-      dfCap = 1000).orderBy("id_a", "id_b")
+    Dedup.ngramJaccardPairs(t(spark, dir, "documents"), k = 2, threshold = 0.8)
+      .orderBy("id_a", "id_b")
 
   // q25 — MinHash LSH near-dup pairs, exact-verified (same pair set as
   // q24 when LSH recall is total — the oracle asserts exactly that;
@@ -358,18 +359,20 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
-  // q29 — language ID by stopword n-gram scores.
+  // q29 — language ID by stopword n-gram scores (fused single-pass
+  // scan; TextFusedParitySpec pins equality with the Column stack the
+  // oracle mirrors).
   def q29LangId(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
-      .withColumn("pred", TextAnalysis.langId(col("text")))
+      .withColumn("pred", TextAnalysis.langIdFused(col("text")))
       .groupBy(col("pred"), col("lang").as("actual"))
       .agg(count(lit(1)).as("n"))
       .orderBy("pred", "actual")
 
-  // q30 — quality scoring.
+  // q30 — quality scoring (fused single-pass scan, same parity pin).
   def q30Quality(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
-      .withColumn("q", TextAnalysis.qualityScore(col("text")))
+      .withColumn("q", TextAnalysis.qualityScoreFused(col("text")))
       .groupBy("source").agg(round(avg("q"), 6).as("avg_quality"),
         count(lit(1)).as("n_docs"))
       .orderBy("source")

@@ -1,0 +1,39 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc per-query profiler: `runMain graft.tools.ProfileQuery <sfDir>
+  * <query...>` times each named query (noop write, best of N via
+  * SPARK_GRAFT_PROFILE_REPS) at local[SPARK_GRAFT_CPUS]. Not part of
+  * the driver contract — a builder tool for plan iteration.
+  */
+object ProfileQuery {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.head
+    val names = args.tail.toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_PROFILE_REPS", "2").toInt
+    val fastDir = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", s"$fastDir/graft-spark-local")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val qmap = graft.SparkEntry.queries
+    names.foreach { name =>
+      val fn = qmap(name)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"PROFILE $name best=${times.min}%.2fs runs=${times.map(t => f"$t%.2f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}

@@ -42,6 +42,19 @@ class CosineExprSpec extends SparkSpec {
     assert(out(2).getDouble(0) === 1.0)
   }
 
+  test("null elements yield null; zero-norm yields -1.0 (DuckDB parity)") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(Some(1.0), None), Seq(Some(1.0), Some(2.0))),         // null element → null
+      (Seq(Some(0.0), Some(0.0)), Seq(Some(1.0), Some(2.0))),    // zero norm → -1.0
+      (Seq(Some(1e-200), Some(0.0)), Seq(Some(1e-200), Some(0.0))) // underflow → NaN → -1.0
+    ).toDF("a", "b")
+    val out = df.select(CosineSimilarityExpr.cosine(col("a"), col("b")).as("c")).collect()
+    assert(out(0).isNullAt(0))
+    assert(out(1).getDouble(0) === -1.0)
+    assert(out(2).getDouble(0) === -1.0)
+  }
+
   test("the expression participates in whole-stage codegen") {
     val df = spark.range(100)
       .withColumn("a", array(col("id").cast("double"), lit(2.0)))
