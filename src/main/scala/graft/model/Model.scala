@@ -70,7 +70,10 @@ final case class FetchResult(
     bytes: Long,
     doc: Doc,
     outlinks: Seq[String],
-    error: String // "" on success; classified per events.go:376-433 otherwise
+    error: String, // "" on success; classified per events.go:376-433 otherwise
+    cookies_applied: Int = 0, // request-context cookies matching domain/path (events.go:123-180)
+    headers_applied: Int = 0, // scoped extra headers matching the request URL
+    duration_ms: Long = 0L    // simulated fetch duration (deadline budget input)
 )
 
 /** Per-partition lineage + fetch/convert metrics (FIXTURES.md §1
@@ -107,6 +110,11 @@ final case class CrawlConfig(
     // distributed delta-bloom OR-merge
     bloomCollectThreshold: Long = 2L << 20,
     cuckooBuckets: Int = 64, // fixed sketch partitioning (↑ on big clusters)
+    // per-row fetch deadline: soft timeout + the 5 s grace the reference
+    // grants before the hard kill (`api/api.go:511`,
+    // `api/middlewares.go:398-443`); rows over soft+5000 ms route to the
+    // error channel instead of hanging an executor slot
+    softTimeoutMs: Long = 30000L,
     outlinksPerDoc: Int = 4,
     maxRounds: Int = 3,
     seed: Long = 42L

@@ -35,6 +35,51 @@ object OptionColumns {
 
   val statusCodesSchema: ArrayType = ArrayType(IntegerType)
 
+  /** emulatedMediaFeatures: the wire form is `map[string]string`
+    * (`chromium/routes.go:36-43,233-250`); the engine form is an array
+    * of {name, value} structs sorted by name (the reference appends Go
+    * map entries in iteration order — nondeterministic — so the
+    * canonical engine order is sorted).
+    */
+  val mediaFeaturesSchema: MapType = MapType(StringType, StringType)
+
+  def mediaFeaturesCol(json: Column): Column =
+    array_sort(transform(map_entries(from_json(json, mediaFeaturesSchema)),
+      e => struct(e.getField("key").as("name"), e.getField("value").as("value"))))
+
+  /** Recursive bookmark tree schema (`pdfengines/routes.go:133-170`,
+    * `pdfengine.go:200-207`: {title, page, children:[...]}) capped at
+    * `maxDepth` levels — Catalyst types are finite, so the bind rejects
+    * (nulls) anything nested deeper, which the engine treats like the
+    * reference's 400 on malformed bookmark JSON.
+    */
+  def bookmarksSchema(maxDepth: Int = 6): ArrayType = {
+    def level(d: Int): StructType = {
+      val base = Seq(
+        StructField("title", StringType),
+        StructField("page", IntegerType))
+      StructType(if (d <= 1) base else base :+ StructField("children", ArrayType(level(d - 1))))
+    }
+    ArrayType(level(maxDepth))
+  }
+
+  def bookmarksCol(json: Column, maxDepth: Int = 6): Column =
+    from_json(json, bookmarksSchema(maxDepth))
+
+  /** Parsed bookmark rows → the in-operator [[Bookmark]] tree (the
+    * bridge to SpanOps.writeBookmarks/readBookmarks).
+    */
+  def rowToBookmarks(rows: Seq[org.apache.spark.sql.Row]): Seq[Bookmark] =
+    if (rows == null) Nil
+    else rows.filter(_ != null).map { r =>
+      val title = if (r.isNullAt(0)) "" else r.getString(0)
+      val page = if (r.isNullAt(1)) 0 else r.getInt(1)
+      val children =
+        if (r.length > 2 && !r.isNullAt(2)) rowToBookmarks(r.getSeq[org.apache.spark.sql.Row](2))
+        else Nil
+      Bookmark(title, page, children)
+    }
+
   /** Parse a cookies JSON column and canonicalize sameSite in place —
     * the column twin of the sameSiteRegexp rewrite
     * (`chromium/routes.go:27-30,117-158`).
@@ -61,13 +106,17 @@ object OptionColumns {
                  cookiesJson: String = "cookies",
                  headersJson: String = "extraHttpHeaders",
                  metadataJson: String = "metadata",
-                 failOnJson: String = "failOnHttpStatusCodes"): DataFrame = {
+                 failOnJson: String = "failOnHttpStatusCodes",
+                 mediaFeaturesJson: String = "emulatedMediaFeatures",
+                 bookmarksJson: String = "bookmarks"): DataFrame = {
     def has(c: String) = df.columns.contains(c)
     var out = df
     if (has(cookiesJson)) out = out.withColumn(cookiesJson, cookiesCol(col(cookiesJson)))
     if (has(headersJson)) out = out.withColumn(headersJson, headersCol(col(headersJson)))
     if (has(metadataJson)) out = out.withColumn(metadataJson, metadataCol(col(metadataJson)))
     if (has(failOnJson)) out = out.withColumn(failOnJson, statusCodesCol(col(failOnJson)))
+    if (has(mediaFeaturesJson)) out = out.withColumn(mediaFeaturesJson, mediaFeaturesCol(col(mediaFeaturesJson)))
+    if (has(bookmarksJson)) out = out.withColumn(bookmarksJson, bookmarksCol(col(bookmarksJson)))
     out
   }
 }

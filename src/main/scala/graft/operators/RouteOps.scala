@@ -185,4 +185,23 @@ object RouteOps {
       Left("cookie requires name, value and domain")
     else Right(c.copy(sameSite = TextFunctions.normalizeSameSite(c.sameSite)))
   }
+
+  /** Cookies applicable to a request URL — the engine-side contract for
+    * what Chromium does with `SetCookies` per request
+    * (`chromium/chromium.go:382-410`, applied during `events.go`
+    * request interception): domain suffix match (leading dot ignored),
+    * path prefix match, secure-only over https.
+    */
+  def cookiesFor(url: String, cookies: Seq[Cookie]): Seq[Cookie] =
+    graft.functions.UrlFunctions.parseUrl(url) match {
+      case None => Nil
+      case Some(u) =>
+        val path = if (u.path.isEmpty) "/" else u.path
+        cookies.filter { c =>
+          val d = c.domain.stripPrefix(".")
+          (u.host == d || u.host.endsWith("." + d)) &&
+            path.startsWith(if (c.path.isEmpty) "/" else c.path) &&
+            (!c.secure || u.scheme == "https")
+        }
+    }
 }

@@ -43,7 +43,8 @@ object CrawlJob {
   final case class FetchedRow(
       url_canon: String, url_hash: Long, host: String, round: Int,
       partition_id: Int, status: Int, bytes: Long, error: String,
-      outlinks: Seq[String], doc_id: String, spans: Seq[DocSpan])
+      outlinks: Seq[String], doc_id: String, spans: Seq[DocSpan],
+      cookies_applied: Int = 0, headers_applied: Int = 0, duration_ms: Long = 0L)
 
   final case class RoundStats(
       round: Int, candidates: Long, robotsDenied: Long, newUrls: Long,
@@ -191,6 +192,7 @@ object CrawlJob {
       // 8. fetch + decompose + convert (narrow, partition-local)
       val uni = universe
       val opts = convertOptions
+      val hardTimeoutMs = cfg.softTimeoutMs + 5000L // api/api.go:511 grace
       val fetched = admitted.mapPartitions { it =>
         val pid = TaskContext.getPartitionId()
         it.map { e =>
@@ -198,16 +200,27 @@ object CrawlJob {
           if (f.error.nonEmpty)
             FetchedRow(f.url_canon, f.url_hash, f.host, round, pid, f.status,
               f.bytes, f.error, Nil, f.url_canon, Nil)
+          else if (f.duration_ms > hardTimeoutMs)
+            // per-row deadline budget: a hung fetch routes to the error
+            // channel (ErrFiltered-style classification) instead of
+            // occupying the slot — outlinks are NOT followed, matching
+            // the reference's cancelled-context semantics
+            FetchedRow(f.url_canon, f.url_hash, f.host, round, pid, f.status,
+              f.bytes, s"deadline: fetch exceeded hard timeout (${hardTimeoutMs}ms)",
+              Nil, f.url_canon, Nil,
+              f.cookies_applied, f.headers_applied, f.duration_ms)
           else {
             val conv = ConvertPipeline(f.doc, opts)
             if (conv.isError)
               FetchedRow(f.url_canon, f.url_hash, f.host, round, pid, f.status,
-                f.bytes, conv.error, f.outlinks, f.url_canon, Nil)
+                f.bytes, conv.error, f.outlinks, f.url_canon, Nil,
+                f.cookies_applied, f.headers_applied, f.duration_ms)
             else {
               val out = if (conv.docs.length == 1) conv.docs.head
                 else SpanOps.merge(conv.docs, f.url_canon)
               FetchedRow(f.url_canon, f.url_hash, f.host, round, pid, f.status,
-                f.bytes, "", f.outlinks, out.doc_id, out.spans)
+                f.bytes, "", f.outlinks, out.doc_id, out.spans,
+                f.cookies_applied, f.headers_applied, f.duration_ms)
             }
           }
         }
@@ -245,7 +258,8 @@ object CrawlJob {
       // cached fetch frame — status/bytes/error per URL, no spans
       timed("fetch-log-write")(store.write(
         fetched.toDF().select("url_canon", "url_hash", "host", "round",
-          "partition_id", "status", "bytes", "error"),
+          "partition_id", "status", "bytes", "error",
+          "cookies_applied", "headers_applied", "duration_ms"),
         round, "fetch_log"))
 
       // 10. seen ∪ admitted — DELTA write only (O(new), the Iceberg

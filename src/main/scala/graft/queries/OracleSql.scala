@@ -406,6 +406,19 @@ object OracleSql {
     "q32_fingerprint" ->
       s"""SELECT source, count(DISTINCT md5($normText)) AS n_distinct,
          |  min(md5($normText)) AS min_fp
-         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q36_cookie_header_binding" ->
+      """WITH a AS (SELECT
+        |  (1
+        |   + CASE WHEN c_custkey % 3 <> 0 THEN 1 ELSE 0 END
+        |   + CASE WHEN c_custkey % 10 = 7 THEN 1 ELSE 0 END
+        |   + CASE WHEN c_custkey % 5 <> 0 THEN 1 ELSE 0 END)::INT AS applied_cookies,
+        |  (1
+        |   + CASE WHEN c_custkey % 3 <> 0 THEN 1 ELSE 0 END
+        |   + CASE WHEN c_custkey % 10 = 7 THEN 1 ELSE 0 END)::INT AS applied_headers
+        |  FROM customer)
+        |SELECT applied_cookies, applied_headers, count(*) AS n
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

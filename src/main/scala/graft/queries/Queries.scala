@@ -437,6 +437,46 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  // q36 — nested option binding end-to-end (F10/F11 + §1.2 JSON binds):
+  // cookies parsed with from_json (OptionColumns.bindNested), then
+  // applied per request URL — domain suffix + path prefix + secure —
+  // alongside scope-regex extra headers (`chromium/events.go:123-180`).
+  // The oracle derives the applied counts from the generative key
+  // arithmetic, independently of any JSON machinery.
+  def q36CookieHeaderBinding(spark: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    val cookiesJson =
+      """[{"name":"sess","value":"v","domain":"example.com","path":"/"},
+        |{"name":"p","value":"v","domain":"example.com","path":"/p"},
+        |{"name":"h7","value":"v","domain":"host7.example.com","path":"/"},
+        |{"name":"sec","value":"v","domain":"example.com","path":"/","secure":true}]""".stripMargin
+    val df = t(spark, dir, "customer")
+      .withColumn("cookies", lit(cookiesJson))
+      .withColumn("scheme", when(k % 5 === 0, "http").otherwise("https"))
+      .withColumn("host", concat(lit("host"), (k % 10).cast("string"), lit(".example.com")))
+      .withColumn("path",
+        when(k % 3 === 0, concat(lit("/q/"), k.cast("string")))
+          .otherwise(concat(lit("/p/"), k.cast("string"))))
+      .withColumn("url", concat(col("scheme"), lit("://"), col("host"), col("path")))
+    val bound = graft.model.OptionColumns.bindNested(df)
+    val appliedCookies = size(filter(col("cookies"), c =>
+      (col("host") === c.getField("domain") ||
+        col("host").endsWith(concat(lit("."), c.getField("domain")))) &&
+        col("path").startsWith(c.getField("path")) &&
+        (coalesce(c.getField("secure"), lit(false)) === false || col("scheme") === "https")))
+    // scoped headers x-all (no scope) / x-p (scope "/p/") / x-h7
+    // (scope "host7\.") — a header applies iff its scope matches the URL
+    val appliedHeaders = lit(1) +
+      when(col("url").rlike("/p/"), 1).otherwise(0) +
+      when(col("url").rlike("""host7\."""), 1).otherwise(0)
+    bound
+      .withColumn("applied_cookies", appliedCookies)
+      .withColumn("applied_headers", appliedHeaders)
+      .groupBy("applied_cookies", "applied_headers")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("applied_cookies", "applied_headers")
+  }
+
   /** name → query, in SURVEY.md §2 coverage order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_agg_pushdown" -> (q01AggPushdown _),
@@ -473,6 +513,7 @@ object Queries {
     "q32_fingerprint" -> (q32Fingerprint _),
     "q33_media_meta" -> (q33MediaMeta _),
     "q34_subresource_filter" -> (q34SubresourceFilter _),
-    "q35_ann_ivf" -> (q35AnnIvf _)
+    "q35_ann_ivf" -> (q35AnnIvf _),
+    "q36_cookie_header_binding" -> (q36CookieHeaderBinding _)
   )
 }

@@ -25,7 +25,11 @@ object SyntheticWeb {
       pagesPerHost: Int = 10000,
       seed: Long = 42L,
       outlinksPerDoc: Int = 4,
-      spansPerDoc: Int = 6
+      spansPerDoc: Int = 6,
+      // request context applied per fetch (cookies by domain/path,
+      // extra headers by scope regex — `chromium/events.go:123-180`)
+      cookies: Seq[graft.operators.RouteOps.Cookie] = Nil,
+      scopedHeaders: Seq[graft.operators.RouteOps.ScopedHeader] = Nil
   ) extends Serializable {
 
     def hostName(h: Int): String = s"host$h.example.test"
@@ -111,15 +115,32 @@ object SyntheticWeb {
 
     def bytesOf(urlHash: Long): Long = 2048 + Math.floorMod(mix(urlHash), 63L * 1024)
 
+    /** Deterministic simulated fetch duration (ms): mostly fast, a long
+      * tail of slow pages (~1% over 10 s, ~0.2% over 60 s) — the knob
+      * the per-task deadline budget (`api/api.go:511`) is enforced
+      * against.
+      */
+    def durationMs(urlHash: Long): Long = {
+      val r = Math.floorMod(mix(urlHash ^ seed ^ 0x7177L), 1000L)
+      if (r < 2) 60000L + Math.floorMod(mix(urlHash), 60000L)
+      else if (r < 10) 10000L + Math.floorMod(mix(urlHash), 20000L)
+      else 10L + Math.floorMod(mix(urlHash), 2000L)
+    }
+
     /** Full synthetic fetch. */
     def fetch(e: FrontierEntry): FetchResult = {
       val status = statusOf(e.url_hash)
       if (status != 200)
         FetchResult(e.url_canon, e.url_hash, e.host, e.round, status, 0L,
           Doc(e.url_canon, Nil), Nil, error = s"$status: fetch failed")
-      else
+      else {
+        val ck = graft.operators.RouteOps.cookiesFor(e.url_canon, cookies).size
+        val hd = graft.operators.RouteOps.headersFor(e.url_canon, scopedHeaders).size
         FetchResult(e.url_canon, e.url_hash, e.host, e.round, 200, bytesOf(e.url_hash),
-          docFor(e.url_canon), outlinksOf(e.url_canon), error = "")
+          docFor(e.url_canon), outlinksOf(e.url_canon), error = "",
+          cookies_applied = ck, headers_applied = hd,
+          duration_ms = durationMs(e.url_hash))
+      }
     }
   }
 

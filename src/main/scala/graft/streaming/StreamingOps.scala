@@ -90,16 +90,56 @@ object StreamingOps {
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
 
-  /** Webhook-style async sink (S8): every micro-batch appends to a
-    * fetch_events parquet table keyed by url_hash — idempotent
-    * at-least-once, the reference's webhook retry posture
-    * (`webhook/client.go:155+`).
+  /** Webhook-style async sink (S8): every micro-batch posts to the
+    * delivery function with RETRY + exponential backoff; an exhausted
+    * batch emits an ERROR EVENT row instead of failing the stream — the
+    * reference's webhook client semantics (`webhook/client.go:107-189`
+    * retry loop with backoff; `webhook/middleware.go:33-200` error
+    * payload `{status, message}` posted to the error URL).
+    *
+    * Delivery is at-least-once and idempotent on (batch_id, url_hash):
+    * a retry that half-succeeded re-sends the whole batch and readers
+    * dedup on the key — the exact posture of the reference's webhook
+    * consumer contract.
     */
-  def webhookSink(df: DataFrame, outDir: String, checkpointDir: String) =
+  def webhookSink(
+      df: DataFrame,
+      outDir: String,
+      checkpointDir: String,
+      maxRetries: Int = 3,
+      backoffMs: Long = 50L,
+      deliver: (DataFrame, Long) => Unit = null) = {
+    val send: (DataFrame, Long) => Unit =
+      if (deliver != null) deliver
+      else (batch, batchId) => batch.withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(outDir)
     df.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(outDir)
+        val spark = batch.sparkSession
+        var attempt = 0
+        var done = false
+        var lastError: Throwable = null
+        batch.persist() // retries re-send identical rows
+        while (!done && attempt <= maxRetries) {
+          try { send(batch, batchId); done = true }
+          catch {
+            case t: Throwable =>
+              lastError = t
+              attempt += 1
+              if (attempt <= maxRetries) Thread.sleep(backoffMs << (attempt - 1))
+          }
+        }
+        if (!done) {
+          // error event payload (middleware.go:181-189: {status, message})
+          import spark.implicits._
+          Seq((batchId, attempt, 500,
+            Option(lastError.getMessage).getOrElse(lastError.getClass.getName)))
+            .toDF("batch_id", "attempts", "status", "message")
+            .write.mode("append").parquet(outDir + "_errors")
+        }
+        batch.unpersist()
+        ()
       }
       .option("checkpointLocation", checkpointDir)
+  }
 }

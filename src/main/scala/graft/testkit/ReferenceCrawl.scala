@@ -113,7 +113,9 @@ object ReferenceCrawl {
       val outlinks = mutable.ArrayBuffer.empty[(String, Double, Long)]
       ordered.foreach { e =>
         val f = universe.fetch(e)
-        if (f.error.isEmpty) {
+        // per-row deadline budget mirror (api/api.go:511 soft+5s): a
+        // timed-out fetch yields no doc and no outlinks, but is seen
+        if (f.error.isEmpty && f.duration_ms <= cfg.softTimeoutMs + 5000L) {
           val conv = ConvertPipeline(f.doc, convertOptions)
           if (!conv.isError) {
             val out = if (conv.docs.length == 1) conv.docs.head

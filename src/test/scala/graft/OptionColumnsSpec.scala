@@ -28,6 +28,44 @@ class OptionColumnsSpec extends SparkSpec {
     assert(r1.isNullAt(0))
   }
 
+  test("bookmarks JSON binds to the capped recursive schema and bridges to the SpanOps tree") {
+    import spark.implicits._
+    val json =
+      """[{"title":"Part I","page":1,"children":[
+        |  {"title":"Chapter 1","page":1,"children":[{"title":"Section 1.1","page":2}]},
+        |  {"title":"Chapter 2","page":3}]},
+        | {"title":"Part II","page":4,"children":[{"title":"Chapter 3","page":5}]}]""".stripMargin
+    val out = Seq(json).toDF("bookmarks")
+    val bound = OptionColumns.bindNested(out).collect()(0)
+    val tree = OptionColumns.rowToBookmarks(bound.getSeq[org.apache.spark.sql.Row](0))
+    val expected = Seq(
+      graft.model.Bookmark("Part I", 1, Seq(
+        graft.model.Bookmark("Chapter 1", 1, Seq(graft.model.Bookmark("Section 1.1", 2))),
+        graft.model.Bookmark("Chapter 2", 3))),
+      graft.model.Bookmark("Part II", 4, Seq(graft.model.Bookmark("Chapter 3", 5))))
+    assert(tree === expected)
+    // bridge: the parsed tree drives T11 write/read round-trip
+    val doc = graft.operators.SpanOps.writeBookmarks(
+      graft.model.Doc("d", (0 until 5).map(i => graft.model.DocSpan("page", s"P$i", "", i))), tree)
+    assert(graft.operators.SpanOps.readBookmarks(doc) === tree)
+    // nesting beyond the cap parses down to the cap (no crash)
+    val deep = (1 to 10).foldLeft("""[{"title":"leaf","page":1}]""") { (acc, d) =>
+      s"""[{"title":"d$d","page":$d,"children":$acc}]"""
+    }
+    val deepRow = OptionColumns.bindNested(Seq(deep).toDF("bookmarks")).collect()(0)
+    assert(!deepRow.isNullAt(0)) // truncated at maxDepth, not rejected
+  }
+
+  test("emulatedMediaFeatures map binds to name-sorted structs (routes.go:233-250)") {
+    import spark.implicits._
+    val df = Seq("""{"prefers-color-scheme":"dark","hover":"none"}""")
+      .toDF("emulatedMediaFeatures")
+    val row = OptionColumns.bindNested(df).collect()(0)
+    val feats = row.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(feats === Seq("hover" -> "none", "prefers-color-scheme" -> "dark"))
+  }
+
   test("LibreOffice options bind with the exact reference defaults") {
     val o = LibreOfficeOptions.bind(FormData(Map.empty))
     assert(o === LibreOfficeOptions()) // every default from api.go:253-305

@@ -86,6 +86,50 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("webhook sink retries with backoff and survives transient failures") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("webhook-retry").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("webhook-retry-ck").toString
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val flaky: (org.apache.spark.sql.DataFrame, Long) => Unit = (batch, batchId) => {
+      if (attempts.incrementAndGet() <= 2) sys.error("transient 503")
+      batch.withColumn("batch_id", lit(batchId)).write.mode("append").parquet(outDir)
+    }
+    val input = MemoryStream[(Long, String)]
+    val query = StreamingOps.webhookSink(input.toDF().toDF("url_hash", "status"),
+      outDir, ckDir, maxRetries = 3, backoffMs = 1L, deliver = flaky).start()
+    try {
+      input.addData((1L, "ok"), (2L, "ok"))
+      query.processAllAvailable()
+      assert(attempts.get() === 3, "two transient failures then success")
+      assert(spark.read.parquet(outDir).count() === 2)
+      assert(!new java.io.File(outDir + "_errors").exists(), "no error events on recovery")
+    } finally query.stop()
+  }
+
+  test("webhook sink emits an error event after exhausting retries (middleware.go:181-189)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("webhook-dead").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("webhook-dead-ck").toString
+    val dead: (org.apache.spark.sql.DataFrame, Long) => Unit =
+      (_, _) => sys.error("permanent 500")
+    val input = MemoryStream[(Long, String)]
+    val query = StreamingOps.webhookSink(input.toDF().toDF("url_hash", "status"),
+      outDir, ckDir, maxRetries = 2, backoffMs = 1L, deliver = dead).start()
+    try {
+      input.addData((1L, "ok"))
+      query.processAllAvailable() // stream must NOT die
+      val errors = spark.read.parquet(outDir + "_errors").collect()
+      assert(errors.length === 1)
+      val e = errors.head
+      assert(e.getAs[Int]("attempts") === 3) // initial + 2 retries
+      assert(e.getAs[Int]("status") === 500)
+      assert(e.getAs[String]("message").contains("permanent 500"))
+    } finally query.stop()
+  }
+
   test("webhook-style foreachBatch sink appends idempotent batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
