@@ -25,14 +25,21 @@ object ProfileQuery {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val qmap = graft.SparkEntry.queries
+    val explain = sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")
     names.foreach { name =>
       val fn = qmap(name)
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+      if (explain) {
+        println(s"## $name\n")
+        println(fn(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      } else {
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"PROFILE $name best=${times.min}%.2fs runs=${times.map(t => f"$t%.2f").mkString(",")}")
       }
-      println(f"PROFILE $name best=${times.min}%.2fs runs=${times.map(t => f"$t%.2f").mkString(",")}")
     }
     spark.stop()
   }
