@@ -46,5 +46,10 @@ object GraftFunctions {
     spark.udf.register("simhash64", udf(graft.datatools.Dedup.simhash64 _))
     spark.udf.register("rolling_fingerprint", udf((s: String) =>
       graft.datatools.TextAnalysis.rollingFingerprint(s)))
+    // fused text-analysis scalars + the DuckDB-compatible md5 hash
+    spark.udf.register("lang_id", udf(graft.datatools.TextAnalysis.langIdScala _))
+    spark.udf.register("quality_score", udf(graft.datatools.TextAnalysis.qualityScoreScala _))
+    spark.udf.register("token_count", udf(graft.datatools.TextAnalysis.tokenCountScala _))
+    spark.udf.register("md5_number_lower", udf(graft.datatools.TextAnalysis.md5Lower64 _))
   }
 }

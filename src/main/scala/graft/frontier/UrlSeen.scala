@@ -123,6 +123,41 @@ object UrlSeen {
     }.toDF("bucket", "filter_bytes")
   }
 
+  /** Write the cuckoo state as one raw blob FILE per bucket (plus a
+    * `_DONE` marker) — the Iceberg-puffin-style sketch layout: executors
+    * write their buckets directly to storage, and lookup tasks read the
+    * bucket they need directly from storage. Sketch bytes move
+    * executor↔storage only — never through the driver, and never
+    * through a shuffle of the candidate rows. Uses the Hadoop FS API so
+    * the same code serves file://, hdfs:// and s3a:// roots.
+    */
+  def writeCuckooFiles(cuckoo: DataFrame, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    cuckoo.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      rows.foreach { r =>
+        val bucket = r.getInt(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val p = new Path(s"$dir/bucket-$bucket.bin")
+        val fs = p.getFileSystem(conf)
+        val tmp = new Path(s"$dir/.bucket-$bucket.bin.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(bytes) finally out.close()
+        fs.rename(tmp, p)
+        ()
+      }
+    }
+    val done = new Path(s"$dir/_DONE")
+    val fs = done.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.create(done, true).close()
+  }
+
+  def cuckooFilesReady(dir: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$dir/_DONE")
+    p.getFileSystem(new org.apache.hadoop.conf.Configuration()).exists(p)
+  }
+
   /** Candidate row shape inside [[filterNew]] (what CrawlJob's in-batch
     * dedup emits).
     */
@@ -134,22 +169,26 @@ object UrlSeen {
   /** Filter `candidates` down to never-seen rows.
     *
     * `candidates` must carry exactly (url_canon, url_hash, priority,
-    * seq). `seen` is the exact table; `cuckoo` is the persisted state
-    * (may be empty — then the exact join decides everything the bloom
-    * flags).
+    * seq). `seen` is the exact table; `cuckooDir` points at blob files
+    * written by [[writeCuckooFiles]] (None or not-ready ⇒ the exact
+    * join decides everything the bloom flags).
+    *
+    * The cuckoo check is MAP-SIDE: each executor lazily reads the
+    * bucket blobs it needs straight from storage (once per executor per
+    * round, via [[CuckooFileCache]]) — no shuffle of the dup-heavy
+    * bloom residue, no broadcast, no driver bytes. A bucket-cogroup
+    * lookup was measured first and rejected: at steady state most of
+    * the residue is TRUE duplicates, and shuffling them to meet the
+    * blobs cost more than the anti-join it was saving.
     */
   def filterNew(
       spark: SparkSession,
       candidates: DataFrame,
       seen: DataFrame,
       bloom: Broadcast[BloomFilter],
-      cuckoo: DataFrame,
+      cuckooDir: Option[String],
       buckets: Int = CuckooBuckets
   ): DataFrame = {
-    import spark.implicits._
-    // tolerate a schemaless empty frame as "no cuckoo state" (cold start)
-    val cuckooState =
-      if (cuckoo.columns.contains("filter_bytes")) cuckoo else emptyCuckooState(spark)
     val mightContain = udf { (h: Long) => bloom.value.mightContain(h) }
 
     val flagged = candidates
@@ -157,28 +196,22 @@ object UrlSeen {
         col("priority").cast("double"), col("seq").cast("long"))
       .withColumn("maybe_seen", mightContain(col("url_hash")))
     val definitelyNew = flagged.filter(!col("maybe_seen")).drop("maybe_seen")
-    val maybeSeen = flagged.filter(col("maybe_seen")).drop("maybe_seen").as[Cand]
+    val maybeSeen = flagged.filter(col("maybe_seen")).drop("maybe_seen")
 
-    // cuckoo layer: co-partitioned cogroup on the bucket key. One blob
-    // deserialization per (task, bucket) via the executor-local cache;
-    // a missing or saturated filter yields sketch_new = false (exact
-    // join decides).
-    val checked = maybeSeen.groupByKey(c => cuckooBucket(c.url_hash, buckets))
-      .cogroup(cuckooState.select(col("bucket").cast("int"), col("filter_bytes"))
-        .as[(Int, Array[Byte])].groupByKey(_._1)) { (bucket, cands, filters) =>
-        filters.toSeq.headOption match {
-          case Some((_, bytes)) =>
-            val cf = CuckooFilterCache.get(bucket, bytes)
-            cands.map(c => CandFlag(c.url_canon, c.url_hash, c.priority, c.seq,
-              sketch_new = !cf.mightContain(c.url_hash)))
-          case None =>
-            cands.map(c => CandFlag(c.url_canon, c.url_hash, c.priority, c.seq,
-              sketch_new = false))
+    val cleared = cuckooDir.filter(cuckooFilesReady) match {
+      case None => maybeSeen.withColumn("sketch_new", lit(false))
+      case Some(dir) =>
+        val cuckooMaybe = udf { (h: Long) =>
+          CuckooFileCache.get(dir, cuckooBucket(h, buckets)) match {
+            case Some(cf) => cf.mightContain(h)
+            case None => true // missing blob → exact join decides
+          }
         }
-      }.toDF()
+        maybeSeen.withColumn("sketch_new", !cuckooMaybe(col("url_hash")))
+    }
 
-    val sketchNew = checked.filter(col("sketch_new")).drop("sketch_new")
-    val confirmed = checked.filter(!col("sketch_new")).drop("sketch_new")
+    val sketchNew = cleared.filter(col("sketch_new")).drop("sketch_new")
+    val confirmed = cleared.filter(!col("sketch_new")).drop("sketch_new")
       // exact confirm (left-anti) ONLY for double-maybe rows
       .join(seen.select(col("url_canon")), Seq("url_canon"), "left_anti")
 
@@ -201,5 +234,30 @@ object CuckooFilterCache {
   def get(bucket: Int, bytes: Array[Byte]): CuckooFilter =
     cache.computeIfAbsent((bucket, java.util.Arrays.hashCode(bytes)),
       _ => CuckooFilter.fromBytes(bytes))
+  def clear(): Unit = cache.clear()
+}
+
+/** Executor-local blob-file cache: one storage read per (dir, bucket)
+  * per executor JVM; dirs are immutable once `_DONE` exists (each round
+  * writes a NEW dir), so entries never need invalidation.
+  */
+object CuckooFileCache {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Option[CuckooFilter]]()
+  def get(dir: String, bucket: Int): Option[CuckooFilter] =
+    cache.computeIfAbsent((dir, bucket), { case (d, b) =>
+      val p = new org.apache.hadoop.fs.Path(s"$d/bucket-$b.bin")
+      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try {
+          val len = fs.getFileStatus(p).getLen.toInt
+          val bytes = new Array[Byte](len)
+          in.readFully(bytes)
+          Some(CuckooFilter.fromBytes(bytes))
+        } finally in.close()
+      }
+    })
   def clear(): Unit = cache.clear()
 }

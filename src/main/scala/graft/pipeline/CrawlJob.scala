@@ -115,7 +115,10 @@ object CrawlJob {
       org.apache.spark.sql.types.StructField("capacity_items", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("fpp", org.apache.spark.sql.types.DoubleType)))
 
-    // cuckoo: persisted (bucket, filter_bytes) table
+    // cuckoo: persisted (bucket, filter_bytes) parquet table (canonical,
+    // resume source) + per-bucket raw blob FILES under
+    // <snapshot>/cuckoo_bin (the lookup path: executors read their
+    // bucket straight from storage — puffin-style sketch files)
     val perBucketCapacity = math.max(1024L, bloomCapacity / cfg.cuckooBuckets)
     var cuckoo: DataFrame = store.currentSnapshot.filter(store.hasTable(_, "cuckoo"))
       .map(c => store.read(spark, c, "cuckoo"))
@@ -124,18 +127,20 @@ object CrawlJob {
         else UrlSeen.updateCuckoo(spark, UrlSeen.emptyCuckooState(spark), // legacy one-time rebuild
           seen.select("url_hash"), perBucketCapacity, cfg.cuckooBuckets).persist()
       }
+    var cuckooDir: Option[String] = store.currentSnapshot
+      .map(c => s"${store.snapshotDir(c)}/cuckoo_bin")
+      .filter(UrlSeen.cuckooFilesReady)
 
     val stats = scala.collection.mutable.ArrayBuffer.empty[RoundStats]
     var round = startRound
     var continue = true
 
     while (continue && round < startRound + cfg.maxRounds) {
-      // 1. canonicalize + hash via the codegen Column twin — stays inside
-      //    whole-stage codegen (no scalar UDF on the hot path);
-      //    ColumnParitySpec pins bit-parity with the Scala canonicalizer
-      //    the straight-line reference model uses
+      // 1. canonicalize + hash via the native codegen expression — the
+      //    single-pass parser inside WholeStageCodegen (no scalar UDF, no
+      //    regex stack; UrlExprParitySpec pins equality with both twins)
       val withCanon = pending.toDF()
-        .withColumn("url_canon", UrlFunctions.canonicalizeUrlCol(col("url")))
+        .withColumn("url_canon", graft.functions.UrlExprs.canonicalize(col("url")))
         .withColumn("url_hash", UrlFunctions.urlHashCol(col("url_canon")))
 
       // 2. robots / allow-deny / IP-class admission (broadcast join).
@@ -155,11 +160,11 @@ object CrawlJob {
       // 4. URL-seen layer (running bloom → persisted cuckoo → exact
       //    anti-join); both sketches were maintained incrementally at the
       //    end of the previous round — nothing is rebuilt here
-      val newUrls = UrlSeen.filterNew(spark, dedup, seen, bloomBc, cuckoo, cfg.cuckooBuckets)
+      val newUrls = UrlSeen.filterNew(spark, dedup, seen, bloomBc, cuckooDir, cfg.cuckooBuckets)
 
       // 5. frontier entries with salted host hash (codegen Column twin)
       val frontier = newUrls
-        .withColumn("host", UrlFunctions.hostOfCol(col("url_canon")))
+        .withColumn("host", graft.functions.UrlExprs.host(col("url_canon")))
         .withColumn("host_hash",
           UrlFunctions.hostSaltCol(col("host"), col("url_hash"), cfg.saltsPerHost))
         .withColumn("round", lit(round))
@@ -295,7 +300,11 @@ object CrawlJob {
 
       val cuckooNext = UrlSeen.updateCuckoo(spark, cuckoo,
         newSeen.select("url_hash"), perBucketCapacity, cfg.cuckooBuckets)
-      timed("cuckoo-write")(store.write(cuckooNext, round, "cuckoo"))
+      timed("cuckoo-write") {
+        store.write(cuckooNext, round, "cuckoo")
+        UrlSeen.writeCuckooFiles(store.read(spark, round, "cuckoo"),
+          s"${store.snapshotDir(round)}/cuckoo_bin")
+      }
 
       // 11. next pending = deferred ∪ outlinks of this round
       val outlinks = fetched.flatMap { f =>
@@ -325,6 +334,7 @@ object CrawlJob {
       seen = store.readSeen(spark, round)
       pending = store.read(spark, round, "pending").as[PendingUrl]
       cuckoo = store.read(spark, round, "cuckoo")
+      cuckooDir = Some(s"${store.snapshotDir(round)}/cuckoo_bin")
 
       decided.unpersist(); admissions.unpersist(); fetched.unpersist()
 

@@ -1,0 +1,52 @@
+package graft.tools
+
+import graft.model.CrawlConfig
+import graft.pipeline.CrawlJob
+import graft.sources.SyntheticWeb
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc crawl profiler: `runMain graft.tools.ProfileCrawl <threads>
+  * <seeds> <rounds> [reps]` — one JVM, fresh session+store per rep,
+  * prints per-rep seconds. Same universe/config as graft.Bench. Builder
+  * tool only.
+  */
+object ProfileCrawl {
+  def main(args: Array[String]): Unit = {
+    val threads = args(0).toInt
+    val seeds = args(1).toInt
+    val rounds = args(2).toInt
+    val reps = if (args.length > 3) args(3).toInt else 2
+    val fastDir = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    (1 to reps).foreach { rep =>
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      val spark = SparkSession.builder()
+        .master(s"local[$threads]")
+        .appName(s"graft-profile-crawl-$threads")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.local.dir", s"$fastDir/graft-spark-local")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      import spark.implicits._
+      val universe = SyntheticWeb.Universe(
+        numHosts = 20000, pagesPerHost = 5000, seed = 42L, outlinksPerDoc = 4)
+      val cfg = CrawlConfig(numPartitions = 64, saltsPerHost = 4,
+        hostBudgetPerRound = 64, maxRounds = rounds,
+        bloomExpectedItems = 1L << 21)
+      val root = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(fastDir), s"graft-profile-$threads").toString
+      val t0 = System.nanoTime()
+      val summary = CrawlJob.run(spark, universe.seedUrlsDS(spark, seeds),
+        SyntheticWeb.defaultRobots, SyntheticWeb.hostMap(universe.numHosts).toDS(),
+        universe, cfg, root)
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"PROFILE-CRAWL threads=$threads rep=$rep secs=$secs%.2f urls=${summary.rounds.map(_.fetched).sum}")
+      spark.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+}

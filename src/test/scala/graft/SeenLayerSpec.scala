@@ -72,13 +72,20 @@ class SeenLayerSpec extends SparkSpec {
       (u, graft.functions.UrlFunctions.urlHash(u), 1.0, i.toLong)
     }.toDF("url_canon", "url_hash", "priority", "seq")
     val bloom = UrlSeen.buildBloom(spark, seen, 10000, 0.03)
-    val cuckoo = UrlSeen.buildCuckoo(spark, seen, 10000)
-    val out = UrlSeen.filterNew(spark, candidates, seen, bloom, cuckoo)
+    val dir = java.nio.file.Files.createTempDirectory("cuckoo-bin").toString
+    UrlSeen.writeCuckooFiles(UrlSeen.buildCuckoo(spark, seen, 10000), dir)
+    assert(UrlSeen.cuckooFilesReady(dir))
+    val out = UrlSeen.filterNew(spark, candidates, seen, bloom, Some(dir))
       .select("url_canon").as[String].collect().toSet
     assert(out === (500 until 900).map(i => s"https://h/$i").toSet)
     // and without a cuckoo layer (cold start path)
-    val out2 = UrlSeen.filterNew(spark, candidates, seen, bloom, spark.emptyDataFrame)
+    val out2 = UrlSeen.filterNew(spark, candidates, seen, bloom, None)
       .select("url_canon").as[String].collect().toSet
     assert(out2 === out)
+    // a dir without _DONE is ignored (half-written round)
+    val out3 = UrlSeen.filterNew(spark, candidates, seen, bloom,
+      Some(java.nio.file.Files.createTempDirectory("cuckoo-empty").toString))
+      .select("url_canon").as[String].collect().toSet
+    assert(out3 === out)
   }
 }

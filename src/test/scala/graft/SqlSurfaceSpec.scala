@@ -39,6 +39,20 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(df.count() === 10)
   }
 
+  test("fused text scalars + md5_number_lower available from SQL") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT
+        |  lang_id('the cat and the dog of the house') AS lang,
+        |  token_count('  a b   c ') AS toks,
+        |  md5_number_lower('abc') AS h
+        |""".stripMargin).collect()(0)
+    assert(row.getString(0) === "en")
+    assert(row.getInt(1) === 3)
+    // 8250560606382298838 = DuckDB SELECT md5_number_lower('abc')
+    assert(row.getLong(2) === 8250560606382298838L)
+  }
+
   test("markdown_to_html matches the Scala port") {
     GraftFunctions.register(spark)
     val html = spark.sql("SELECT markdown_to_html('# T\\n\\n**b**') AS h")
