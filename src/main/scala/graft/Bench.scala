@@ -24,7 +24,7 @@ import org.apache.spark.sql.SparkSession
   * host noise swing single runs by ±30%).
   *
   * Prints ONE JSON line. Workload knobs via env:
-  * SPARK_GRAFT_BENCH_SEEDS (default 400000), SPARK_GRAFT_BENCH_ROUNDS
+  * SPARK_GRAFT_BENCH_SEEDS (default 2000000), SPARK_GRAFT_BENCH_ROUNDS
   * (default 2).
   */
 object Bench {
@@ -51,7 +51,19 @@ object Bench {
 
   /** One crawl at the given parallelism; returns (urls fetched+converted, seconds). */
   private def crawlOnce(threads: Int, seeds: Int, rounds: Int): (Long, Double) = {
-    val spark = newSession(threads)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master(s"local[$threads]")
+      .appName(s"graft-bench-crawl-$threads")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", s"$fastDir/graft-spark-local")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     val universe = SyntheticWeb.Universe(
       numHosts = 20000, pagesPerHost = 5000, seed = 42L, outlinksPerDoc = 4)
@@ -76,7 +88,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val seeds = sys.env.getOrElse("SPARK_GRAFT_BENCH_SEEDS", "400000").toInt
+    val seeds = sys.env.getOrElse("SPARK_GRAFT_BENCH_SEEDS", "2000000").toInt
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "2").toInt
 
     // ---- part 1: operator queries ----

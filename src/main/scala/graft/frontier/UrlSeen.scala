@@ -115,11 +115,17 @@ object UrlSeen {
     val prevKeyed = prev.select(col("bucket").cast("int"), col("filter_bytes"))
       .as[(Int, Array[Byte])].groupByKey(_._1)
     deltaKeyed.cogroup(prevKeyed) { (bucket, newKeys, prevRows) =>
-      val cf = prevRows.toSeq.headOption
-        .map(p => CuckooFilter.fromBytes(p._2))
-        .getOrElse(CuckooFilter.create(math.max(1024L, perBucketCapacity)))
-      newKeys.toArray.sorted.foreach(cf.insert) // insert failure self-saturates
-      Iterator.single((bucket, cf.toBytes))
+      val prevBytes = prevRows.toSeq.headOption.map(_._2)
+      val keys = newKeys.toArray
+      if (keys.isEmpty && prevBytes.isDefined)
+        Iterator.single((bucket, prevBytes.get)) // untouched bucket: bytes pass through
+      else {
+        val cf = prevBytes.map(CuckooFilter.fromBytes)
+          .getOrElse(CuckooFilter.create(math.max(1024L, perBucketCapacity)))
+        java.util.Arrays.sort(keys)
+        keys.foreach(cf.insert) // insert failure self-saturates
+        Iterator.single((bucket, cf.toBytes))
+      }
     }.toDF("bucket", "filter_bytes")
   }
 
@@ -212,8 +218,16 @@ object UrlSeen {
 
     val sketchNew = cleared.filter(col("sketch_new")).drop("sketch_new")
     val confirmed = cleared.filter(!col("sketch_new")).drop("sketch_new")
-      // exact confirm (left-anti) ONLY for double-maybe rows
-      .join(seen.select(col("url_canon")), Seq("url_canon"), "left_anti")
+      // exact confirm (left-anti) ONLY for double-maybe rows. The seen
+      // side is explicitly hinted away from a broadcast: Catalyst's size
+      // estimate would happily broadcast a small seen table — i.e.
+      // collect the WHOLE seen set through the driver every round, the
+      // exact funnel this layer exists to avoid (at 10^10 it's fatal;
+      // here it was measured as ~3-5 s/round of driver-serial time).
+      // shuffle_hash keeps both sides distributed, and the candidates'
+      // exchange from the upstream url_canon dedup is reused.
+      .join(seen.select(col("url_canon")).hint("shuffle_hash"),
+        Seq("url_canon"), "left_anti")
 
     definitelyNew.unionByName(sketchNew).unionByName(confirmed)
   }
@@ -224,27 +238,31 @@ object UrlSeen {
       math.max(1024L, expectedItems / CuckooBuckets))
 }
 
-/** Executor-local deserialization cache for cuckoo filter bytes (avoid
-  * re-parsing per row / per group).
-  */
-object CuckooFilterCache {
-  // key includes a content hash: filters change between rounds while the
-  // executor JVM (and thus this cache) lives across them.
-  private val cache = new java.util.concurrent.ConcurrentHashMap[(Int, Int), CuckooFilter]()
-  def get(bucket: Int, bytes: Array[Byte]): CuckooFilter =
-    cache.computeIfAbsent((bucket, java.util.Arrays.hashCode(bytes)),
-      _ => CuckooFilter.fromBytes(bytes))
-  def clear(): Unit = cache.clear()
-}
-
 /** Executor-local blob-file cache: one storage read per (dir, bucket)
-  * per executor JVM; dirs are immutable once `_DONE` exists (each round
-  * writes a NEW dir), so entries never need invalidation.
+  * per executor JVM. Dirs are immutable once `_DONE` exists (each round
+  * writes a NEW dir), so entries never go stale — but they DO go dead:
+  * a finished round's dir is never read again, so the cache keeps only
+  * the two most recent dirs (current + previous), evicting older ones.
+  * Without eviction a long crawl would pin ~64×filter-size bytes per
+  * round on every executor.
   */
 object CuckooFileCache {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), Option[CuckooFilter]]()
-  def get(dir: String, bucket: Int): Option[CuckooFilter] =
+  private val recentDirs = new java.util.concurrent.ConcurrentLinkedDeque[String]()
+
+  private def touch(dir: String): Unit = {
+    if (!recentDirs.contains(dir)) {
+      recentDirs.addFirst(dir)
+      while (recentDirs.size > 2) {
+        val evicted = recentDirs.pollLast()
+        if (evicted != null) cache.keySet.removeIf(_._1 == evicted)
+      }
+    }
+  }
+
+  def get(dir: String, bucket: Int): Option[CuckooFilter] = {
+    touch(dir)
     cache.computeIfAbsent((dir, bucket), { case (d, b) =>
       val p = new org.apache.hadoop.fs.Path(s"$d/bucket-$b.bin")
       val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
@@ -259,5 +277,6 @@ object CuckooFileCache {
         } finally in.close()
       }
     })
-  def clear(): Unit = cache.clear()
+  }
+  def clear(): Unit = { cache.clear(); recentDirs.clear() }
 }

@@ -107,8 +107,9 @@ final case class CrawlConfig(
     bloomFpp: Double = 0.01,
     // deltas at or below this size update the driver bloom by a direct
     // collect+insert (O(delta·8B) driver bytes); larger deltas use the
-    // distributed delta-bloom OR-merge
-    bloomCollectThreshold: Long = 2L << 20,
+    // distributed delta-bloom OR-merge (parallel inserts, fixed-size
+    // driver transfer)
+    bloomCollectThreshold: Long = 1L << 19,
     cuckooBuckets: Int = 64, // fixed sketch partitioning (↑ on big clusters)
     // per-row fetch deadline: soft timeout + the 5 s grace the reference
     // grants before the hard kill (`api/api.go:511`,

@@ -153,9 +153,13 @@ object CrawlJob {
         .persist()
       val allowed = decided.filter(col("robots_verdict") === "ok")
 
-      // 3. in-batch dedup: one row per url_canon — best priority, first seq
-      val dedup = allowed.groupBy("url_canon", "url_hash")
-        .agg(max("priority").as("priority"), min("seq").as("seq"))
+      // 3. in-batch dedup: one row per url_canon — best priority, first
+      //    seq. Keyed on url_canon ALONE (url_hash is functionally
+      //    dependent) so this exchange is REUSED by the exact anti-join
+      //    downstream — one shuffle, not two.
+      val dedup = allowed.groupBy("url_canon")
+        .agg(max("url_hash").as("url_hash"),
+          max("priority").as("priority"), min("seq").as("seq"))
 
       // 4. URL-seen layer (running bloom → persisted cuckoo → exact
       //    anti-join); both sketches were maintained incrementally at the
@@ -256,7 +260,7 @@ object CrawlJob {
       val outlinkCount = metricRows.map(r => if (r.isNullAt(9)) 0L else r.getLong(9)).sum
       timed("metrics-write")(store.write(
         spark.createDataFrame(java.util.Arrays.asList(metricRows: _*), metricsDf.schema)
-          .drop("outlinks_total"),
+          .drop("outlinks_total").coalesce(1),
         round, "metrics"))
 
       // per-URL lineage (FIXTURES.md fetch_log): slim projection of the
@@ -299,11 +303,16 @@ object CrawlJob {
       }
 
       val cuckooNext = UrlSeen.updateCuckoo(spark, cuckoo,
-        newSeen.select("url_hash"), perBucketCapacity, cfg.cuckooBuckets)
+        newSeen.select("url_hash"), perBucketCapacity, cfg.cuckooBuckets).persist()
       timed("cuckoo-write") {
-        store.write(cuckooNext, round, "cuckoo")
-        UrlSeen.writeCuckooFiles(store.read(spark, round, "cuckoo"),
+        // one computation feeds both layouts: the parquet table
+        // (canonical, resume source — 64 rows, single file) and the
+        // per-bucket blob files executors read next round
+        store.write(cuckooNext.coalesce(1), round, "cuckoo")
+        UrlSeen.writeCuckooFiles(cuckooNext,
           s"${store.snapshotDir(round)}/cuckoo_bin")
+        cuckooNext.unpersist()
+        ()
       }
 
       // 11. next pending = deferred ∪ outlinks of this round

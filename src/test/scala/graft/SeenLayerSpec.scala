@@ -64,6 +64,22 @@ class SeenLayerSpec extends SparkSpec {
     }
   }
 
+  test("filterNew's exact anti-join never broadcasts the seen side (no driver funnel)") {
+    import spark.implicits._
+    val seen = (0 until 100).map(i => SeenUrl(s"https://h/$i", graft.functions.UrlFunctions.urlHash(s"https://h/$i"), 0)).toDF()
+    val candidates = (0 until 200).map { i =>
+      val u = s"https://h/$i"
+      (u, graft.functions.UrlFunctions.urlHash(u), 1.0, i.toLong)
+    }.toDF("url_canon", "url_hash", "priority", "seq")
+    val bloom = UrlSeen.buildBloom(spark, seen, 1000, 0.03)
+    val out = UrlSeen.filterNew(spark, candidates, seen, bloom, None)
+    val plan = out.queryExecution.executedPlan.toString()
+    // a tiny seen table is exactly when Catalyst would broadcast — i.e.
+    // collect the whole seen set through the driver each round
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+
   test("filterNew: exactly the unseen urls survive, under all sketch layers") {
     import spark.implicits._
     val seen = (0 until 500).map(i => SeenUrl(s"https://h/$i", graft.functions.UrlFunctions.urlHash(s"https://h/$i"), 0)).toDF()
