@@ -107,9 +107,15 @@ object UrlSeen {
       prev: DataFrame,
       delta: DataFrame,
       perBucketCapacity: Long,
-      buckets: Int = CuckooBuckets
+      buckets: Int = CuckooBuckets,
+      blobDir: Option[String] = None
   ): DataFrame = {
     import spark.implicits._
+    // the session's hadoop conf (spark.hadoop.* — s3a creds, endpoints)
+    // must reach the executor-side FS calls; a bare `new Configuration()`
+    // would silently drop them
+    val hconf = blobDir.map(_ =>
+      new org.apache.spark.sql.SerializableHadoopConf(spark.sessionState.newHadoopConf()))
     val deltaKeyed = delta.select(col("url_hash").cast("long")).as[Long]
       .groupByKey(cuckooBucket(_, buckets))
     val prevKeyed = prev.select(col("bucket").cast("int"), col("filter_bytes"))
@@ -117,51 +123,75 @@ object UrlSeen {
     deltaKeyed.cogroup(prevKeyed) { (bucket, newKeys, prevRows) =>
       val prevBytes = prevRows.toSeq.headOption.map(_._2)
       val keys = newKeys.toArray
-      if (keys.isEmpty && prevBytes.isDefined)
-        Iterator.single((bucket, prevBytes.get)) // untouched bucket: bytes pass through
-      else {
-        val cf = prevBytes.map(CuckooFilter.fromBytes)
-          .getOrElse(CuckooFilter.create(math.max(1024L, perBucketCapacity)))
-        java.util.Arrays.sort(keys)
-        keys.foreach(cf.insert) // insert failure self-saturates
-        Iterator.single((bucket, cf.toBytes))
-      }
+      val bytes =
+        if (keys.isEmpty && prevBytes.isDefined)
+          prevBytes.get // untouched bucket: bytes pass through
+        else {
+          val cf = prevBytes.map(CuckooFilter.fromBytes)
+            .getOrElse(CuckooFilter.create(math.max(1024L, perBucketCapacity)))
+          java.util.Arrays.sort(keys)
+          keys.foreach(cf.insert) // insert failure self-saturates
+          cf.toBytes
+        }
+      // fused blob write: the SAME pass that computes the bucket's bytes
+      // writes its blob file (idempotent: deterministic bytes + tmp +
+      // rename), so the cuckoo layer costs ONE job per round instead of
+      // a persist + parquet write + foreachPartition triple
+      blobDir.foreach(dir => writeBlobFile(dir, bucket, bytes, hconf.get.value))
+      Iterator.single((bucket, bytes))
     }.toDF("bucket", "filter_bytes")
   }
 
-  /** Write the cuckoo state as one raw blob FILE per bucket (plus a
-    * `_DONE` marker) — the Iceberg-puffin-style sketch layout: executors
-    * write their buckets directly to storage, and lookup tasks read the
-    * bucket they need directly from storage. Sketch bytes move
-    * executor↔storage only — never through the driver, and never
-    * through a shuffle of the candidate rows. Uses the Hadoop FS API so
-    * the same code serves file://, hdfs:// and s3a:// roots.
+  /** One raw blob file per bucket — the Iceberg-puffin-style sketch
+    * layout: executors write their buckets directly to storage, and
+    * lookup tasks read the bucket they need directly from storage.
+    * Sketch bytes move executor↔storage only — never through the
+    * driver, and never through a shuffle of the candidate rows. Uses
+    * the Hadoop FS API so the same code serves file://, hdfs:// and
+    * s3a:// roots. Idempotent under task retry: bytes are deterministic
+    * and the visible file appears only via delete-then-rename.
+    */
+  private def writeBlobFile(dir: String, bucket: Int, bytes: Array[Byte],
+                            conf: org.apache.hadoop.conf.Configuration): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$dir/bucket-$bucket.bin")
+    val fs = p.getFileSystem(conf)
+    val tmp = new Path(s"$dir/.bucket-$bucket.bin.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"cuckoo blob rename failed: $tmp -> $p")
+  }
+
+  /** Mark a blob dir complete (write `_DONE`) — call AFTER the action
+    * that ran the fused [[updateCuckoo]] with `blobDir` succeeded.
+    */
+  def finishCuckooDir(dir: String, conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val done = new org.apache.hadoop.fs.Path(s"$dir/_DONE")
+    done.getFileSystem(conf).create(done, true).close()
+  }
+
+  /** Standalone blob-file write of an existing cuckoo state (spec /
+    * legacy path; the crawl hot path uses the fused [[updateCuckoo]]).
     */
   def writeCuckooFiles(cuckoo: DataFrame, dir: String): Unit = {
-    import org.apache.hadoop.fs.Path
+    val hconf = new org.apache.spark.sql.SerializableHadoopConf(
+      cuckoo.sparkSession.sessionState.newHadoopConf())
     cuckoo.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-      val conf = new org.apache.hadoop.conf.Configuration()
-      rows.foreach { r =>
-        val bucket = r.getInt(0)
-        val bytes = r.getAs[Array[Byte]](1)
-        val p = new Path(s"$dir/bucket-$bucket.bin")
-        val fs = p.getFileSystem(conf)
-        val tmp = new Path(s"$dir/.bucket-$bucket.bin.tmp")
-        val out = fs.create(tmp, true)
-        try out.write(bytes) finally out.close()
-        fs.rename(tmp, p)
-        ()
-      }
+      rows.foreach(r => writeBlobFile(dir, r.getInt(0), r.getAs[Array[Byte]](1), hconf.value))
     }
-    val done = new Path(s"$dir/_DONE")
-    val fs = done.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    fs.create(done, true).close()
+    finishCuckooDir(dir, hconf.value)
   }
+
+  private def driverHadoopConf: org.apache.hadoop.conf.Configuration =
+    SparkSession.getActiveSession.map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
 
   def cuckooFilesReady(dir: String): Boolean = {
     import org.apache.hadoop.fs.Path
     val p = new Path(s"$dir/_DONE")
-    p.getFileSystem(new org.apache.hadoop.conf.Configuration()).exists(p)
+    p.getFileSystem(driverHadoopConf).exists(p)
   }
 
   /** Candidate row shape inside [[filterNew]] (what CrawlJob's in-batch
@@ -207,8 +237,10 @@ object UrlSeen {
     val cleared = cuckooDir.filter(cuckooFilesReady) match {
       case None => maybeSeen.withColumn("sketch_new", lit(false))
       case Some(dir) =>
+        val hconf = new org.apache.spark.sql.SerializableHadoopConf(
+          spark.sessionState.newHadoopConf())
         val cuckooMaybe = udf { (h: Long) =>
-          CuckooFileCache.get(dir, cuckooBucket(h, buckets)) match {
+          CuckooFileCache.get(dir, cuckooBucket(h, buckets), hconf.value) match {
             case Some(cf) => cf.mightContain(h)
             case None => true // missing blob → exact join decides
           }
@@ -261,11 +293,13 @@ object CuckooFileCache {
     }
   }
 
-  def get(dir: String, bucket: Int): Option[CuckooFilter] = {
+  def get(dir: String, bucket: Int,
+          conf: org.apache.hadoop.conf.Configuration = new org.apache.hadoop.conf.Configuration())
+      : Option[CuckooFilter] = {
     touch(dir)
     cache.computeIfAbsent((dir, bucket), { case (d, b) =>
       val p = new org.apache.hadoop.fs.Path(s"$d/bucket-$b.bin")
-      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val fs = p.getFileSystem(conf)
       if (!fs.exists(p)) None
       else {
         val in = fs.open(p)

@@ -83,6 +83,13 @@ object CrawlJob {
 
     // ---- resume from the last committed snapshot (north rule) ----
     val startRound = store.currentSnapshot.map(_ + 1).getOrElse(0)
+    // sketch partitioning is a property of the CHECKPOINT, not the
+    // caller: resuming with a different cfg.cuckooBuckets would hash
+    // url_hash to the wrong bucket-N.bin, turn cuckoo "no"s into lies
+    // and re-admit seen URLs — so the committed value always wins
+    val cuckooBuckets: Int = store.currentSnapshot
+      .flatMap(c => store.manifestMeta(c).get("cuckoo_buckets"))
+      .map(_.toInt).getOrElse(cfg.cuckooBuckets)
     var seen: DataFrame =
       store.currentSnapshot
         .filter(store.hasTable(_, "url_seen_delta"))
@@ -119,13 +126,13 @@ object CrawlJob {
     // resume source) + per-bucket raw blob FILES under
     // <snapshot>/cuckoo_bin (the lookup path: executors read their
     // bucket straight from storage — puffin-style sketch files)
-    val perBucketCapacity = math.max(1024L, bloomCapacity / cfg.cuckooBuckets)
+    val perBucketCapacity = math.max(1024L, bloomCapacity / cuckooBuckets)
     var cuckoo: DataFrame = store.currentSnapshot.filter(store.hasTable(_, "cuckoo"))
       .map(c => store.read(spark, c, "cuckoo"))
       .getOrElse {
         if (seenCount == 0) UrlSeen.emptyCuckooState(spark)
         else UrlSeen.updateCuckoo(spark, UrlSeen.emptyCuckooState(spark), // legacy one-time rebuild
-          seen.select("url_hash"), perBucketCapacity, cfg.cuckooBuckets).persist()
+          seen.select("url_hash"), perBucketCapacity, cuckooBuckets).persist()
       }
     var cuckooDir: Option[String] = store.currentSnapshot
       .map(c => s"${store.snapshotDir(c)}/cuckoo_bin")
@@ -164,7 +171,7 @@ object CrawlJob {
       // 4. URL-seen layer (running bloom → persisted cuckoo → exact
       //    anti-join); both sketches were maintained incrementally at the
       //    end of the previous round — nothing is rebuilt here
-      val newUrls = UrlSeen.filterNew(spark, dedup, seen, bloomBc, cuckooDir, cfg.cuckooBuckets)
+      val newUrls = UrlSeen.filterNew(spark, dedup, seen, bloomBc, cuckooDir, cuckooBuckets)
 
       // 5. frontier entries with salted host hash (codegen Column twin)
       val frontier = newUrls
@@ -302,17 +309,16 @@ object CrawlJob {
           bloomSchema), round, "bloom")
       }
 
-      val cuckooNext = UrlSeen.updateCuckoo(spark, cuckoo,
-        newSeen.select("url_hash"), perBucketCapacity, cfg.cuckooBuckets).persist()
       timed("cuckoo-write") {
-        // one computation feeds both layouts: the parquet table
-        // (canonical, resume source — 64 rows, single file) and the
-        // per-bucket blob files executors read next round
-        store.write(cuckooNext.coalesce(1), round, "cuckoo")
-        UrlSeen.writeCuckooFiles(cuckooNext,
-          s"${store.snapshotDir(round)}/cuckoo_bin")
-        cuckooNext.unpersist()
-        ()
+        // ONE job feeds both layouts: the fused cogroup writes each
+        // bucket's blob file as it computes the bytes, and the action
+        // that drives it is the canonical parquet write (resume source).
+        // `_DONE` marks the blob dir only after that action succeeds.
+        val binDir = s"${store.snapshotDir(round)}/cuckoo_bin"
+        store.write(UrlSeen.updateCuckoo(spark, cuckoo,
+          newSeen.select("url_hash"), perBucketCapacity, cuckooBuckets,
+          blobDir = Some(binDir)), round, "cuckoo")
+        UrlSeen.finishCuckooDir(binDir, spark.sessionState.newHadoopConf())
       }
 
       // 11. next pending = deferred ∪ outlinks of this round
@@ -331,7 +337,8 @@ object CrawlJob {
       // 12. atomic commit → resumable checkpoint
       store.commit(round, round, Map(
         "admitted" -> admittedCount.toString,
-        "seen_total" -> (seenCount + admittedCount).toString))
+        "seen_total" -> (seenCount + admittedCount).toString,
+        "cuckoo_buckets" -> cuckooBuckets.toString))
 
       stats += RoundStats(round, candidateCount, deniedCount,
         admittedCount + deferredCount, admittedCount, deferredCount,

@@ -77,6 +77,19 @@ final class SnapshotStore(val root: String) {
   def readManifest(id: Int): String =
     Files.readString(Paths.get(snapshotDir(id), "MANIFEST.json"))
 
+  /** The `meta` key/value pairs of a committed snapshot's manifest —
+    * the checkpoint's self-describing parameters (sketch partitioning,
+    * counters). Resume paths validate against these instead of trusting
+    * the caller's config to still match the on-disk layout.
+    */
+  def manifestMeta(id: Int): Map[String, String] = {
+    val manifest = readManifest(id)
+    val metaBody = """"meta":\s*\{([^}]*)\}""".r
+      .findFirstMatchIn(manifest).map(_.group(1)).getOrElse("")
+    """"([^"]+)":\s*"([^"]*)"""".r.findAllMatchIn(metaBody)
+      .map(m => m.group(1) -> m.group(2)).toMap
+  }
+
   /** Union a per-round DELTA table across snapshots 0..upTo — the
     * Iceberg-append read path: each round writes only its new rows and
     * readers see the concatenation (one multi-path parquet scan, no

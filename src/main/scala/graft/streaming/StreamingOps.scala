@@ -123,7 +123,9 @@ object StreamingOps {
         while (!done && attempt <= maxRetries) {
           try { send(batch, batchId); done = true }
           catch {
-            case t: Throwable =>
+            // NonFatal only: OOM/interrupts must fail the stream
+            // visibly, not be slept on and downgraded to an error event
+            case scala.util.control.NonFatal(t) =>
               lastError = t
               attempt += 1
               if (attempt <= maxRetries) Thread.sleep(backoffMs << (attempt - 1))

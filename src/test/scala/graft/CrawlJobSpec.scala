@@ -96,6 +96,28 @@ class CrawlJobSpec extends SparkSpec {
     assert(more.rounds.nonEmpty)
   }
 
+  test("resume adopts the checkpoint's cuckoo bucket count (manifest wins over cfg)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("crawl-buckets").toString
+    CrawlJob.run(spark, seeds.toDS(), robots, hostMap.toDS(), universe,
+      cfg.copy(maxRounds = 2, cuckooBuckets = 16), root)
+    // resume with a DIFFERENT configured bucket count: the persisted
+    // value must win — otherwise seen hashes would read the wrong
+    // bucket-N.bin, the sketch "no" would lie, and seen URLs would be
+    // re-admitted (duplicate crawl + duplicate seen rows)
+    CrawlJob.run(spark, seeds.toDS(), robots, hostMap.toDS(), universe,
+      cfg.copy(maxRounds = 2, cuckooBuckets = 64), root)
+    val store = new SnapshotStore(root)
+    val last = store.currentSnapshot.get
+    assert(store.manifestMeta(last)("cuckoo_buckets") === "16")
+    val model4 = ReferenceCrawl.run(seeds, robots,
+      hostMap.map(h => h.host -> h.ips).toMap, universe, cfg.copy(maxRounds = 4))
+    val engineSeen = store.readSeen(spark, last)
+      .select("url_canon", "round_first_seen")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(engineSeen === model4.seen)
+  }
+
   test("snapshot time travel: older committed rounds stay readable after later commits") {
     summary
     val store = new SnapshotStore(storeRoot)

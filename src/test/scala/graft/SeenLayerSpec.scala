@@ -44,6 +44,20 @@ class SeenLayerSpec extends SparkSpec {
     assert(CuckooFilter.fromBytes(cf.toBytes).mightContain(123456789L))
   }
 
+  test("cuckoo blob legacy layout (pre-saturation-flag) still deserializes") {
+    val cf = CuckooFilter.create(1000)
+    val keys = (0L until 500L).map(k => k * 0x9E3779B97F4A7CL + 3)
+    keys.foreach(cf.insert)
+    val cur = cf.toBytes
+    // legacy snapshots serialized header(20B) + table — no flag byte
+    val legacy = cur.take(20) ++ cur.drop(21)
+    val back = CuckooFilter.fromBytes(legacy)
+    assert(!back.saturated)
+    keys.foreach(k => assert(back.mightContain(k), s"false negative for $k after legacy parse"))
+    // a blob matching neither layout is rejected loudly, not misparsed
+    intercept[IllegalArgumentException](CuckooFilter.fromBytes(cur ++ Array[Byte](0)))
+  }
+
   test("updateCuckoo: two incremental deltas == one full build (bytes-equal)") {
     import spark.implicits._
     val h = (0 until 2000).map(i => graft.functions.UrlFunctions.urlHash(s"https://h/$i"))
