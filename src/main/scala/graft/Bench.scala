@@ -16,12 +16,14 @@ import org.apache.spark.sql.SparkSession
   *
   * The N→4N pair is local[2]→local[8]: this VM's parallel CPU capacity
   * is linear only up to ~16 workers (a pure-CPU spin scales 8→32 by
-  * only ~2.9×, i.e. a 0.73 ceiling), so the 2→8 pair measures the
-  * ENGINE's scaling inside the hardware's linear region; local[32] is
-  * still run for the headline absolute throughput, and the measured
-  * hardware ceiling ships in BASELINE.md for context. Runs alternate
-  * N/4N twice and take the best of each (JIT + page-cache warmth and
-  * host noise swing single runs by ±30%).
+  * only ~2.9×, i.e. a 0.73 ceiling; this memory-heavy workload measures
+  * 8→32 at only ~1.2×), so the 2→8 pair measures the ENGINE's scaling
+  * inside the hardware's linear region; local[32] is still run for the
+  * headline absolute throughput, and the measured hardware ceiling
+  * ships in BASELINE.md for context. Protocol: MEDIAN of 3 interleaved
+  * (N, 4N) pairs — interleaving exposes both sizes to the same host
+  * noise windows, and the median survives one polluted run per size
+  * where best-of-2 did not (single runs swing ±30%, occasionally 3×).
   *
   * Prints ONE JSON line. Workload knobs via env:
   * SPARK_GRAFT_BENCH_SEEDS (default 2000000), SPARK_GRAFT_BENCH_ROUNDS
@@ -56,7 +58,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$threads]")
       .appName(s"graft-bench-crawl-$threads")
-      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", s"$fastDir/graft-spark-local")
@@ -68,15 +70,18 @@ object Bench {
     val universe = SyntheticWeb.Universe(
       numHosts = 20000, pagesPerHost = 5000, seed = 42L, outlinksPerDoc = 4)
     // partitions fixed (not thread-count-dependent) so the PLAN is
-    // identical at both sizes — only execution parallelism changes
-    val cfg = CrawlConfig(numPartitions = 64, saltsPerHost = 4,
+    // identical at both sizes — only execution parallelism changes.
+    // 32 (not 64): measured faster at EVERY size (fewer task dispatches
+    // through the single-threaded scheduler loop, less tiny-file commit
+    // work) and still one task per thread at the local[32] headline
+    val cfg = CrawlConfig(numPartitions = 32, saltsPerHost = 4,
       hostBudgetPerRound = 64, maxRounds = rounds,
       bloomExpectedItems = 1L << 21)
     val root = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(fastDir), s"graft-bench-$threads").toString
     val t0 = System.nanoTime()
     val summary = CrawlJob.run(spark, universe.seedUrlsDS(spark, seeds),
-      SyntheticWeb.defaultRobots, SyntheticWeb.hostMap(universe.numHosts).toDS(),
+      SyntheticWeb.defaultRobots, SyntheticWeb.hostMapDS(spark, universe.numHosts),
       universe, cfg, root)
     val secs = (System.nanoTime() - t0) / 1e9
     val fetched = summary.rounds.map(_.fetched).sum
@@ -112,14 +117,35 @@ object Bench {
     spark.stop()
 
     // ---- part 2: crawl throughput at N and 4N parallelism ----
-    crawlOnce(8, math.min(seeds / 8, 50000), rounds) // JIT warmup
-    val (f2a, s2a) = crawlOnce(2, seeds, rounds)
-    val (f8a, s8a) = crawlOnce(8, seeds, rounds)
-    val (_, s2b) = crawlOnce(2, seeds, rounds)
-    val (_, s8b) = crawlOnce(8, seeds, rounds)
+    // MEDIAN of 3 interleaved (N, 4N) pairs: single runs on this VM
+    // swing ±30% (and occasionally 3×) with host noise; interleaving
+    // keeps both sizes exposed to the same noise windows, and the
+    // median is robust to one polluted run per size where best-of-2
+    // was not (BENCH_r02 recorded a 543 s outlier at local[2]).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
+    // JIT warmup: two FULL-size runs at local[32] before anything is
+    // measured. Without deep warmth the first measured runs pay
+    // interpreted/C1 task time — and pay MORE of it at higher thread
+    // counts (more threads burning cycles while the compile queue
+    // drains), which masquerades as bad scaling: task-time at local[8]
+    // measured 353s cold → 299s by the third same-JVM run. Full-size
+    // (not a small sample) so every code path reaches C2 thresholds,
+    // including the warm-state cuckoo/bloom delta paths of round 2.
+    crawlOnce(32, seeds, rounds)
+    crawlOnce(32, seeds, rounds)
+    val pairRuns = (1 to reps).map { _ =>
+      val (f2, s2) = crawlOnce(2, seeds, rounds)
+      val (_, s8) = crawlOnce(8, seeds, rounds)
+      (f2, s2, s8)
+    }
     val (f32, s32) = crawlOnce(32, seeds, rounds)
-    val s2 = math.min(s2a, s2b); val s8 = math.min(s8a, s8b)
-    val urls = f2a
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val s2runs = pairRuns.map(_._2); val s8runs = pairRuns.map(_._3)
+    val s2 = median(s2runs); val s8 = median(s8runs)
+    val urls = pairRuns.head._1
     val thr2 = urls / s2
     val thr8 = urls / s8
     val thr32 = f32 / s32
@@ -128,7 +154,8 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val totalQuerySec = results.map(_._2).sum
+    def runsJson(xs: Seq[Double]): String = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
     println(
-      f"""{"metric":"frontier throughput (URLs fetched+converted/sec) at local[32]","value":$thr32%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","crawl":{"urls_per_run":$urls,"n_pair":"local[2] -> local[8]","sec_n_best":$s2%.2f,"sec_n_runs":[$s2a%.2f,$s2b%.2f],"urls_per_sec_n":$thr2%.1f,"sec_4n_best":$s8%.2f,"sec_4n_runs":[$s8a%.2f,$s8b%.2f],"urls_per_sec_4n":$thr8%.1f,"scaling_efficiency_n_to_4n":$eff%.3f,"urls_local32":$f32,"sec_local32":$s32%.2f,"urls_per_sec_local32":$thr32%.1f},"total_query_sec":$totalQuerySec%.2f}""")
+      f"""{"metric":"frontier throughput (URLs fetched+converted/sec) at local[32]","value":$thr32%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","crawl":{"urls_per_run":$urls,"n_pair":"local[2] -> local[8]","protocol":"median of $reps interleaved (N,4N) pairs","sec_n_median":$s2%.2f,"sec_n_runs":${runsJson(s2runs)},"urls_per_sec_n":$thr2%.1f,"sec_4n_median":$s8%.2f,"sec_4n_runs":${runsJson(s8runs)},"urls_per_sec_4n":$thr8%.1f,"scaling_efficiency_n_to_4n":$eff%.3f,"urls_local32":$f32,"sec_local32":$s32%.2f,"urls_per_sec_local32":$thr32%.1f},"total_query_sec":$totalQuerySec%.2f}""")
   }
 }

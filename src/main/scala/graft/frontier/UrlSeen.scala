@@ -1,7 +1,7 @@
 package graft.frontier
 
 import org.apache.spark.broadcast.Broadcast
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -84,6 +84,38 @@ object UrlSeen {
   def bloomFromBytes(bytes: Array[Byte]): BloomFilter =
     BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
 
+  /** Persist the running bloom as ONE raw blob file, written from the
+    * driver (tmp + rename; Hadoop FS API, so file:///hdfs/s3a all
+    * work). The bloom is DRIVER-held state — round-tripping it through
+    * a one-row LocalRelation write would serialize the full filter
+    * (megabytes at real capacities) into a task closure and pay a Spark
+    * job, just to move bytes the driver already has onto storage.
+    */
+  def writeBloomFile(bf: BloomFilter, path: String,
+                     conf: org.apache.hadoop.conf.Configuration): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val tmp = new Path(path + ".tmp")
+    val out = fs.create(tmp, true)
+    try bf.writeTo(out) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"bloom blob rename failed: $tmp -> $p")
+  }
+
+  def readBloomFile(path: String,
+                    conf: org.apache.hadoop.conf.Configuration): Option[BloomFilter] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(BloomFilter.readFrom(in)) finally in.close()
+    }
+  }
+
   // ---------------------------------------------------------------------
   // Cuckoo layer — persisted (bucket, filter_bytes) state, delta updates.
   // ---------------------------------------------------------------------
@@ -102,15 +134,29 @@ object UrlSeen {
     * when a bucket's filter is first created; an over-full bucket
     * saturates (degrades to all-maybe) instead of corrupting.
     */
+  /** Sharded-bloom spec for [[updateCuckoo]]: maintain one bloom filter
+    * PER CUCKOO BUCKET as a blob file (`bloom-<bucket>.bin`) next to
+    * the cuckoo blobs — the 10¹⁰-scale escape hatch for the broadcast
+    * bloom (a single 10¹⁰-item filter at fpp 0.01 is ~12 GB; re-
+    * broadcasting it every round dominates the fixed cost, while shards
+    * move executor↔storage only, and only for buckets the round's
+    * delta touched... except passthrough copies, which keep every
+    * round's dir self-contained).
+    */
+  final case class BloomShardSpec(prevDir: Option[String], capacityPerShard: Long, fpp: Double)
+
   def updateCuckoo(
       spark: SparkSession,
       prev: DataFrame,
       delta: DataFrame,
       perBucketCapacity: Long,
       buckets: Int = CuckooBuckets,
-      blobDir: Option[String] = None
+      blobDir: Option[String] = None,
+      bloomShards: Option[BloomShardSpec] = None
   ): DataFrame = {
     import spark.implicits._
+    require(bloomShards.isEmpty || blobDir.isDefined,
+      "sharded blooms need a blobDir to live in")
     // the session's hadoop conf (spark.hadoop.* — s3a creds, endpoints)
     // must reach the executor-side FS calls; a bare `new Configuration()`
     // would silently drop them
@@ -123,13 +169,13 @@ object UrlSeen {
     deltaKeyed.cogroup(prevKeyed) { (bucket, newKeys, prevRows) =>
       val prevBytes = prevRows.toSeq.headOption.map(_._2)
       val keys = newKeys.toArray
+      java.util.Arrays.sort(keys) // deterministic filter bytes per delta set
       val bytes =
         if (keys.isEmpty && prevBytes.isDefined)
           prevBytes.get // untouched bucket: bytes pass through
         else {
           val cf = prevBytes.map(CuckooFilter.fromBytes)
             .getOrElse(CuckooFilter.create(math.max(1024L, perBucketCapacity)))
-          java.util.Arrays.sort(keys)
           keys.foreach(cf.insert) // insert failure self-saturates
           cf.toBytes
         }
@@ -138,6 +184,20 @@ object UrlSeen {
       // rename), so the cuckoo layer costs ONE job per round instead of
       // a persist + parquet write + foreachPartition triple
       blobDir.foreach(dir => writeBlobFile(dir, bucket, bytes, hconf.get.value))
+      // sharded bloom rides the same pass: fold the delta into the
+      // bucket's previous shard (read from the previous round's dir)
+      // and write the updated shard beside the cuckoo blob
+      bloomShards.foreach { spec =>
+        val conf = hconf.get.value
+        val bf = spec.prevDir
+          .flatMap(d => readBloomFile(s"$d/bloom-$bucket.bin", conf))
+          .getOrElse(org.apache.spark.util.sketch.BloomFilter.create(
+            math.max(1024L, spec.capacityPerShard), spec.fpp))
+        keys.foreach(bf.putLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        writeBlobFileNamed(blobDir.get, s"bloom-$bucket.bin", bos.toByteArray, conf)
+      }
       Iterator.single((bucket, bytes))
     }.toDF("bucket", "filter_bytes")
   }
@@ -152,16 +212,20 @@ object UrlSeen {
     * and the visible file appears only via delete-then-rename.
     */
   private def writeBlobFile(dir: String, bucket: Int, bytes: Array[Byte],
-                            conf: org.apache.hadoop.conf.Configuration): Unit = {
+                            conf: org.apache.hadoop.conf.Configuration): Unit =
+    writeBlobFileNamed(dir, s"bucket-$bucket.bin", bytes, conf)
+
+  private def writeBlobFileNamed(dir: String, name: String, bytes: Array[Byte],
+                                 conf: org.apache.hadoop.conf.Configuration): Unit = {
     import org.apache.hadoop.fs.Path
-    val p = new Path(s"$dir/bucket-$bucket.bin")
+    val p = new Path(s"$dir/$name")
     val fs = p.getFileSystem(conf)
-    val tmp = new Path(s"$dir/.bucket-$bucket.bin.tmp")
+    val tmp = new Path(s"$dir/.$name.tmp")
     val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
     if (fs.exists(p)) fs.delete(p, false)
     if (!fs.rename(tmp, p))
-      throw new java.io.IOException(s"cuckoo blob rename failed: $tmp -> $p")
+      throw new java.io.IOException(s"sketch blob rename failed: $tmp -> $p")
   }
 
   /** Mark a blob dir complete (write `_DONE`) — call AFTER the action
@@ -202,6 +266,20 @@ object UrlSeen {
   final case class CandFlag(url_canon: String, url_hash: Long,
       priority: Double, seq: Long, sketch_new: Boolean)
 
+  /** First seen layer, two deployments: the north rule's BROADCAST
+    * bloom (default), or per-bucket bloom shard files for crawls whose
+    * running bloom no longer fits a per-round broadcast (10¹⁰ items at
+    * fpp 0.01 ≈ 12 GB — see BASELINE.md's sizing table).
+    */
+  sealed trait BloomLayer
+  final case class BroadcastBloom(bc: Broadcast[BloomFilter]) extends BloomLayer
+  /** `bloom-<bucket>.bin` shards beside the cuckoo blobs in `dir`. */
+  final case class ShardedBloom(dir: String) extends BloomLayer
+  /** No bloom information yet (sharded cold start): everything is
+    * maybe-seen and the cuckoo/exact layers decide.
+    */
+  case object NoBloom extends BloomLayer
+
   /** Filter `candidates` down to never-seen rows.
     *
     * `candidates` must carry exactly (url_canon, url_hash, priority,
@@ -209,10 +287,11 @@ object UrlSeen {
     * written by [[writeCuckooFiles]] (None or not-ready ⇒ the exact
     * join decides everything the bloom flags).
     *
-    * The cuckoo check is MAP-SIDE: each executor lazily reads the
-    * bucket blobs it needs straight from storage (once per executor per
-    * round, via [[CuckooFileCache]]) — no shuffle of the dup-heavy
-    * bloom residue, no broadcast, no driver bytes. A bucket-cogroup
+    * The cuckoo check (and the bloom check, in sharded mode) is
+    * MAP-SIDE: each executor lazily reads the bucket blobs it needs
+    * straight from storage (once per executor per round, via
+    * [[CuckooFileCache]]/[[BloomShardCache]]) — no shuffle of the
+    * dup-heavy bloom residue, no driver bytes. A bucket-cogroup
     * lookup was measured first and rejected: at steady state most of
     * the residue is TRUE duplicates, and shuffling them to meet the
     * blobs cost more than the anti-join it was saving.
@@ -221,11 +300,26 @@ object UrlSeen {
       spark: SparkSession,
       candidates: DataFrame,
       seen: DataFrame,
-      bloom: Broadcast[BloomFilter],
+      bloom: BloomLayer,
       cuckooDir: Option[String],
       buckets: Int = CuckooBuckets
   ): DataFrame = {
-    val mightContain = udf { (h: Long) => bloom.value.mightContain(h) }
+    val mightContain: Column => Column = bloom match {
+      case BroadcastBloom(bc) =>
+        val f = udf { (h: Long) => bc.value.mightContainLong(h) }
+        c => f(c)
+      case ShardedBloom(dir) =>
+        val hconf = new org.apache.spark.sql.SerializableHadoopConf(
+          spark.sessionState.newHadoopConf())
+        val f = udf { (h: Long) =>
+          BloomShardCache.get(dir, cuckooBucket(h, buckets), hconf.value) match {
+            case Some(bf) => bf.mightContainLong(h)
+            case None => true // missing shard → downstream layers decide
+          }
+        }
+        c => f(c)
+      case NoBloom => _ => lit(true)
+    }
 
     val flagged = candidates
       .select(col("url_canon"), col("url_hash").cast("long"),
@@ -263,6 +357,11 @@ object UrlSeen {
 
     definitelyNew.unionByName(sketchNew).unionByName(confirmed)
   }
+
+  /** Broadcast-bloom convenience overload (the north-rule default). */
+  def filterNew(spark: SparkSession, candidates: DataFrame, seen: DataFrame,
+                bloom: Broadcast[BloomFilter], cuckooDir: Option[String]): DataFrame =
+    filterNew(spark, candidates, seen, BroadcastBloom(bloom), cuckooDir, CuckooBuckets)
 
   /** Round-1 API shim for specs: full cuckoo state built from scratch. */
   def buildCuckoo(spark: SparkSession, seen: DataFrame, expectedItems: Long): DataFrame =
@@ -310,6 +409,35 @@ object CuckooFileCache {
           Some(CuckooFilter.fromBytes(bytes))
         } finally in.close()
       }
+    })
+  }
+  def clear(): Unit = { cache.clear(); recentDirs.clear() }
+}
+
+/** Executor-local bloom-SHARD cache — same lifecycle as
+  * [[CuckooFileCache]] (immutable once `_DONE`, current+previous dir
+  * retention) for the `bloom-<bucket>.bin` files of the sharded layer.
+  */
+object BloomShardCache {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Option[org.apache.spark.util.sketch.BloomFilter]]()
+  private val recentDirs = new java.util.concurrent.ConcurrentLinkedDeque[String]()
+
+  private def touch(dir: String): Unit = {
+    if (!recentDirs.contains(dir)) {
+      recentDirs.addFirst(dir)
+      while (recentDirs.size > 2) {
+        val evicted = recentDirs.pollLast()
+        if (evicted != null) cache.keySet.removeIf(_._1 == evicted)
+      }
+    }
+  }
+
+  def get(dir: String, bucket: Int, conf: org.apache.hadoop.conf.Configuration)
+      : Option[org.apache.spark.util.sketch.BloomFilter] = {
+    touch(dir)
+    cache.computeIfAbsent((dir, bucket), { case (d, b) =>
+      UrlSeen.readBloomFile(s"$d/bloom-$b.bin", conf)
     })
   }
   def clear(): Unit = { cache.clear(); recentDirs.clear() }

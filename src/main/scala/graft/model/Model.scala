@@ -110,6 +110,13 @@ final case class CrawlConfig(
     // distributed delta-bloom OR-merge (parallel inserts, fixed-size
     // driver transfer)
     bloomCollectThreshold: Long = 1L << 19,
+    // sharded bloom (10^10 escape hatch): per-cuckoo-bucket bloom shard
+    // files maintained executor-side beside the cuckoo blobs instead of
+    // ONE driver-held broadcast filter. Default false — the north rule
+    // mandates the broadcast bloom, which wins while the filter fits a
+    // per-round broadcast (see BASELINE.md's sizing table for the
+    // crossover)
+    bloomSharded: Boolean = false,
     cuckooBuckets: Int = 64, // fixed sketch partitioning (↑ on big clusters)
     // per-row fetch deadline: soft timeout + the 5 s grace the reference
     // grants before the hard kill (`api/api.go:511`,

@@ -104,23 +104,39 @@ object CrawlJob {
     //      nothing below ever rebuilds from the seen union in steady
     //      state — the resume paths read the persisted sketches) ----
     // bloom: driver-held running filter; capacity fixed at creation so
-    // per-round delta blooms stay merge-compatible
-    val persistedBloom = store.currentSnapshot.filter(store.hasTable(_, "bloom"))
-      .map(c => store.read(spark, c, "bloom").head())
-    val bloomCapacity: Long = persistedBloom.map(_.getLong(1))
+    // per-round delta blooms stay merge-compatible. Persisted as a raw
+    // blob file written FROM THE DRIVER (<snapshot>/bloom.bin +
+    // capacity/fpp in the manifest): the filter lives on the driver, so
+    // a one-row LocalRelation write would serialize the full filter
+    // bytes into a task closure (the "task of very large size" warning)
+    // and pay a Spark job for what is a single driver-side stream copy.
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val resumeMeta: Map[String, String] =
+      store.currentSnapshot.map(store.manifestMeta).getOrElse(Map.empty)
+    // sharded mode (10^10 escape hatch) is, like the bucket count, a
+    // property of the checkpoint
+    val bloomSharded: Boolean =
+      resumeMeta.get("bloom_sharded").map(_.toBoolean).getOrElse(cfg.bloomSharded)
+    // legacy snapshots persisted the bloom as a one-row parquet table
+    val legacyBloomRow =
+      if (bloomSharded) None
+      else store.currentSnapshot.filter(store.hasTable(_, "bloom"))
+        .map(c => store.read(spark, c, "bloom").head())
+    val bloomCapacity: Long = resumeMeta.get("bloom_capacity").map(_.toLong)
+      .orElse(legacyBloomRow.map(_.getLong(1)))
       .getOrElse(math.max(cfg.bloomExpectedItems, seenCount * 2))
-    val bloomFpp: Double = persistedBloom.map(_.getDouble(2)).getOrElse(cfg.bloomFpp)
-    val bloom: org.apache.spark.util.sketch.BloomFilter = persistedBloom match {
-      case Some(row) => UrlSeen.bloomFromBytes(row.getAs[Array[Byte]](0))
-      case None if seenCount > 0 => // legacy snapshot without a persisted bloom: one-time rebuild
-        UrlSeen.bloomOfDelta(seen, bloomCapacity, bloomFpp)
-      case None => UrlSeen.emptyBloom(bloomCapacity, bloomFpp)
-    }
-    var bloomBc = spark.sparkContext.broadcast(bloom)
-    val bloomSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("filter_bytes", org.apache.spark.sql.types.BinaryType),
-      org.apache.spark.sql.types.StructField("capacity_items", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("fpp", org.apache.spark.sql.types.DoubleType)))
+    val bloomFpp: Double = resumeMeta.get("bloom_fpp").map(_.toDouble)
+      .orElse(legacyBloomRow.map(_.getDouble(2))).getOrElse(cfg.bloomFpp)
+    val bloomOpt: Option[org.apache.spark.util.sketch.BloomFilter] =
+      if (bloomSharded) None // shards live beside the cuckoo blobs, executor-maintained
+      else Some(store.currentSnapshot
+        .flatMap(c => UrlSeen.readBloomFile(s"${store.snapshotDir(c)}/bloom.bin", hadoopConf))
+        .orElse(legacyBloomRow.map(r => UrlSeen.bloomFromBytes(r.getAs[Array[Byte]](0))))
+        .getOrElse {
+          if (seenCount > 0) UrlSeen.bloomOfDelta(seen, bloomCapacity, bloomFpp) // legacy rebuild
+          else UrlSeen.emptyBloom(bloomCapacity, bloomFpp)
+        })
+    var bloomBcOpt = bloomOpt.map(spark.sparkContext.broadcast(_))
 
     // cuckoo: persisted (bucket, filter_bytes) parquet table (canonical,
     // resume source) + per-bucket raw blob FILES under
@@ -142,6 +158,21 @@ object CrawlJob {
     var round = startRound
     var continue = true
 
+    // The round's output tables (spans aside) are independent jobs over
+    // cached frames — submit them CONCURRENTLY so their fixed costs
+    // (driver-side planning, job scheduling, parquet commit) overlap
+    // instead of summing. ~10 serial job submissions per round was the
+    // Amdahl fixed term that capped measured N→4N scaling efficiency.
+    val ioPool = java.util.concurrent.Executors.newFixedThreadPool(6,
+      (r: Runnable) => { val t = new Thread(r, "graft-round-io"); t.setDaemon(true); t })
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(ioPool)
+    def job[A](label: String)(f: => A): scala.concurrent.Future[A] =
+      scala.concurrent.Future { SparkSession.setActiveSession(spark); timed(label)(f) }
+    def await[A](f: scala.concurrent.Future[A]): A =
+      scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
+
+    try {
     while (continue && round < startRound + cfg.maxRounds) {
       // 1. canonicalize + hash via the native codegen expression — the
       //    single-pass parser inside WholeStageCodegen (no scalar UDF, no
@@ -153,11 +184,13 @@ object CrawlJob {
       // 2. robots / allow-deny / IP-class admission (broadcast join).
       // Counters ride the pipeline via observe() — no separate job.
       val robotsObs = new org.apache.spark.sql.Observation(s"robots-$round")
+      // not persisted: the chain below it is materialized by exactly one
+      // action (the frontier write; everything downstream reads the
+      // admissions cache), so caching 10^6+ rows here is a pure write
       val decided = RobotsFilter.decide(spark, withCanon, "url_canon", robots, hostMap, assumeNormalized = true)
         .observe(robotsObs,
           count(lit(1)).as("total"),
           sum(when(col("robots_verdict") =!= "ok", 1L).otherwise(0L)).as("denied"))
-        .persist()
       val allowed = decided.filter(col("robots_verdict") === "ok")
 
       // 3. in-batch dedup: one row per url_canon — best priority, first
@@ -171,7 +204,11 @@ object CrawlJob {
       // 4. URL-seen layer (running bloom → persisted cuckoo → exact
       //    anti-join); both sketches were maintained incrementally at the
       //    end of the previous round — nothing is rebuilt here
-      val newUrls = UrlSeen.filterNew(spark, dedup, seen, bloomBc, cuckooDir, cuckooBuckets)
+      val bloomLayer: UrlSeen.BloomLayer = bloomBcOpt match {
+        case Some(bc) => UrlSeen.BroadcastBloom(bc)
+        case None => cuckooDir.map(UrlSeen.ShardedBloom.apply).getOrElse(UrlSeen.NoBloom)
+      }
+      val newUrls = UrlSeen.filterNew(spark, dedup, seen, bloomLayer, cuckooDir, cuckooBuckets)
 
       // 5. frontier entries with salted host hash (codegen Column twin)
       val frontier = newUrls
@@ -189,8 +226,11 @@ object CrawlJob {
       val admAcc = spark.sparkContext.longAccumulator(s"admitted-$round")
       val defAcc = spark.sparkContext.longAccumulator(s"deferred-$round")
       val admissions = Politeness.admit(spark, frontier, cfg, Some((admAcc, defAcc))).persist()
-      val admitted = admissions.filter(_.admitted).map(_.entry)
-      val deferred = admissions.filter(!_.admitted).map(_.entry)
+      // columnar split (no per-row Admission object churn): the typed
+      // view is only re-materialized where the fetch genuinely needs
+      // FrontierEntry objects
+      val admitted = admissions.toDF().filter(col("admitted"))
+        .select("entry.*").as[FrontierEntry]
 
       // 7. sorted frontier snapshot — already partitioned by host_hash
       //    from the admission shuffle; sort within, no re-shuffle
@@ -249,6 +289,9 @@ object CrawlJob {
           .sortWithinPartitions("doc_id"),
         round, "output_spans"))
 
+      // ---- steps 9-11 are independent jobs over the cached frames;
+      //      each runs on the io pool, awaited together before commit ----
+
       // per-partition lineage metrics: ONE aggregation job; the rows are
       // tiny (≤ numPartitions), so global fetch stats derive locally and
       // the metrics table is written from the collected rows
@@ -261,18 +304,16 @@ object CrawlJob {
         max_by(col("url_canon"), col("bytes")).as("heaviest_url"),
         max("bytes").as("heaviest_bytes"),
         sum(size(col("outlinks"))).as("outlinks_total"))
-      val metricRows = timed("metrics-agg")(metricsDf.collect())
-      val fetchedCount = metricRows.map(_.getLong(2)).sum
-      val failedCount = metricRows.map(_.getLong(5)).sum
-      val outlinkCount = metricRows.map(r => if (r.isNullAt(9)) 0L else r.getLong(9)).sum
-      timed("metrics-write")(store.write(
-        spark.createDataFrame(java.util.Arrays.asList(metricRows: _*), metricsDf.schema)
-          .drop("outlinks_total").coalesce(1),
-        round, "metrics"))
+      val metricsFut = job("metrics") {
+        val rows = metricsDf.collect()
+        store.write(spark.createDataFrame(java.util.Arrays.asList(rows: _*), metricsDf.schema)
+          .drop("outlinks_total").coalesce(1), round, "metrics")
+        rows
+      }
 
       // per-URL lineage (FIXTURES.md fetch_log): slim projection of the
       // cached fetch frame — status/bytes/error per URL, no spans
-      timed("fetch-log-write")(store.write(
+      val fetchLogFut = job("fetch-log-write")(store.write(
         fetched.toDF().select("url_canon", "url_hash", "host", "round",
           "partition_id", "status", "bytes", "error",
           "cookies_applied", "headers_applied", "duration_ms"),
@@ -283,33 +324,42 @@ object CrawlJob {
       //     Both sketches fold in ONLY this round's delta:
       //       - bloom: collect+insert for small deltas (O(delta·8B)
       //         through the driver), distributed OR-merge otherwise;
-      //         then re-broadcast
+      //         then re-broadcast + a driver-side blob-file write
       //       - cuckoo: executor-side cogroup of delta hashes with the
       //         persisted blobs; bytes never visit the driver
-      val newSeen = admitted.map(e => SeenUrl(e.url_canon, e.url_hash, e.round)).toDF()
-      timed("seen-write")(store.write(newSeen, round, "url_seen_delta"))
+      val newSeen = admitted.toDF().select(col("url_canon"), col("url_hash"),
+        col("round").as("round_first_seen"))
+      val seenFut = job("seen-write")(store.write(newSeen, round, "url_seen_delta"))
 
-      timed("bloom-update") {
-        if (admittedCount > 0) {
-          if (admittedCount <= cfg.bloomCollectThreshold)
-            admitted.map(_.url_hash).toDF("url_hash").as[Long].collect().foreach(bloom.putLong)
-          else
-            bloom.mergeInPlace(UrlSeen.bloomOfDelta(newSeen, bloomCapacity, bloomFpp))
-          // unpersist (not destroy): cached lineage from this round may
-          // still reference the old broadcast; a re-fetch would resend
-          // the mutated bloom, which only ADDS keys — extra maybe-seen
-          // rows are re-confirmed by the exact layer, never dropped
-          val oldBc = bloomBc
-          bloomBc = spark.sparkContext.broadcast(bloom)
-          oldBc.unpersist(blocking = false)
+      val bloomFut: scala.concurrent.Future[Any] =
+        if (bloomSharded) scala.concurrent.Future.successful(()) // shards ride the cuckoo job
+        else job("bloom-update") {
+          val bloom = bloomOpt.get
+          if (admittedCount > 0) {
+            if (admittedCount <= cfg.bloomCollectThreshold)
+              admitted.toDF().select(col("url_hash")).as[Long].collect().foreach(bloom.putLong)
+            else
+              bloom.mergeInPlace(UrlSeen.bloomOfDelta(newSeen, bloomCapacity, bloomFpp))
+            // unpersist (not destroy): cached lineage from this round may
+            // still reference the old broadcast; a re-fetch would resend
+            // the mutated bloom, which only ADDS keys — extra maybe-seen
+            // rows are re-confirmed by the exact layer, never dropped
+            val oldBc = bloomBcOpt.get
+            bloomBcOpt = Some(spark.sparkContext.broadcast(bloom))
+            oldBc.unpersist(blocking = false)
+          }
+          UrlSeen.writeBloomFile(bloom, s"${store.snapshotDir(round)}/bloom.bin", hadoopConf)
         }
-        store.write(spark.createDataFrame(
-          java.util.Arrays.asList(org.apache.spark.sql.Row(
-            UrlSeen.bloomToBytes(bloom), bloomCapacity, bloomFpp)),
-          bloomSchema), round, "bloom")
-      }
 
-      timed("cuckoo-write") {
+      // sharded mode: the bloom shards fold the SAME delta inside the
+      // cuckoo cogroup, reading each bucket's previous shard from the
+      // previous round's dir — no driver bytes, no broadcast
+      val prevBlobDir = cuckooDir
+      val shardSpec =
+        if (bloomSharded) Some(UrlSeen.BloomShardSpec(prevBlobDir,
+          math.max(1024L, bloomCapacity / cuckooBuckets), bloomFpp))
+        else None
+      val cuckooFut = job("cuckoo-write") {
         // ONE job feeds both layouts: the fused cogroup writes each
         // bucket's blob file as it computes the bytes, and the action
         // that drives it is the canonical parquet write (resume source).
@@ -317,28 +367,44 @@ object CrawlJob {
         val binDir = s"${store.snapshotDir(round)}/cuckoo_bin"
         store.write(UrlSeen.updateCuckoo(spark, cuckoo,
           newSeen.select("url_hash"), perBucketCapacity, cuckooBuckets,
-          blobDir = Some(binDir)), round, "cuckoo")
-        UrlSeen.finishCuckooDir(binDir, spark.sessionState.newHadoopConf())
+          blobDir = Some(binDir), bloomShards = shardSpec), round, "cuckoo")
+        UrlSeen.finishCuckooDir(binDir, hadoopConf)
       }
 
-      // 11. next pending = deferred ∪ outlinks of this round
-      val outlinks = fetched.flatMap { f =>
-        f.outlinks.zipWithIndex.map { case (u, i) =>
-          PendingUrl(u,
-            priority = 1.0 / (f.round + 2),
-            seq = (UrlFunctions.murmur3(f.url_canon + "#" + i).toLong & Long.MaxValue))
-        }
-      }
-      val pendingNext = deferred
-        .map(e => PendingUrl(e.url_canon, e.priority, e.seq))
-        .union(outlinks)
-      timed("pending-write")(store.write(pendingNext.toDF(), round, "pending"))
+      // 11. next pending = deferred ∪ outlinks of this round — fully
+      // columnar (codegen posexplode + hash; no PendingUrl object per
+      // outlink). `hash()` IS UrlFunctions.murmur3 (Murmur3_x86_32,
+      // seed 42, UTF-8 bytes), so seq values are bit-identical to the
+      // reference model's — DeterminismSpec/CrawlJobSpec pin it.
+      val outlinks = fetched.toDF()
+        .select(col("url_canon"), col("round"),
+          posexplode(col("outlinks")).as(Seq("i", "url")))
+        .select(col("url"),
+          (lit(1.0) / (col("round") + lit(2))).as("priority"),
+          hash(concat(col("url_canon"), lit("#"), col("i").cast("string")))
+            .cast("long").bitwiseAND(lit(Long.MaxValue)).as("seq"))
+      val pendingNext = admissions.toDF().filter(!col("admitted"))
+        .select(col("entry.url_canon").as("url"), col("entry.priority").as("priority"),
+          col("entry.seq").as("seq"))
+        .unionByName(outlinks)
+      val pendingFut = job("pending-write")(store.write(pendingNext, round, "pending"))
+
+      // barrier: everything staged under v<round> must exist before the
+      // atomic commit makes the snapshot visible
+      val metricRows = await(metricsFut)
+      val fetchedCount = metricRows.map(_.getLong(2)).sum
+      val failedCount = metricRows.map(_.getLong(5)).sum
+      val outlinkCount = metricRows.map(r => if (r.isNullAt(9)) 0L else r.getLong(9)).sum
+      Seq(fetchLogFut, seenFut, bloomFut, cuckooFut, pendingFut).foreach(await)
 
       // 12. atomic commit → resumable checkpoint
       store.commit(round, round, Map(
         "admitted" -> admittedCount.toString,
         "seen_total" -> (seenCount + admittedCount).toString,
-        "cuckoo_buckets" -> cuckooBuckets.toString))
+        "cuckoo_buckets" -> cuckooBuckets.toString,
+        "bloom_capacity" -> bloomCapacity.toString,
+        "bloom_fpp" -> bloomFpp.toString,
+        "bloom_sharded" -> bloomSharded.toString))
 
       stats += RoundStats(round, candidateCount, deniedCount,
         admittedCount + deferredCount, admittedCount, deferredCount,
@@ -352,11 +418,12 @@ object CrawlJob {
       cuckoo = store.read(spark, round, "cuckoo")
       cuckooDir = Some(s"${store.snapshotDir(round)}/cuckoo_bin")
 
-      decided.unpersist(); admissions.unpersist(); fetched.unpersist()
+      admissions.unpersist(); fetched.unpersist()
 
       continue = admittedCount > 0
       round += 1
     }
+    } finally ioPool.shutdown()
 
     CrawlSummary(stats.toSeq, seenCount, (System.nanoTime() - t0) / 1000000L)
   }

@@ -48,8 +48,16 @@ object Health {
           case Some(id) =>
             val manifest = scala.util.Try(store.readManifest(id))
             val seen = scala.util.Try(store.readSeen(spark, id).limit(1).count())
+            // bloom lives as a driver-written blob file (bloom.bin), as
+            // per-bucket shard files in sharded mode, or as the legacy
+            // one-row parquet table — any of the three counts
+            val bloomOk =
+              java.nio.file.Files.exists(
+                java.nio.file.Paths.get(store.snapshotDir(id), "bloom.bin")) ||
+              store.manifestMeta(id).get("bloom_sharded").contains("true") ||
+              store.hasTable(id, "bloom")
             val sketches =
-              if (store.hasTable(id, "cuckoo") && store.hasTable(id, "bloom")) "up"
+              if (store.hasTable(id, "cuckoo") && bloomOk) "up"
               else "degraded" // exact layer still decides; sketches rebuild on resume
             Seq(
               Check("snapshot-store",

@@ -157,11 +157,24 @@ object SyntheticWeb {
   /** Synthetic DNS: every 131st host resolves to a private address (the
     * IP-class deny path), everything else to a deterministic public IP.
     */
-  def hostMap(numHosts: Int): Seq[HostIps] =
-    (0 until numHosts).map { h =>
-      val ip =
-        if (h % 131 == 130) s"10.0.${h % 256}.1"
-        else s"93.${(h / 256) % 256}.${h % 256}.10"
-      HostIps(s"host$h.example.test", Seq(ip))
-    }
+  def hostIps(h: Int): HostIps = {
+    val ip =
+      if (h % 131 == 130) s"10.0.${h % 256}.1"
+      else s"93.${(h / 256) % 256}.${h % 256}.10"
+    HostIps(s"host$h.example.test", Seq(ip))
+  }
+
+  def hostMap(numHosts: Int): Seq[HostIps] = (0 until numHosts).map(hostIps)
+
+  /** Distributed twin of [[hostMap]] — same rows, generated on the
+    * executors. A big host map passed as a local Seq becomes a
+    * LocalRelation whose rows are serialized INTO every task closure of
+    * the stage that scans it (the "task of very large size" warning);
+    * generating from `spark.range` keeps task binaries constant-size.
+    */
+  def hostMapDS(spark: org.apache.spark.sql.SparkSession, numHosts: Int,
+                partitions: Int = 32): org.apache.spark.sql.Dataset[HostIps] = {
+    import spark.implicits._
+    spark.range(0L, numHosts.toLong, 1L, partitions).map(h => hostIps(h.toInt))
+  }
 }

@@ -23,8 +23,9 @@ object ProfileCrawl {
       val spark = SparkSession.builder()
         .master(s"local[$threads]")
         .appName(s"graft-profile-crawl-$threads")
-        .config("spark.sql.shuffle.partitions", "64")
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("GRAFT_PARTS", "64"))
+        .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_AQE", "true"))
         .config("spark.ui.enabled", "false")
         .config("spark.local.dir", s"$fastDir/graft-spark-local")
         .config("spark.sql.session.timeZone", "UTC")
@@ -34,17 +35,46 @@ object ProfileCrawl {
       import spark.implicits._
       val universe = SyntheticWeb.Universe(
         numHosts = 20000, pagesPerHost = 5000, seed = 42L, outlinksPerDoc = 4)
-      val cfg = CrawlConfig(numPartitions = 64, saltsPerHost = 4,
+      val cfg = CrawlConfig(
+        numPartitions = sys.env.getOrElse("GRAFT_PARTS", "64").toInt,
+        saltsPerHost = 4,
         hostBudgetPerRound = 64, maxRounds = rounds,
         bloomExpectedItems = 1L << 21)
       val root = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(fastDir), s"graft-profile-$threads").toString
+      val taskTime = new java.util.concurrent.atomic.AtomicLong
+      val gcTime = new java.util.concurrent.atomic.AtomicLong
+      val taskCount = new java.util.concurrent.atomic.AtomicLong
+      val stageNames = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+      val stageTime = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.AtomicLong]()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageSubmitted(e: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
+          stageNames.put(e.stageInfo.stageId, e.stageInfo.name.take(60)); ()
+        }
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          if (e.taskMetrics != null) {
+            taskTime.addAndGet(e.taskMetrics.executorRunTime)
+            gcTime.addAndGet(e.taskMetrics.jvmGCTime)
+            stageTime.computeIfAbsent(e.stageId, _ => new java.util.concurrent.atomic.AtomicLong)
+              .addAndGet(e.taskMetrics.executorRunTime)
+          }
+          taskCount.incrementAndGet()
+          ()
+        }
+      })
       val t0 = System.nanoTime()
       val summary = CrawlJob.run(spark, universe.seedUrlsDS(spark, seeds),
-        SyntheticWeb.defaultRobots, SyntheticWeb.hostMap(universe.numHosts).toDS(),
+        SyntheticWeb.defaultRobots, SyntheticWeb.hostMapDS(spark, universe.numHosts),
         universe, cfg, root)
       val secs = (System.nanoTime() - t0) / 1e9
-      println(f"PROFILE-CRAWL threads=$threads rep=$rep secs=$secs%.2f urls=${summary.rounds.map(_.fetched).sum}")
+      val util = taskTime.get() / 1000.0 / (secs * threads)
+      println(f"PROFILE-CRAWL threads=$threads rep=$rep secs=$secs%.2f urls=${summary.rounds.map(_.fetched).sum} task_sec=${taskTime.get() / 1000.0}%.1f gc_sec=${gcTime.get() / 1000.0}%.1f tasks=${taskCount.get()} util=$util%.2f")
+      if (sys.env.get("GRAFT_STAGES").contains("1")) {
+        import scala.jdk.CollectionConverters._
+        stageTime.asScala.toSeq.sortBy(-_._2.get()).take(12).foreach { case (sid, t) =>
+          println(f"  STAGE $sid%4d ${t.get() / 1000.0}%8.1fs  ${stageNames.getOrDefault(sid, "?")}")
+        }
+      }
       spark.stop()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     }

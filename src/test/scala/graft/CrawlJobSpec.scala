@@ -96,6 +96,24 @@ class CrawlJobSpec extends SparkSpec {
     assert(more.rounds.nonEmpty)
   }
 
+  test("bloomSharded crawl matches the reference model (10^10 escape-hatch path)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("crawl-sharded").toString
+    CrawlJob.run(spark, seeds.toDS(), robots, hostMap.toDS(), universe,
+      cfg.copy(bloomSharded = true), root)
+    val store = new SnapshotStore(root)
+    val last = store.currentSnapshot.get
+    assert(store.manifestMeta(last)("bloom_sharded") === "true")
+    // no driver bloom file is written; shards live beside the cuckoo blobs
+    assert(!Files.exists(java.nio.file.Paths.get(store.snapshotDir(last), "bloom.bin")))
+    val binFiles = new java.io.File(store.snapshotDir(last), "cuckoo_bin").list()
+    assert(binFiles.exists(_.startsWith("bloom-")), binFiles.mkString(","))
+    val engineSeen = store.readSeen(spark, last)
+      .select("url_canon", "round_first_seen")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(engineSeen === model.seen)
+  }
+
   test("resume adopts the checkpoint's cuckoo bucket count (manifest wins over cfg)") {
     import spark.implicits._
     val root = Files.createTempDirectory("crawl-buckets").toString
