@@ -79,9 +79,11 @@ object Dedup {
                         dfCap: Int = Int.MaxValue,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // small-file sources arrive as one partition; shingle construction
-    // is the heavy narrow stage, so spread it first
+    // is the heavy narrow stage, so spread it first. Shingles come from
+    // the native codegen expression (byte-level, no per-shingle String);
+    // MinHashParitySpec pins it to the UDF twin.
     val withSh = docs.repartition(col(idCol)).select(col(idCol).as("id"),
-      shingles(col(textCol), k).as("sh"))
+      graft.functions.MinHashExprs.shinglesCol(col(textCol), k).as("sh"))
       .withColumn("set_size", size(col("sh")))
       .filter(col("set_size") > 0)
       .persist()
@@ -176,11 +178,15 @@ object Dedup {
                       bands: Int = 16, rowsPerBand: Int = 4, seed: Long = 42L,
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val perms = permutations(bands * rowsPerBand, seed)
+    // sh (for the exact verify) and sig both come from native codegen
+    // expressions — one fused byte-level pass each, no UDF serde, no
+    // per-shingle String churn (MinHashParitySpec pins both to the UDF
+    // twins the q25 oracle was originally hashed against)
     val withSig = docs.repartition(col(idCol))
       .select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sh", shingles(col("text"), k))
+      .withColumn("sh", graft.functions.MinHashExprs.shinglesCol(col("text"), k))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), perms))
+      .withColumn("sig", graft.functions.MinHashExprs.signatureCol(col("text"), k, perms))
       .select("id", "sh", "sig")
       .persist()
     // band buckets: (band_idx, hash(slice of sig)) → ids
@@ -224,25 +230,61 @@ object Dedup {
     out
   }
 
-  /** SimHash near-dup pairs: 4×16-bit band blocking, hamming ≤ maxDist
-    * verified via bit_count(xor).
+  /** SimHash near-dup pairs: band blocking on the 64-bit signature,
+    * hamming ≤ maxDist verified via bit_count(xor).
+    *
+    * Banding is PARAMETERIZED (`bands` × `bitsPerBand` ≤ 64 bits): the
+    * round-2 default 4×16 guarantees recall only for hamming ≤ 3 and
+    * its 65 536 buckets saturate around 10⁹ docs (~15k docs/bucket →
+    * ~10⁸ candidate pairs per bucket family). At larger corpora either
+    * widen the bands (fewer, bigger buckets per band is WRONG —
+    * fewer BITS means fewer buckets; you want MORE bits per band, e.g.
+    * 2×32, so buckets stay sparse) and recover recall with
+    * `probeRadius = 1` (each doc also probes every single-bit flip of
+    * its band value — pigeonhole guarantees recall for hamming ≤
+    * bands·(probeRadius+1)−1), or raise `bands` when the distance
+    * budget needs it (8×8 guarantees hamming ≤ 7 with no probing).
+    * Candidates only ever form inside (band, bucket) groups.
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3,
+                   bands: Int = 4, bitsPerBand: Int = 16, probeRadius: Int = 0,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(bands > 0 && bitsPerBand > 0 && bands * bitsPerBand <= 64,
+      s"banding must fit the 64-bit signature: $bands x $bitsPerBand")
+    require(probeRadius == 0 || probeRadius == 1, "probeRadius ∈ {0, 1}")
     val sim = udf(simhash64 _)
+    val mask = if (bitsPerBand == 64) -1L else (1L << bitsPerBand) - 1
     val withSig = docs.select(col(idCol).as("id"), sim(col(textCol)).as("sig"))
-    val banded = withSig.select(col("id"), col("sig"),
-      posexplode(array((0 until 4).map(b =>
-        shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+    val exact = withSig.select(col("id"), col("sig"),
+      posexplode(array((0 until bands).map(b =>
+        shiftrightunsigned(col("sig"), b * bitsPerBand).bitwiseAND(lit(mask))): _*))
         .as(Seq("band", "bucket")))
-    val pairs = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b")).distinct()
-    pairs.withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+    val joined =
+      if (probeRadius == 0)
+        exact.as("a").join(exact.as("b"),
+            col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+              col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+            col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      else {
+        // multi-probe: the probe side also emits every single-bit flip
+        // of its band value; a flip meets the partner's exact bucket
+        // whenever the within-band hamming is ≤ 1. Asymmetric join +
+        // least/greatest keeps each unordered pair once.
+        val probe = exact.select(col("id"), col("sig"), col("band"),
+          explode(array(col("bucket") +:
+            (0 until bitsPerBand).map(i => col("bucket").bitwiseXOR(lit(1L << i))): _*))
+            .as("bucket"))
+        probe.as("a").join(exact.as("b"),
+            col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+              col("a.id") =!= col("b.id"))
+          .select(least(col("a.id"), col("b.id")).as("id_a"),
+            greatest(col("a.id"), col("b.id")).as("id_b"),
+            col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      }
+    joined.withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxDist)
-      .select("id_a", "id_b", "hamming")
+      .select("id_a", "id_b", "hamming").distinct()
   }
 
   // -----------------------------------------------------------------

@@ -2,6 +2,9 @@ package graft.functions
 
 import java.text.Normalizer
 
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
 /** Text/scalar ports: filename sanitize, unit conversion, sameSite
   * normalization, byte-size parse, markdown→HTML (+ sanitizer).
   */
@@ -36,6 +39,45 @@ object TextFunctions {
       case Some((num, div)) => num.toDoubleOption.map(_ * (1.0 / div))
       case None => value.toDoubleOption
     }
+  }
+
+  /** Go `time.ParseDuration` twin (std `time/format.go`; the binding
+    * used by the `waitDelay` form field, `chromium/routes.go:113`):
+    * an optional sign, then one or more decimal[.frac]unit terms with
+    * unit ∈ ns, us, µs, μs, ms, s, m, h (e.g. "1.5s", "1m30s",
+    * "300ms"). Returns whole milliseconds; None for anything Go would
+    * reject ("", bare numbers, unknown units).
+    */
+  def parseGoDuration(s0: String): Option[Long] = {
+    if (s0 == null) return None
+    var s = s0
+    var sign = 1L
+    if (s.startsWith("+")) s = s.substring(1)
+    else if (s.startsWith("-")) { sign = -1L; s = s.substring(1) }
+    if (s == "0") return Some(0L)
+    if (s.isEmpty) return None
+    // longest units first so "ms" wins over "m" + stray "s"
+    val units = Seq("ns" -> 1.0, "us" -> 1e3, "µs" -> 1e3, "μs" -> 1e3,
+      "ms" -> 1e6, "s" -> 1e9, "m" -> 6e10, "h" -> 3.6e12)
+    var nanos = 0.0
+    var i = 0
+    while (i < s.length) {
+      val start = i
+      while (i < s.length && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
+      if (i == start) return None // term must start with a number
+      val num = s.substring(start, i).toDoubleOption.getOrElse(return None)
+      val rest = s.substring(i)
+      val unit = units.filter { case (u, _) => rest.startsWith(u) }
+        .sortBy(-_._1.length).headOption.getOrElse(return None)
+      nanos += num * unit._2
+      i += unit._1.length
+    }
+    Some(sign * (nanos / 1e6).toLong)
+  }
+
+  def goDurationMsCol(c: Column): Column = {
+    val f = udf((s: String) => parseGoDuration(s))
+    f(c)
   }
 
   /** sameSite canonicalization (`chromium/routes.go:27-30,117-158`):

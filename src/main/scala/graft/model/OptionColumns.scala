@@ -98,6 +98,42 @@ object OptionColumns {
 
   def statusCodesCol(json: Column): Column = from_json(json, statusCodesSchema)
 
+  /** The navigation/wait option group (`chromium/routes.go:113-116,159,
+    * 219-232`): waitDelay (Go duration → millis), waitWindowStatus /
+    * waitForExpression / waitForSelector / userAgent (plain strings),
+    * emulatedMediaType (enum). These are the last form fields of the
+    * reference's Chromium surface to gain typed columns.
+    */
+
+  /** waitDelay: Go-duration string → whole milliseconds; null for
+    * anything `time.ParseDuration` rejects (the engine's error-row
+    * guard checks `isnull` where the reference 400s).
+    */
+  def waitDelayMsCol(c: Column): Column =
+    graft.functions.TextFunctions.goDurationMsCol(c)
+
+  /** emulatedMediaType: '' (default) | 'screen' | 'print'; anything
+    * else nulls (the reference rejects with "wrong value, expected
+    * either 'screen', 'print' or empty", `chromium/routes.go:219-232`).
+    */
+  def emulatedMediaTypeCol(c: Column): Column =
+    when(c.isNull || c === "" || c === "screen" || c === "print", coalesce(c, lit("")))
+      .otherwise(lit(null).cast(StringType))
+
+  /** F13-style cross-constraint: the deprecated waitWindowStatus field
+    * is bound but no longer consumed by the browser actions
+    * (`chromium/routes.go:114,265` vs `browser.go:350-383` — only
+    * WaitForExpression reaches the page); its documented legacy meaning
+    * is polling `window.status === '<value>'`. The rewrite produces the
+    * EFFECTIVE wait expression: an explicit waitForExpression wins,
+    * otherwise a set waitWindowStatus lowers to its expression form.
+    */
+  def effectiveWaitExpression(waitWindowStatus: Column, waitForExpression: Column): Column =
+    when(waitForExpression.isNotNull && waitForExpression =!= "", waitForExpression)
+      .when(waitWindowStatus.isNotNull && waitWindowStatus =!= "",
+        concat(lit("window.status === '"), waitWindowStatus, lit("'")))
+      .otherwise(lit(""))
+
   /** Bind every nested option column on a task frame in one shot;
     * malformed JSON yields null (the engine's error-row guard checks
     * `isnull` where the reference 400s).

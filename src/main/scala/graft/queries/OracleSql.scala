@@ -62,6 +62,36 @@ object OracleSql {
        |  GROUP BY a.id, b.id
        |)""".stripMargin
 
+  /** SimHash twin generated from the SAME (bands, bitsPerBand, maxDist)
+    * the Spark entry passes to `Dedup.simhashPairs`. Docs whose
+    * normalized text is empty produce no token rows, so the aggregate
+    * CTE alone would drop them — but Spark's `simhash64` assigns them
+    * signature 0 and bands them like any other doc, so the oracle
+    * synthesizes those signature-0 rows explicitly (UNION ALL branch).
+    */
+  private def simhashSql(bands: Int, bitsPerBand: Int, maxDist: Int): String = {
+    val mask = (1L << bitsPerBand) - 1
+    s"""WITH toks AS (
+       |  SELECT doc_id AS id, unnest(string_split($normText, ' ')) AS t FROM documents),
+       |th AS (SELECT id, md5_number_lower(t) AS h FROM toks WHERE t <> ''),
+       |bits AS (SELECT id, g.bit,
+       |  sum(CASE WHEN ((h >> g.bit) & 1) = 1 THEN 1 ELSE -1 END) AS acc
+       |  FROM th CROSS JOIN generate_series(0, 63) AS g(bit) GROUP BY id, g.bit),
+       |sig AS (SELECT id,
+       |  sum(CASE WHEN acc > 0 THEN (1::UBIGINT << bit) ELSE 0::UBIGINT END)::UBIGINT AS s
+       |  FROM bits GROUP BY id
+       |  UNION ALL
+       |  SELECT doc_id AS id, 0::UBIGINT AS s FROM documents WHERE $normText = ''),
+       |banded AS (SELECT id, s, g.band, (s >> (g.band * $bitsPerBand)) & $mask AS bucket
+       |  FROM sig CROSS JOIN generate_series(0, ${bands - 1}) AS g(band)),
+       |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
+       |SELECT id_a, id_b, bit_count(xor(sa, sb))::INT AS hamming
+       |FROM pairs WHERE bit_count(xor(sa, sb)) <= $maxDist
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "q01_agg_pushdown" ->
       """SELECT l_returnflag, l_linestatus,
@@ -274,24 +304,38 @@ object OracleSql {
          |WHERE round(CAST(inter AS DOUBLE) / (sa + sb - inter), 6) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
 
-    "q26_simhash" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id AS id, unnest(string_split($normText, ' ')) AS t FROM documents),
-         |th AS (SELECT id, md5_number_lower(t) AS h FROM toks WHERE t <> ''),
-         |bits AS (SELECT id, g.bit,
-         |  sum(CASE WHEN ((h >> g.bit) & 1) = 1 THEN 1 ELSE -1 END) AS acc
-         |  FROM th CROSS JOIN generate_series(0, 63) AS g(bit) GROUP BY id, g.bit),
-         |sig AS (SELECT id,
-         |  sum(CASE WHEN acc > 0 THEN (1::UBIGINT << bit) ELSE 0::UBIGINT END)::UBIGINT AS s
-         |  FROM bits GROUP BY id),
-         |banded AS (SELECT id, s, g.band, (s >> (g.band * 16)) & 65535 AS bucket
-         |  FROM sig CROSS JOIN generate_series(0, 3) AS g(band)),
-         |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
-         |  FROM banded a JOIN banded b
-         |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
-         |SELECT id_a, id_b, bit_count(xor(sa, sb))::INT AS hamming
-         |FROM pairs WHERE bit_count(xor(sa, sb)) <= 6
-         |ORDER BY id_a, id_b""".stripMargin,
+    "q26_simhash" -> simhashSql(bands = 4, bitsPerBand = 16, maxDist = 6),
+
+    // same operator, second banding config — generated from the same
+    // constants the Spark entry uses, so the parameterized banding is
+    // itself oracle-verified (not just the default layout)
+    "q37_simhash_bands" -> simhashSql(bands = 8, bitsPerBand = 8, maxDist = 6),
+
+    // wait/navigation option group: the oracle replays the Go-duration
+    // parse for the generated forms (N + ms|s|m, bare number rejected),
+    // the emulatedMediaType enum guard, and the waitWindowStatus →
+    // waitForExpression lowering
+    "q38_wait_options" ->
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |    (o_orderkey % 4 + 1)::INT AS unit_idx,
+        |    (o_orderkey % 8 + 1)::BIGINT AS delay_n,
+        |    ['','screen','print','paper'][(o_custkey % 4 + 1)::INT] AS emt,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN 'ready' ELSE '' END AS wws,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN 'window.ok === true' ELSE '' END AS wfe
+        |  FROM orders),
+        |b AS (SELECT
+        |    CASE unit_idx WHEN 1 THEN delay_n WHEN 2 THEN delay_n * 1000
+        |      WHEN 3 THEN delay_n * 60000 ELSE NULL END AS wait_ms,
+        |    CASE WHEN emt IN ('', 'screen', 'print') THEN emt ELSE 'INVALID' END AS media,
+        |    CASE WHEN wfe <> '' THEN wfe
+        |         WHEN wws <> '' THEN 'window.status === ''' || wws || ''''
+        |         ELSE '' END AS wait_expr
+        |  FROM o)
+        |SELECT media, wait_expr, count(*)::BIGINT AS n,
+        |  sum(wait_ms)::BIGINT AS total_wait_ms,
+        |  sum(CASE WHEN wait_ms IS NULL THEN 1 ELSE 0 END)::BIGINT AS rejected_delays
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q27_embed_neardup" -> q27Sql,
 

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.datatools.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.functions.{IpFunctions, UrlFunctions}
+import graft.model.OptionColumns
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -340,6 +341,40 @@ object Queries {
     Dedup.simhashPairs(t(spark, dir, "documents"), maxDist = 6)
       .orderBy("id_a", "id_b")
 
+  // q38 — the navigation/wait Chromium option group bound end-to-end
+  // (`chromium/routes.go:113-116,159,219-232`): waitDelay Go-duration
+  // parse (bare numbers rejected → null), emulatedMediaType enum guard,
+  // and the legacy waitWindowStatus → waitForExpression lowering.
+  def q38WaitOptions(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .withColumn("wait_delay", concat((col("o_orderkey") % 8 + 1).cast("string"),
+        element_at(array(lit("ms"), lit("s"), lit("m"), lit("")),
+          (col("o_orderkey") % 4 + 1).cast("int"))))
+      .withColumn("emt", element_at(array(lit(""), lit("screen"), lit("print"), lit("paper")),
+        (col("o_custkey") % 4 + 1).cast("int")))
+      .withColumn("wws", when(col("o_orderkey") % 5 === 0, lit("ready")).otherwise(lit("")))
+      .withColumn("wfe", when(col("o_orderkey") % 3 === 0, lit("window.ok === true"))
+        .otherwise(lit("")))
+    o.withColumn("wait_ms", OptionColumns.waitDelayMsCol(col("wait_delay")))
+      .withColumn("media",
+        coalesce(OptionColumns.emulatedMediaTypeCol(col("emt")), lit("INVALID")))
+      .withColumn("wait_expr", OptionColumns.effectiveWaitExpression(col("wws"), col("wfe")))
+      .groupBy("media", "wait_expr")
+      .agg(count(lit(1)).as("n"),
+        sum("wait_ms").as("total_wait_ms"),
+        sum(when(col("wait_ms").isNull, 1L).otherwise(0L)).as("rejected_delays"))
+      .orderBy("media", "wait_expr")
+  }
+
+  // q37 — the SAME SimHash operator at a second banding config (8 bands
+  // × 8 bits: full recall for hamming ≤ 7 by pigeonhole, no probing);
+  // its oracle twin is generated from the same (bands, bits) constants,
+  // so the parameterized banding is cross-engine-verified end to end.
+  def q37SimhashBands(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(spark, dir, "documents"), maxDist = 6,
+      bands = 8, bitsPerBand = 8)
+      .orderBy("id_a", "id_b")
+
   // q27 — embedding cosine near-dup via the SCALE path: multi-table
   // hyperplane LSH (6 tables × 4 planes), candidates only inside
   // (table, bucket) groups, exact cosine verification — no cartesian
@@ -514,6 +549,8 @@ object Queries {
     "q33_media_meta" -> (q33MediaMeta _),
     "q34_subresource_filter" -> (q34SubresourceFilter _),
     "q35_ann_ivf" -> (q35AnnIvf _),
-    "q36_cookie_header_binding" -> (q36CookieHeaderBinding _)
+    "q36_cookie_header_binding" -> (q36CookieHeaderBinding _),
+    "q37_simhash_bands" -> (q37SimhashBands _),
+    "q38_wait_options" -> (q38WaitOptions _)
   )
 }

@@ -69,6 +69,54 @@ class DatatoolsSpec extends SparkSpec {
       Dedup.simhash64("a b c d e f g h") ^ Dedup.simhash64("a b c d e f g CHANGED")) <= 16)
   }
 
+  test("simhash banding parameterized: guarantees, occupancy, multi-probe recall") {
+    import spark.implicits._
+    val base = (0 until 15).map { i =>
+      (i.toLong, (0 until 200).map(j => s"s${i}t$j").mkString(" "))
+    }
+    val dups = (0 until 5).map { i =>
+      val toks = base(i)._2.split(" "); toks(77) = "CHANGED"
+      (100L + i, toks.mkString(" "))
+    }
+    val longDocs = (base ++ dups).toDF("doc_id", "text")
+    val planted = (0 until 5).map(i => (i.toLong, 100L + i)).toSet
+    def pairSet(bands: Int, bits: Int, probe: Int) =
+      Dedup.simhashPairs(longDocs, maxDist = 12, bands = bands,
+          bitsPerBand = bits, probeRadius = probe)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 8×8: pigeonhole guarantees every hamming ≤ 7 pair; our planted
+    // edits sit ≤ 12, so recall can still trade — but every pair the
+    // default 4×16 finds at d ≤ 7 must also be found
+    val p8 = pairSet(8, 8, 0)
+    val sigs = longDocs.select(col("doc_id"),
+      udf(Dedup.simhash64 _).apply(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    planted.filter { case (a, b) =>
+      java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 7
+    }.foreach(p => assert(p8.contains(p), s"8x8 must find guaranteed pair $p"))
+    // multi-probe on 2×32-bit bands (the sparse-bucket 10⁹+ layout):
+    // radius 1 guarantees hamming ≤ 3; check those planted pairs appear
+    val p2probe = pairSet(2, 32, 1)
+    planted.filter { case (a, b) =>
+      java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 3
+    }.foreach(p => assert(p2probe.contains(p), s"2x32+probe must find $p"))
+    // occupancy property: banding emits exactly `bands` rows per doc and
+    // every bucket fits in bitsPerBand bits (the saturation math in the
+    // scaladoc depends on this bucket-space size)
+    for ((bands, bits) <- Seq((4, 16), (8, 8), (2, 32))) {
+      val mask = if (bits == 64) -1L else (1L << bits) - 1
+      val banded = longDocs.select(col("doc_id"),
+          udf(Dedup.simhash64 _).apply(col("text")).as("sig"))
+        .select(col("doc_id"), posexplode(array((0 until bands).map(b =>
+          shiftrightunsigned(col("sig"), b * bits).bitwiseAND(lit(mask))): _*))
+          .as(Seq("band", "bucket")))
+      val rows = banded.groupBy("doc_id").count().select("count").as[Long].collect()
+      assert(rows.forall(_ === bands.toLong))
+      val buckets = banded.select("bucket").as[Long].collect()
+      assert(buckets.forall(b => (b & ~mask) == 0L), s"bucket overflow at $bands x $bits")
+    }
+  }
+
   test("embedding near-dup LSH: planted duplicate vectors found with cosine 1.0") {
     import spark.implicits._
     val vecs = (0 until 50).map { i =>

@@ -97,4 +97,37 @@ class OptionColumnsSpec extends SparkSpec {
     assert(!LibreOfficeOptions.convertNatively(o, SplitOptions(), hasPostProcessing = true))
     assert(!LibreOfficeOptions.convertNatively(LibreOfficeOptions(), SplitOptions(), hasPostProcessing = false))
   }
+
+  test("waitDelay binds via the Go-duration parser (chromium/routes.go:113)") {
+    import graft.functions.TextFunctions.parseGoDuration
+    assert(parseGoDuration("300ms") === Some(300L))
+    assert(parseGoDuration("1.5s") === Some(1500L))
+    assert(parseGoDuration("1m30s") === Some(90000L))
+    assert(parseGoDuration("2h") === Some(7200000L))
+    assert(parseGoDuration("1us") === Some(0L)) // sub-ms floors
+    assert(parseGoDuration("0") === Some(0L))
+    assert(parseGoDuration("-2s") === Some(-2000L))
+    assert(parseGoDuration("5") === None)   // Go: missing unit
+    assert(parseGoDuration("") === None)
+    assert(parseGoDuration("s") === None)   // Go: missing number
+    assert(parseGoDuration("3d") === None)  // Go: unknown unit
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq("250ms", "2s", "oops").toDF("d")
+      .select(OptionColumns.waitDelayMsCol(col("d"))).as[Option[Long]].collect()
+    assert(rows.toSeq === Seq(Some(250L), Some(2000L), None))
+  }
+
+  test("emulatedMediaType enum guard and wait-expression lowering (routes.go:219-232)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val mt = Seq("", "screen", "print", "paper").toDF("m")
+      .select(OptionColumns.emulatedMediaTypeCol(col("m"))).as[Option[String]].collect()
+    assert(mt.toSeq === Seq(Some(""), Some("screen"), Some("print"), None))
+    val we = Seq(("ready", ""), ("ready", "window.x > 1"), ("", ""), ("", "expr"))
+      .toDF("wws", "wfe")
+      .select(OptionColumns.effectiveWaitExpression(col("wws"), col("wfe")))
+      .as[String].collect()
+    assert(we.toSeq === Seq("window.status === 'ready'", "window.x > 1", "", "expr"))
+  }
 }
