@@ -27,5 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-  "-Xms8g",
+  // Xms == Xmx + pre-touch: heap growth zeroes pages on the ALLOCATING
+  // threads mid-run, which bills more wall-time at higher parallelism
+  // and skews the N->4N scaling measurement
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  "-XX:+AlwaysPreTouch",
 )

@@ -37,9 +37,22 @@ import scala.collection.mutable
   */
 object Politeness {
 
-  /** Ordering of crawl preference: higher priority first, then lower seq. */
-  private val preference: Ordering[FrontierEntry] =
-    Ordering.by((e: FrontierEntry) => (-e.priority, e.seq, e.url_canon))
+  /** Ordering of crawl preference: higher priority first, then lower
+    * seq, then url. Hand-written compare — `Ordering.by` on a tuple
+    * allocates a fresh Tuple3 (plus boxing) for EVERY comparison, and
+    * the admission heaps compare O(n log quota) times per partition on
+    * the round's single full shuffle; tuple churn there was measurable
+    * memory-bandwidth pressure at high thread counts.
+    */
+  private val preference: Ordering[FrontierEntry] = new Ordering[FrontierEntry] {
+    override def compare(a: FrontierEntry, b: FrontierEntry): Int = {
+      val p = java.lang.Double.compare(b.priority, a.priority) // higher first
+      if (p != 0) return p
+      val s = java.lang.Long.compare(a.seq, b.seq)
+      if (s != 0) return s
+      a.url_canon.compareTo(b.url_canon)
+    }
+  }
 
   final case class Admission(entry: FrontierEntry, admitted: Boolean)
 

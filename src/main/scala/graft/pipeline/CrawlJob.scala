@@ -210,13 +210,18 @@ object CrawlJob {
       }
       val newUrls = UrlSeen.filterNew(spark, dedup, seen, bloomLayer, cuckooDir, cuckooBuckets)
 
-      // 5. frontier entries with salted host hash (codegen Column twin)
+      // 5. frontier entries with salted host hash (codegen Column twin).
+      // `url` always equals `url_canon` at this point, so it rides the
+      // round's ONE full shuffle as an empty string (~35% of the
+      // entry's string bytes) and is restored after admission — shuffle
+      // bytes are the memory traffic that inflates task time at high
+      // parallelism.
       val frontier = newUrls
         .withColumn("host", graft.functions.UrlExprs.host(col("url_canon")))
         .withColumn("host_hash",
           UrlFunctions.hostSaltCol(col("host"), col("url_hash"), cfg.saltsPerHost))
         .withColumn("round", lit(round))
-        .withColumn("url", col("url_canon"))
+        .withColumn("url", lit(""))
         .select("url", "url_canon", "url_hash", "host", "host_hash", "priority", "seq", "round")
         .as[FrontierEntry]
 
@@ -233,8 +238,10 @@ object CrawlJob {
         .select("entry.*").as[FrontierEntry]
 
       // 7. sorted frontier snapshot — already partitioned by host_hash
-      //    from the admission shuffle; sort within, no re-shuffle
+      //    from the admission shuffle; sort within, no re-shuffle.
+      //    `url` (blanked for the shuffle) is restored for the table.
       timed("frontier-write")(store.write(admitted.toDF()
+        .withColumn("url", col("url_canon"))
         .sortWithinPartitions(col("priority").desc, col("seq"), col("url_canon")),
         round, "frontier"))
       val robotsMetrics = robotsObs.get

@@ -18,10 +18,22 @@ object ProfileCrawl {
     val reps = if (args.length > 3) args(3).toInt else 2
     val fastDir = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
       else System.getProperty("java.io.tmpdir")
+    val jdk17AddOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar")
+      .map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
     (1 to reps).foreach { rep =>
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-      val spark = SparkSession.builder()
-        .master(s"local[$threads]")
+      // GRAFT_MASTER=local-cluster[N,1,4096] runs executors as separate
+      // JVMs (the real-cluster stand-in); default stays local[threads]
+      val master = sys.env.getOrElse("GRAFT_MASTER", s"local[$threads]")
+      val builder = SparkSession.builder()
+        .master(master)
         .appName(s"graft-profile-crawl-$threads")
         .config("spark.sql.shuffle.partitions",
           sys.env.getOrElse("GRAFT_PARTS", "64"))
@@ -30,11 +42,19 @@ object ProfileCrawl {
         .config("spark.local.dir", s"$fastDir/graft-spark-local")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
-        .getOrCreate()
+      if (master.startsWith("local-cluster")) {
+        builder
+          .config("spark.executor.extraJavaOptions", jdk17AddOpens)
+          .config("spark.executor.extraClassPath",
+            new java.io.File("target/scala-2.13/classes").getAbsolutePath)
+      }
+      val spark = builder.getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       import spark.implicits._
       val universe = SyntheticWeb.Universe(
-        numHosts = 20000, pagesPerHost = 5000, seed = 42L, outlinksPerDoc = 4)
+        numHosts = sys.env.getOrElse("GRAFT_HOSTS", "20000").toInt,
+        pagesPerHost = 5000, seed = 42L, outlinksPerDoc = 4,
+        spansPerDoc = sys.env.getOrElse("GRAFT_SPANS", "6").toInt)
       val cfg = CrawlConfig(
         numPartitions = sys.env.getOrElse("GRAFT_PARTS", "64").toInt,
         saltsPerHost = 4,
@@ -68,6 +88,10 @@ object ProfileCrawl {
         universe, cfg, root)
       val secs = (System.nanoTime() - t0) / 1e9
       val util = taskTime.get() / 1000.0 / (secs * threads)
+      summary.rounds.foreach { r =>
+        println(s"  ROUND ${r.round}: candidates=${r.candidates} admitted=${r.admitted} " +
+          s"fetched=${r.fetched} outlinks=${r.outlinks} seen_total=${r.seenTotal}")
+      }
       println(f"PROFILE-CRAWL threads=$threads rep=$rep secs=$secs%.2f urls=${summary.rounds.map(_.fetched).sum} task_sec=${taskTime.get() / 1000.0}%.1f gc_sec=${gcTime.get() / 1000.0}%.1f tasks=${taskCount.get()} util=$util%.2f")
       if (sys.env.get("GRAFT_STAGES").contains("1")) {
         import scala.jdk.CollectionConverters._
