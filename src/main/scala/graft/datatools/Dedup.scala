@@ -341,8 +341,13 @@ object Dedup {
                             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("vd", col("v").cast("array<double>"))
+    // native codegen signature (one sign-matrix reference object per
+    // table) — the inlined Column stack [[hyperplaneSignature]] is kept
+    // as its parity twin; without this, 6 tables × 4 planes × 64 dims
+    // of expression leaves serialize a multi-MiB task binary
     val buckets = (0 until numTables).map(t =>
-      hyperplaneSignature(col("vd"), dim, numPlanes, tableSeed(seed, t)))
+      graft.functions.HyperplaneExprs.signatureCol(col("vd"),
+        hyperplaneSigns(dim, numPlanes, tableSeed(seed, t))))
     val banded = vecs
       .select(col("id"), posexplode(array(buckets: _*)).as(Seq("table", "bucket")))
     val candidates = banded.as("a").join(banded.as("b"),

@@ -117,6 +117,26 @@ class DatatoolsSpec extends SparkSpec {
     }
   }
 
+  test("hyperplane signature expression == inlined Column stack (bucket parity)") {
+    import spark.implicits._
+    val dim = 64
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, (0 until dim).map { d =>
+        // deterministic, sign-varied doubles incl. exact zeros
+        val m = graft.frontier.CuckooFilter.mix(i * 131L + d)
+        if (m % 7 == 0) 0.0 else (m % 1000L).toDouble / 499.5 - 1.0
+      })
+    }.toDF("id", "v").withColumn("vd", col("v").cast("array<double>"))
+    for (t <- 0 until 3) {
+      val signs = Dedup.hyperplaneSigns(dim, 8, Dedup.tableSeed(42L, t))
+      val rows = vecs.select(
+        graft.functions.HyperplaneExprs.signatureCol(col("vd"), signs).as("expr"),
+        Dedup.hyperplaneSignature(col("vd"), dim, 8, Dedup.tableSeed(42L, t)).as("twin"))
+        .collect()
+      rows.foreach(r => assert(r.getString(0) === r.getString(1), s"table $t"))
+    }
+  }
+
   test("embedding near-dup LSH: planted duplicate vectors found with cosine 1.0") {
     import spark.implicits._
     val vecs = (0 until 50).map { i =>
