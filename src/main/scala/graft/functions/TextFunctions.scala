@@ -125,17 +125,35 @@ object TextFunctions {
     "pre", "blockquote", "ul", "ol", "li", "a", "img", "hr", "table",
     "thead", "tbody", "tr", "th", "td")
 
+  // These run once per span of every fetched markdown doc — hoisted so
+  // the pattern compiles once per JVM, not once per call (per-row
+  // Pattern.compile profiled as a top frame in the crawl convert stage).
+  private val DangerBlockRe =
+    java.util.regex.Pattern.compile("(?is)<(script|style|iframe|object|embed|form)[^>]*>.*?</\\1>")
+  private val DangerTagRe =
+    java.util.regex.Pattern.compile("(?is)<(script|style|iframe|object|embed|form)[^>]*/?>")
+  private val OnHandlerRe =
+    java.util.regex.Pattern.compile("(?i)\\son[a-z]+\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)")
+  private val JsUrlRe =
+    java.util.regex.Pattern.compile("(?i)(href|src)\\s*=\\s*([\"']?)\\s*javascript:[^\"'>\\s]*\\2")
+  private val AnyTagRe = "(?i)</?([a-z][a-z0-9]*)(\\s[^>]*)?/?>".r
+  private val MdImgRe = java.util.regex.Pattern.compile("""!\[([^\]]*)\]\(([^)\s]+)\)""")
+  private val MdLinkRe = java.util.regex.Pattern.compile("""\[([^\]]+)\]\(([^)\s]+)\)""")
+  private val MdStrongRe = java.util.regex.Pattern.compile("""\*\*([^*]+)\*\*""")
+  private val MdEmRe = java.util.regex.Pattern.compile("""(?<!\*)\*([^*]+)\*(?!\*)""")
+  private val MdCodeRe = java.util.regex.Pattern.compile("""`([^`]+)`""")
+
   /** Strip disallowed tags (script/style/iframe/… and event handlers). */
   def sanitizeHtml(html: String): String = {
+    if (html.indexOf('<') < 0) return html
     // drop script/style blocks wholesale
-    var out = html.replaceAll("(?is)<(script|style|iframe|object|embed|form)[^>]*>.*?</\\1>", "")
-    out = out.replaceAll("(?is)<(script|style|iframe|object|embed|form)[^>]*/?>", "")
+    var out = DangerBlockRe.matcher(html).replaceAll("")
+    out = DangerTagRe.matcher(out).replaceAll("")
     // drop on*= handlers and javascript: urls inside remaining tags
-    out = out.replaceAll("(?i)\\son[a-z]+\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)", "")
-    out = out.replaceAll("(?i)(href|src)\\s*=\\s*([\"']?)\\s*javascript:[^\"'>\\s]*\\2", "$1=$2$2")
+    out = OnHandlerRe.matcher(out).replaceAll("")
+    out = JsUrlRe.matcher(out).replaceAll("$1=$2$2")
     // remove any tag not in the allowlist (keep inner text)
-    val tagRe = "(?i)</?([a-z][a-z0-9]*)(\\s[^>]*)?/?>".r
-    tagRe.replaceAllIn(out, m =>
+    AnyTagRe.replaceAllIn(out, m =>
       if (allowedTags.contains(m.group(1).toLowerCase))
         java.util.regex.Matcher.quoteReplacement(m.matched)
       else "")
@@ -143,11 +161,15 @@ object TextFunctions {
 
   private def inline(s0: String): String = {
     var s = escapeHtml(s0)
-    s = s.replaceAll("""!\[([^\]]*)\]\(([^)\s]+)\)""", """<img src="$2" alt="$1" />""")
-    s = s.replaceAll("""\[([^\]]+)\]\(([^)\s]+)\)""", """<a href="$2">$1</a>""")
-    s = s.replaceAll("""\*\*([^*]+)\*\*""", "<strong>$1</strong>")
-    s = s.replaceAll("""(?<!\*)\*([^*]+)\*(?!\*)""", "<em>$1</em>")
-    s = s.replaceAll("""`([^`]+)`""", "<code>$1</code>")
+    // indexOf guards: a pattern whose marker char is absent can't match,
+    // and most markdown lines carry no inline markup at all
+    if (s.indexOf('!') >= 0) s = MdImgRe.matcher(s).replaceAll("""<img src="$2" alt="$1" />""")
+    if (s.indexOf('[') >= 0) s = MdLinkRe.matcher(s).replaceAll("""<a href="$2">$1</a>""")
+    if (s.indexOf('*') >= 0) {
+      s = MdStrongRe.matcher(s).replaceAll("<strong>$1</strong>")
+      s = MdEmRe.matcher(s).replaceAll("<em>$1</em>")
+    }
+    if (s.indexOf('`') >= 0) s = MdCodeRe.matcher(s).replaceAll("<code>$1</code>")
     s
   }
 
@@ -159,6 +181,10 @@ object TextFunctions {
     * unordered/ordered lists, blockquotes, hr, paragraphs, inline
     * em/strong/code/link/img. Output is sanitized.
     */
+  private val MdHeadingRe = java.util.regex.Pattern.compile("^#{1,6}\\s.*")
+  private val MdHrRe = java.util.regex.Pattern.compile("^(-{3,}|\\*{3,}|_{3,})$")
+  private val MdOlRe = java.util.regex.Pattern.compile("^\\d+\\.\\s.*")
+
   def markdownToHtml(md: String): String = {
     val lines = md.split("\n", -1)
     val out = new StringBuilder
@@ -179,11 +205,11 @@ object TextFunctions {
           buf.append(escapeHtml(lines(i))).append("\n"); i += 1
         }
         out.append("<pre><code>").append(buf).append("</code></pre>\n")
-      } else if (t.matches("^#{1,6}\\s.*")) {
+      } else if (MdHeadingRe.matcher(t).matches()) {
         flushPara()
         val level = t.takeWhile(_ == '#').length
         out.append(s"<h$level>").append(inline(t.drop(level).trim)).append(s"</h$level>\n")
-      } else if (t.matches("^(-{3,}|\\*{3,}|_{3,})$")) {
+      } else if (MdHrRe.matcher(t).matches()) {
         flushPara(); out.append("<hr />\n")
       } else if (t.startsWith("- ") || t.startsWith("* ")) {
         flushPara()
@@ -193,10 +219,10 @@ object TextFunctions {
         }) { out.append("<li>").append(inline(lines(i).trim.drop(2))).append("</li>\n"); i += 1 }
         i -= 1
         out.append("</ul>\n")
-      } else if (t.matches("^\\d+\\.\\s.*")) {
+      } else if (MdOlRe.matcher(t).matches()) {
         flushPara()
         out.append("<ol>\n")
-        while (i < lines.length && lines(i).trim.matches("^\\d+\\.\\s.*")) {
+        while (i < lines.length && MdOlRe.matcher(lines(i).trim).matches()) {
           val u = lines(i).trim
           out.append("<li>").append(inline(u.substring(u.indexOf('.') + 1).trim)).append("</li>\n")
           i += 1

@@ -145,9 +145,17 @@ object RouteOps {
   // -----------------------------------------------------------------
   final case class ScopedHeader(name: String, value: String, scope: Option[String])
 
+  // scope regexes are a handful of operator-configured strings, but
+  // headersFor runs once per fetched URL — cache the compiled Pattern
+  // (immutable, thread-safe) instead of recompiling per request
+  private val scopePatterns =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+  private[graft] def compiledPattern(p: String): java.util.regex.Pattern =
+    scopePatterns.computeIfAbsent(p, java.util.regex.Pattern.compile(_))
+
   def headersFor(url: String, headers: Seq[ScopedHeader]): Map[String, String] =
     headers.filter(h => h.scope.forall(p =>
-      java.util.regex.Pattern.compile(p).matcher(url).find()))
+      compiledPattern(p).matcher(url).find()))
       .map(h => h.name -> h.value).toMap
 
   // -----------------------------------------------------------------

@@ -103,15 +103,26 @@ object SpanOps {
     Right(doc.copy(spans = Seq(DocSpan("media", "", ref + "#" + span.media_ref.stripPrefix("attr:"), 0))))
   }
 
+  // htmlToText runs once per html/markdown span of every fetched doc;
+  // String.replaceAll would recompile each pattern per call (profiled as
+  // a top frame in the convert stage), so the patterns are hoisted.
+  private val ScriptStyleRe = java.util.regex.Pattern.compile("(?is)<(script|style)[^>]*>.*?</\\1>")
+  private val AnyTagRe = java.util.regex.Pattern.compile("<[^>]+>")
+  private val HorizWsRe = java.util.regex.Pattern.compile("[ \\t]+")
+
   /** Plain-text projection of HTML (tag strip + entity decode) — what the
     * reference's pdftotext oracle asserts against (`test/integration`).
     */
-  def htmlToText(html: String): String =
-    html.replaceAll("(?is)<(script|style)[^>]*>.*?</\\1>", "")
-      .replaceAll("<[^>]+>", "")
-      .replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
-      .replace("&quot;", "\"").replace("&#39;", "'")
-      .replaceAll("[ \\t]+", " ").trim
+  def htmlToText(html: String): String = {
+    val noTags =
+      if (html.indexOf('<') < 0) html
+      else AnyTagRe.matcher(ScriptStyleRe.matcher(html).replaceAll("")).replaceAll("")
+    val decoded =
+      if (noTags.indexOf('&') < 0) noTags
+      else noTags.replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
+        .replace("&quot;", "\"").replace("&#39;", "'")
+    HorizWsRe.matcher(decoded).replaceAll(" ").trim
+  }
 
   // -----------------------------------------------------------------
   // T4 split (`pdfcpu/pdfcpu.go:164-230`; orchestration + renaming

@@ -168,7 +168,12 @@ object CrawlJob {
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(ioPool)
     def job[A](label: String)(f: => A): scala.concurrent.Future[A] =
-      scala.concurrent.Future { SparkSession.setActiveSession(spark); timed(label)(f) }
+      scala.concurrent.Future {
+        SparkSession.setActiveSession(spark)
+        // thread-local: names this job's stages for the UI + profilers
+        spark.sparkContext.setJobDescription(label)
+        timed(label)(f)
+      }
     def await[A](f: scala.concurrent.Future[A]): A =
       scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
 
@@ -240,6 +245,7 @@ object CrawlJob {
       // 7. sorted frontier snapshot — already partitioned by host_hash
       //    from the admission shuffle; sort within, no re-shuffle.
       //    `url` (blanked for the shuffle) is restored for the table.
+      spark.sparkContext.setJobDescription("frontier-write")
       timed("frontier-write")(store.write(admitted.toDF()
         .withColumn("url", col("url_canon"))
         .sortWithinPartitions(col("priority").desc, col("seq"), col("url_canon")),
@@ -291,6 +297,7 @@ object CrawlJob {
 
       // 9. outputs: spans snapshot (sorted in-partition, no re-shuffle of
       //    the heavy payload) + per-partition lineage metrics
+      spark.sparkContext.setJobDescription("spans-write")
       timed("fetch+convert+spans-write")(store.write(
         fetched.filter(_.error.isEmpty).select($"doc_id", $"spans", $"round")
           .sortWithinPartitions("doc_id"),

@@ -38,9 +38,9 @@ object ReferenceCrawl {
     val norm = UrlFunctions.normalizeUrl(urlCanon)
     val scheme = UrlFunctions.schemeOf(norm)
     val host = UrlFunctions.hostOf(norm)
-    val allowMatched = allows.exists(p => java.util.regex.Pattern.compile(p).matcher(norm).find())
+    val allowMatched = allows.exists(p => graft.operators.RouteOps.compiledPattern(p).matcher(norm).find())
     if (allows.nonEmpty && !allowMatched) return "denied: no allow-list match"
-    if (denies.exists(p => java.util.regex.Pattern.compile(p).matcher(norm).find()))
+    if (denies.exists(p => graft.operators.RouteOps.compiledPattern(p).matcher(norm).find()))
       return "denied: matches denied list"
     if (allowMatched) return "ok"
     // http-like schemes (http, https, ws, wss — outbound.go:224-231) get

@@ -42,6 +42,15 @@ object ProfileCrawl {
         .config("spark.local.dir", s"$fastDir/graft-spark-local")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      // A/B experiment: GRAFT_CONF_A / GRAFT_CONF_B = "k=v;k=v" — odd
+      // reps apply A, even reps B, inside ONE warm JVM so JIT state is
+      // shared and the delta isolates the conf change from host noise
+      val abConf = if (rep % 2 == 1) sys.env.get("GRAFT_CONF_A") else sys.env.get("GRAFT_CONF_B")
+      val abLabel = if (rep % 2 == 1) "A" else "B"
+      abConf.toSeq.flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      }
       if (master.startsWith("local-cluster")) {
         builder
           .config("spark.executor.extraJavaOptions", jdk17AddOpens)
@@ -67,7 +76,14 @@ object ProfileCrawl {
       val taskCount = new java.util.concurrent.atomic.AtomicLong
       val stageNames = new java.util.concurrent.ConcurrentHashMap[Int, String]()
       val stageTime = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.AtomicLong]()
+      val stageJob = new java.util.concurrent.ConcurrentHashMap[Int, String]()
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val desc = Option(e.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("?")
+          e.stageIds.foreach(sid => stageJob.put(sid, desc))
+          ()
+        }
         override def onStageSubmitted(e: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
           stageNames.put(e.stageInfo.stageId, e.stageInfo.name.take(60)); ()
         }
@@ -92,12 +108,17 @@ object ProfileCrawl {
         println(s"  ROUND ${r.round}: candidates=${r.candidates} admitted=${r.admitted} " +
           s"fetched=${r.fetched} outlinks=${r.outlinks} seen_total=${r.seenTotal}")
       }
-      println(f"PROFILE-CRAWL threads=$threads rep=$rep secs=$secs%.2f urls=${summary.rounds.map(_.fetched).sum} task_sec=${taskTime.get() / 1000.0}%.1f gc_sec=${gcTime.get() / 1000.0}%.1f tasks=${taskCount.get()} util=$util%.2f")
+      println(f"PROFILE-CRAWL threads=$threads rep=$rep conf=$abLabel secs=$secs%.2f urls=${summary.rounds.map(_.fetched).sum} task_sec=${taskTime.get() / 1000.0}%.1f gc_sec=${gcTime.get() / 1000.0}%.1f tasks=${taskCount.get()} util=$util%.2f")
       if (sys.env.get("GRAFT_STAGES").contains("1")) {
         import scala.jdk.CollectionConverters._
         stageTime.asScala.toSeq.sortBy(-_._2.get()).take(12).foreach { case (sid, t) =>
-          println(f"  STAGE $sid%4d ${t.get() / 1000.0}%8.1fs  ${stageNames.getOrDefault(sid, "?")}")
+          println(f"  STAGE $sid%4d ${t.get() / 1000.0}%8.1fs  ${stageJob.getOrDefault(sid, "?")}%-16s ${stageNames.getOrDefault(sid, "?")}")
         }
+        stageTime.asScala.toSeq.groupBy(kv => stageJob.getOrDefault(kv._1, "?"))
+          .map { case (g, xs) => g -> xs.map(_._2.get()).sum }
+          .toSeq.sortBy(-_._2).foreach { case (g, t) =>
+            println(f"  JOB   ${t / 1000.0}%8.1fs  $g")
+          }
       }
       spark.stop()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
