@@ -36,7 +36,10 @@ object Queries {
       .otherwise(base)
   }
 
-  private val canonUdf = udf(UrlFunctions.canonicalizeUrl _)
+  // the native codegen expression (UrlExprParitySpec pins bit-equality
+  // with the scalar UDF and the Column twin) — keeps the canonicalize →
+  // groupBy pipeline inside WholeStageCodegen, no UDF row conversion
+  private def canonUdf(c: Column): Column = graft.functions.UrlExprs.canonicalize(c)
 
   // q01 — scan + agg pushdown (S1/A-family): the TPC-H Q1 shape.
   def q01AggPushdown(spark: SparkSession, dir: String): DataFrame =
