@@ -31,7 +31,7 @@ object Dedup {
     */
   def shingles(text: Column, k: Int): Column = {
     val f = udf { (t: String) =>
-      val norm = t.toLowerCase.replaceAll("\\s+", " ").trim
+      val norm = WsRun.matcher(t.toLowerCase).replaceAll(" ").trim
       val toks = norm.split(" ")
       val out = new java.util.LinkedHashSet[String]()
       var i = 0
@@ -212,8 +212,12 @@ object Dedup {
     * whole signature — and therefore the banding and hamming joins —
     * has an exact ANSI-SQL oracle twin (q26).
     */
+  private val WsRun = java.util.regex.Pattern.compile("\\s+")
+
   def simhash64(text: String): Long = {
-    val toks = text.toLowerCase.replaceAll("\\s+", " ").trim.split(" ").filter(_.nonEmpty)
+    // single-pass tokenizer, same token list as the spec's
+    // lowercase → collapse-whitespace → trim → split(" ") → nonEmpty
+    val toks = WsRun.split(text.toLowerCase).filter(_.nonEmpty)
     if (toks.isEmpty) return 0L
     val acc = new Array[Int](64)
     toks.foreach { t =>

@@ -195,9 +195,15 @@ object TextAnalysis {
     * 64-bit string hash used wherever an oracle-checkable hash is
     * needed (SimHash token hashing, multimodal codec sniffing).
     */
+  private val WsRunPattern = java.util.regex.Pattern.compile("\\s+")
+
+  // one digest instance per thread: getInstance("MD5") is a provider
+  // lookup + allocation, and simhash calls this once per TOKEN
+  private val md5Digest = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
   def md5Lower64(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val d = md5Digest.get().digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.nio.ByteBuffer.wrap(d, 8, 8).order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
   }
 
@@ -216,7 +222,7 @@ object TextAnalysis {
     * non-oracle queries and by tests).
     */
   def rollingFingerprint(text: String, window: Int = 16): Long = {
-    val s = text.toLowerCase.replaceAll("\\s+", " ").trim
+    val s = WsRunPattern.matcher(text.toLowerCase).replaceAll(" ").trim
     if (s.isEmpty) return 0L
     val p = (1L << 61) - 1
     val base = 31L
