@@ -65,7 +65,11 @@ object ProfileCrawl {
         pagesPerHost = 5000, seed = 42L, outlinksPerDoc = 4,
         spansPerDoc = sys.env.getOrElse("GRAFT_SPANS", "6").toInt)
       val cfg = CrawlConfig(
-        numPartitions = sys.env.getOrElse("GRAFT_PARTS", "64").toInt,
+        // "graft.parts" in a GRAFT_CONF_A/B string lets the crawl's OWN
+        // partitioning (the politeness repartition) participate in the
+        // same-JVM A/B, not just the session shuffle partitions
+        numPartitions = spark.conf.getOption("graft.parts")
+          .getOrElse(sys.env.getOrElse("GRAFT_PARTS", "64")).toInt,
         saltsPerHost = 4,
         hostBudgetPerRound = 64, maxRounds = rounds,
         bloomExpectedItems = 1L << 21)
