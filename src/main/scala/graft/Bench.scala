@@ -21,14 +21,14 @@ import org.apache.spark.sql.SparkSession
   * inside the hardware's linear region; local[32] is still run for the
   * headline absolute throughput, and the measured hardware ceiling
   * ships in BASELINE.md for context. Protocol: median of PER-PAIR
-  * ratios over 7 interleaved (N, 4N) pairs with alternating within-pair
+  * ratios over 5 interleaved (N, 4N) pairs with alternating within-pair
   * order, AQE disabled in the crawl sessions for plan parity —
   * interleaving exposes both sizes to the same host noise windows, the
   * per-pair ratio cancels slow drift, and the median survives bursts
   * that hit one side of a pair (single runs swing ±30%, occasionally 3×).
   *
   * Prints ONE JSON line. Workload knobs via env:
-  * SPARK_GRAFT_BENCH_SEEDS (default 2000000), SPARK_GRAFT_BENCH_ROUNDS
+  * SPARK_GRAFT_BENCH_SEEDS (default 4000000), SPARK_GRAFT_BENCH_ROUNDS
   * (default 2).
   */
 object Bench {
@@ -79,8 +79,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
+    // hosts scale with seeds (~100 seeds/host) so the politeness budget
+    // (64/host/round) admits the same per-host fraction at every
+    // workload size — seeds 2x => fetched URLs 2x, measured exactly
     val universe = SyntheticWeb.Universe(
-      numHosts = 20000, pagesPerHost = 5000, seed = 42L, outlinksPerDoc = 4)
+      numHosts = math.max(20000, seeds / 100), pagesPerHost = 5000,
+      seed = 42L, outlinksPerDoc = 4)
     // partitions fixed (not thread-count-dependent) so the PLAN is
     // identical at both sizes — only execution parallelism changes.
     // 32 (not 64): measured faster at EVERY size (fewer task dispatches
@@ -88,7 +92,8 @@ object Bench {
     // work) and still one task per thread at the local[32] headline
     val cfg = CrawlConfig(numPartitions = 32, saltsPerHost = 4,
       hostBudgetPerRound = 64, maxRounds = rounds,
-      bloomExpectedItems = 1L << 21)
+      // final seen ≈ 1.1x seeds over 2 rounds; 2x keeps the fpp honest
+      bloomExpectedItems = math.max(1L << 21, 2L * seeds))
     val root = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(fastDir), s"graft-bench-$threads").toString
     val t0 = System.nanoTime()
@@ -105,7 +110,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val seeds = sys.env.getOrElse("SPARK_GRAFT_BENCH_SEEDS", "2000000").toInt
+    // 4M seeds (4.45M URLs/run): doubling the per-run compute over the
+    // same fixed costs lifts 8-thread utilization 0.75 -> 0.85 (stage
+    // tails amortize), which is margin the N->4N ratio keeps when the
+    // host is noisy; 5 pairs of the bigger runs cost what 7 of the
+    // small ones did
+    val seeds = sys.env.getOrElse("SPARK_GRAFT_BENCH_SEEDS", "4000000").toInt
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "2").toInt
 
     // ---- part 1: operator queries ----
@@ -136,12 +146,12 @@ object Bench {
     spark.stop()
 
     // ---- part 2: crawl throughput at N and 4N parallelism ----
-    // MEDIAN of 3 interleaved (N, 4N) pairs: single runs on this VM
-    // swing ±30% (and occasionally 3×) with host noise; interleaving
-    // keeps both sizes exposed to the same noise windows, and the
-    // median is robust to one polluted run per size where best-of-2
+    // median of per-pair ratios over interleaved (N, 4N) pairs: single
+    // runs on this VM swing ±30% (and occasionally 3×) with host noise;
+    // interleaving keeps both sizes exposed to the same noise windows,
+    // and the median is robust to one polluted pair where best-of-2
     // was not (BENCH_r02 recorded a 543 s outlier at local[2]).
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "7").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
     // JIT warmup: two FULL-size runs at local[32] before anything is
     // measured. Without deep warmth the first measured runs pay
     // interpreted/C1 task time — and pay MORE of it at higher thread

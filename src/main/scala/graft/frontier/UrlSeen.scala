@@ -61,9 +61,29 @@ object UrlSeen {
   /** Distributed bloom over a delta's `url_hash` column, parameterized
     * identically to the running bloom so `mergeInPlace` accepts it.
     * Cost: O(delta) inserts + a fixed-size bit-array OR-reduction.
+    *
+    * NOT `df.stat.bloomFilter`: its BloomFilterAggregate clamps the bit
+    * array at `spark.sql.optimizer.runtime.bloomFilter.maxNumBits`
+    * (2^26 by default), so past ~7M expected items at fpp 0.01 the
+    * aggregated filter silently gets a SMALLER bit size than
+    * `BloomFilter.create` with the same parameters and `mergeInPlace`
+    * throws IncompatibleMergeException. Per-partition filters built on
+    * the executors + a treeReduce OR keep the exact (expectedItems,
+    * fpp) geometry at any size; merge work stays off the driver until
+    * the final reduced filter returns.
     */
-  def bloomOfDelta(delta: DataFrame, expectedItems: Long, fpp: Double): BloomFilter =
-    delta.stat.bloomFilter("url_hash", math.max(expectedItems, 1024), fpp)
+  def bloomOfDelta(delta: DataFrame, expectedItems: Long, fpp: Double): BloomFilter = {
+    val cap = math.max(expectedItems, 1024)
+    val spark = delta.sparkSession
+    import spark.implicits._
+    val partials = delta.select("url_hash").as[Long].rdd.mapPartitions { it =>
+      val b = BloomFilter.create(cap, fpp) // created executor-side, not shipped in the closure
+      it.foreach(b.putLong)
+      Iterator.single(b)
+    }
+    if (partials.getNumPartitions == 0) emptyBloom(cap, fpp)
+    else partials.treeReduce((a, b) => { a.mergeInPlace(b); a })
+  }
 
   /** One-time full build (resume fallback when no persisted bloom
     * exists — legacy snapshots only; the steady state is incremental).

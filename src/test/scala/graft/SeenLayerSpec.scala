@@ -128,6 +128,22 @@ class SeenLayerSpec extends SparkSpec {
     assert(cold === expected)
   }
 
+  test("bloomOfDelta merges into the running bloom past Spark's aggregate numBits clamp") {
+    // regression: df.stat.bloomFilter clamps the bit array at
+    // spark.sql.optimizer.runtime.bloomFilter.maxNumBits (2^26), so an
+    // 8M-item fpp-0.01 delta bloom (76.7M optimal bits) built that way
+    // has a different geometry than BloomFilter.create and mergeInPlace
+    // throws IncompatibleMergeException mid-crawl. bloomOfDelta must
+    // keep the exact (expectedItems, fpp) geometry at any capacity.
+    import spark.implicits._
+    val cap = 8000000L
+    val running = UrlSeen.emptyBloom(cap, 0.01)
+    val delta = (1L to 5000L).toDF("url_hash")
+    val deltaBloom = UrlSeen.bloomOfDelta(delta, cap, 0.01)
+    running.mergeInPlace(deltaBloom) // throws before the fix
+    (1L to 5000L).foreach(h => assert(running.mightContainLong(h)))
+  }
+
   test("filterNew: exactly the unseen urls survive, under all sketch layers") {
     import spark.implicits._
     val seen = (0 until 500).map(i => SeenUrl(s"https://h/$i", graft.functions.UrlFunctions.urlHash(s"https://h/$i"), 0)).toDF()
