@@ -28,10 +28,21 @@ object Dedup {
     * order over the whitespace-normalized text. One-pass UDF — the
     * equivalent transform/sequence/slice higher-order expression tree
     * is interpreted per element and benchmarks 10-14× slower.
+    *
+    * Tokenization trims ONLY regex-`\s` whitespace (space-only trim
+    * after the `\s+` collapse) — canonical semantics shared with the
+    * native [[graft.functions.MinHashExprs]] expressions AND the DuckDB
+    * oracle (`trim(regexp_replace(..., '\s+', ' ', 'g'))`; DuckDB trim
+    * strips spaces only). `String.trim`, which the earlier twin used,
+    * would also strip C0 control chars ≤ U+0020 (e.g. ``) that
+    * none of the other two engines strip — MinHashParitySpec pins the
+    * control-char cases.
     */
   def shingles(text: Column, k: Int): Column = {
     val f = udf { (t: String) =>
-      val norm = WsRun.matcher(t.toLowerCase).replaceAll(" ").trim
+      var norm = WsRun.matcher(t.toLowerCase).replaceAll(" ")
+      if (norm.startsWith(" ")) norm = norm.substring(1)
+      if (norm.endsWith(" ")) norm = norm.substring(0, norm.length - 1)
       val toks = norm.split(" ")
       val out = new java.util.LinkedHashSet[String]()
       var i = 0
@@ -256,9 +267,13 @@ object Dedup {
     require(bands > 0 && bitsPerBand > 0 && bands * bitsPerBand <= 64,
       s"banding must fit the 64-bit signature: $bands x $bitsPerBand")
     require(probeRadius == 0 || probeRadius == 1, "probeRadius ∈ {0, 1}")
-    val sim = udf(simhash64 _)
     val mask = if (bitsPerBand == 64) -1L else (1L << bitsPerBand) - 1
-    val withSig = docs.select(col(idCol).as("id"), sim(col(textCol)).as("sig"))
+    // native codegen signature (fused tokenize+md5+fold; the scalar-UDF
+    // twin [[simhash64]] it replaced stays as the parity anchor the
+    // q26/q37 oracles were verified against — MinHashParitySpec pins
+    // expression↔UDF equality)
+    val withSig = docs.select(col(idCol).as("id"),
+      graft.functions.MinHashExprs.simhashCol(col(textCol)).as("sig"))
     val exact = withSig.select(col("id"), col("sig"),
       posexplode(array((0 until bands).map(b =>
         shiftrightunsigned(col("sig"), b * bitsPerBand).bitwiseAND(lit(mask))): _*))

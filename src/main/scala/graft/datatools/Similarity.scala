@@ -60,13 +60,19 @@ object Similarity {
 
     // corpus → nearest centroid (broadcast cents; one pass). Ranking
     // keys round to 6 so near-tie assignment is fp-robust and matches
-    // the SQL oracle twin; exact ties break on cid.
-    val assignW = Window.partitionBy("corpus_id").orderBy(col("csim").desc, col("cid"))
+    // the SQL oracle twin; exact ties break on cid. Argmax is a
+    // PARTIAL-AGGREGATING max_by — lexicographic max of (csim, -cid) ==
+    // the old window's (csim DESC, cid ASC) rank 1, but the map-side
+    // combine collapses the corpus×nList scored rows back to one row
+    // per corpus_id before the exchange, and nothing sorts: at 100 TB
+    // the former row_number() window was a full shuffle+sort of 16×
+    // the corpus.
     val assigned = c.join(broadcast(cents))
       .withColumn("csim", round(Dedup.cosine(col("cv"), col("centroid")), 6))
-      .withColumn("crank", row_number().over(assignW))
-      .filter(col("crank") === 1)
-      .select(col("corpus_id"), col("cv"), col("cid").as("list_id"))
+      .groupBy("corpus_id")
+      .agg(max_by(struct(col("cid"), col("cv")),
+        struct(col("csim"), -col("cid"))).as("best"))
+      .select(col("corpus_id"), col("best.cv").as("cv"), col("best.cid").as("list_id"))
 
     // query → nProbe nearest centroids
     val probeW = Window.partitionBy("query_id").orderBy(col("qsim").desc, col("cid"))

@@ -72,11 +72,31 @@ object UrlSeen {
     * fpp) geometry at any size; merge work stays off the driver until
     * the final reduced filter returns.
     */
-  def bloomOfDelta(delta: DataFrame, expectedItems: Long, fpp: Double): BloomFilter = {
-    val cap = math.max(expectedItems, 1024)
+  /** Per-partition partial filters are FULL-capacity (merge geometry),
+    * so their count is the multiplier on the reduce traffic: at the
+    * 10⁹-item broadcast ceiling each partial is ~1.2 GB, and an
+    * unbounded upstream partition count (a wide delta arrives with
+    * hundreds of partitions) would push partials × 1.2 GB through
+    * treeReduce. The delta is coalesced (no shuffle) to at most this
+    * many build partitions first — bounded reduce bytes at any width,
+    * still parallel enough to hide the insert cost.
+    */
+  val MaxDeltaPartials = 8
+
+  /** The delta's url_hash rows, coalesced to ≤ [[MaxDeltaPartials]]
+    * partitions for partial-filter building (public for SeenLayerSpec's
+    * partial-count regression).
+    */
+  def boundedDeltaRdd(delta: DataFrame): org.apache.spark.rdd.RDD[Long] = {
     val spark = delta.sparkSession
     import spark.implicits._
-    val partials = delta.select("url_hash").as[Long].rdd.mapPartitions { it =>
+    val rdd = delta.select("url_hash").as[Long].rdd
+    if (rdd.getNumPartitions > MaxDeltaPartials) rdd.coalesce(MaxDeltaPartials) else rdd
+  }
+
+  def bloomOfDelta(delta: DataFrame, expectedItems: Long, fpp: Double): BloomFilter = {
+    val cap = math.max(expectedItems, 1024)
+    val partials = boundedDeltaRdd(delta).mapPartitions { it =>
       val b = BloomFilter.create(cap, fpp) // created executor-side, not shipped in the closure
       it.foreach(b.putLong)
       Iterator.single(b)
@@ -240,7 +260,15 @@ object UrlSeen {
     import org.apache.hadoop.fs.Path
     val p = new Path(s"$dir/$name")
     val fs = p.getFileSystem(conf)
-    val tmp = new Path(s"$dir/.$name.tmp")
+    // attempt-unique tmp name: under speculative execution or a stage
+    // retry, two attempts of the same cogroup task can run concurrently;
+    // a shared `.name.tmp` would interleave their writes into one torn
+    // file before rename. Each attempt writing (and renaming) its own
+    // fully-written tmp keeps the delete-then-rename idempotent.
+    val attempt = Option(org.apache.spark.TaskContext.get())
+      .map(tc => s"attempt-${tc.taskAttemptId()}")
+      .getOrElse(s"driver-${Thread.currentThread().getId}")
+    val tmp = new Path(s"$dir/.$name.$attempt.tmp")
     val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
     if (fs.exists(p)) fs.delete(p, false)
@@ -254,6 +282,49 @@ object UrlSeen {
   def finishCuckooDir(dir: String, conf: org.apache.hadoop.conf.Configuration): Unit = {
     val done = new org.apache.hadoop.fs.Path(s"$dir/_DONE")
     done.getFileSystem(conf).create(done, true).close()
+  }
+
+  /** Whether `dir` holds at least one committed bloom shard
+    * (`bloom-<bucket>.bin` behind a `_DONE` marker). Used by the resume
+    * path to detect a checkpoint that predates sharded mode: trusting
+    * empty shards over a non-empty seen set would turn historical URLs
+    * into bloom false NEGATIVES and silently re-admit them.
+    */
+  def bloomShardsPresent(dir: String, conf: org.apache.hadoop.conf.Configuration): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val done = new Path(s"$dir/_DONE")
+    val fs = done.getFileSystem(conf)
+    // globStatus returns null (not empty) when the parent dir is absent
+    fs.exists(done) &&
+      Option(fs.globStatus(new Path(s"$dir/bloom-*.bin"))).exists(_.nonEmpty)
+  }
+
+  /** One-time bloom-shard seed from the FULL seen table — the sharded
+    * twin of the legacy broadcast-bloom rebuild. Runs exactly when a
+    * crawl resumes in sharded mode from a checkpoint whose blob dir has
+    * no shards (pre-sharded checkpoints, or a broadcast→sharded
+    * migration): each bucket's shard is built executor-side from every
+    * historical url_hash, so shard "no" answers are trustworthy from
+    * the first resumed round. Cost is one O(seen) pass, paid once.
+    */
+  def seedBloomShards(spark: SparkSession, seen: DataFrame, dir: String,
+                      capacityPerShard: Long, fpp: Double,
+                      buckets: Int = CuckooBuckets): Unit = {
+    import spark.implicits._
+    val hconf = new org.apache.spark.sql.SerializableHadoopConf(
+      spark.sessionState.newHadoopConf())
+    val cap = math.max(1024L, capacityPerShard)
+    seen.select(col("url_hash").cast("long")).as[Long]
+      .groupByKey(cuckooBucket(_, buckets))
+      .mapGroups { (bucket, keys) =>
+        val bf = BloomFilter.create(cap, fpp)
+        keys.foreach(bf.putLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        writeBlobFileNamed(dir, s"bloom-$bucket.bin", bos.toByteArray, hconf.value)
+        bucket
+      }.write.format("noop").mode("overwrite").save() // action drives the writes
+    finishCuckooDir(dir, driverHadoopConf)
   }
 
   /** Standalone blob-file write of an existing cuckoo state (spec /

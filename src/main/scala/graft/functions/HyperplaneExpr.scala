@@ -27,9 +27,29 @@ object HyperplaneExprs {
 
   /** `signs` is plane-major flattened: plane p's weights occupy
     * `[p*dim, (p+1)*dim)`.
+    *
+    * Degenerate inputs take the Column-stack twin's semantics: a null
+    * element anywhere in `[0, dim)` null-propagates through every
+    * plane's dot product, and `when(null > 0, 1).otherwise(0)` lands on
+    * '0' — so any null element (or a vector shorter than `dim`, whose
+    * missing `element_at` reads are null) yields the all-'0' bucket
+    * instead of silently treating nulls as 0.0 or throwing
+    * ArrayIndexOutOfBounds.
     */
   def signature(vec: ArrayData, signs: Array[Double], planes: Int, dim: Int): UTF8String = {
     val out = new Array[Byte](planes)
+    if (vec.numElements() < dim) {
+      java.util.Arrays.fill(out, '0'.toByte)
+      return UTF8String.fromBytes(out)
+    }
+    var d0 = 0
+    while (d0 < dim) {
+      if (vec.isNullAt(d0)) {
+        java.util.Arrays.fill(out, '0'.toByte)
+        return UTF8String.fromBytes(out)
+      }
+      d0 += 1
+    }
     var p = 0
     while (p < planes) {
       var dot = 0.0

@@ -142,12 +142,59 @@ object MinHashExprs {
     new GenericArrayData(out)
   }
 
+  // one digest instance per thread: getInstance("MD5") is a provider
+  // lookup + allocation, and simhash hashes once per TOKEN
+  private val md5Digest = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  /** 64-bit SimHash — byte-level twin of `Dedup.simhash64` (which the
+    * q26/q37 oracles were verified against): tokens are maximal non-`\s`
+    * byte runs of the lowercased text, each token hashed with
+    * `md5_number_lower` semantics (little-endian read of MD5 digest
+    * bytes 8..16 — the token's byte slice IS its UTF-8 encoding, so
+    * hashing the slice equals hashing `token.getBytes(UTF_8)`), folded
+    * into 64 signed counters. A doc with no non-empty token returns 0L,
+    * replicating the twin's `filter(_.nonEmpty)` + empty-guard.
+    */
+  def simhash(text: UTF8String): Long = {
+    val bytes = lowerBytes(text)
+    val (spans, n) = tokenSpans(bytes)
+    val md = md5Digest.get()
+    val acc = new Array[Int](64)
+    var any = false
+    var t = 0
+    while (t < n) {
+      val s = spans(2 * t); val e = spans(2 * t + 1)
+      if (e > s) { // tokenSpans' one zero-length token for empty docs is skipped
+        any = true
+        md.update(bytes, s, e - s)
+        val d = md.digest() // digest() finalizes AND resets
+        val h = java.nio.ByteBuffer.wrap(d, 8, 8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+        var bit = 0
+        while (bit < 64) {
+          if (((h >>> bit) & 1L) == 1L) acc(bit) += 1 else acc(bit) -= 1
+          bit += 1
+        }
+      }
+      t += 1
+    }
+    if (!any) return 0L
+    var out = 0L
+    var bit = 0
+    while (bit < 64) { if (acc(bit) > 0) out |= (1L << bit); bit += 1 }
+    out
+  }
+
   def signatureCol(text: Column, k: Int, perms: Seq[(Long, Long)]): Column =
     GraftBridge.column(MinHashSigExpr(GraftBridge.expression(text), k,
       perms.flatMap(p => Seq(p._1, p._2)).toArray))
 
   def shinglesCol(text: Column, k: Int): Column =
     GraftBridge.column(ShinglesExpr(GraftBridge.expression(text), k))
+
+  def simhashCol(text: Column): Column =
+    GraftBridge.column(SimHashExpr(GraftBridge.expression(text)))
 }
 
 /** text → array<long> MinHash signature (fused shingle+hash loop inside
@@ -167,6 +214,21 @@ case class MinHashSigExpr(child: Expression, k: Int, perms: Array[Long])
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "minhash_signature"
+}
+
+/** text → 64-bit SimHash signature (fused tokenize+md5+fold loop inside
+  * WholeStageCodegen) — replaces the per-row scalar UDF `udf(simhash64 _)`
+  * that BENCH_r03 measured as the slowest headline family (q26 3.79 s).
+  */
+case class SimHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    MinHashExprs.simhash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashExprs.simhash($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "simhash64"
 }
 
 /** text → array<string> distinct word k-grams (first-occurrence order). */

@@ -154,6 +154,27 @@ object CrawlJob {
       .map(c => s"${store.snapshotDir(c)}/cuckoo_bin")
       .filter(UrlSeen.cuckooFilesReady)
 
+    // sharded mode's shard source. Normally the shards live beside the
+    // cuckoo blobs (they ride the same cogroup), but a checkpoint that
+    // PREDATES sharded mode (seen rows, no bloom-*.bin) must not start
+    // its shards empty: the first rounds would answer "definitely new"
+    // for historical URLs — a bloom false NEGATIVE that skips the cuckoo
+    // and exact layers entirely and re-admits seen URLs. The resume path
+    // seeds the shards ONCE from the full seen table (the sharded twin
+    // of the legacy broadcast-bloom rebuild) into an auxiliary dir.
+    var bloomShardDir: Option[String] =
+      if (!bloomSharded) None
+      else cuckooDir.filter(d => UrlSeen.bloomShardsPresent(d, hadoopConf)) match {
+        case ready @ Some(_) => ready
+        case None if seenCount > 0 =>
+          val dir = s"${store.snapshotDir(store.currentSnapshot.get)}/bloom_seed_bin"
+          if (!UrlSeen.bloomShardsPresent(dir, hadoopConf))
+            UrlSeen.seedBloomShards(spark, seen, dir,
+              math.max(1024L, bloomCapacity / cuckooBuckets), bloomFpp, cuckooBuckets)
+          Some(dir)
+        case None => None // cold start: empty shards are honestly empty
+      }
+
     val stats = scala.collection.mutable.ArrayBuffer.empty[RoundStats]
     var round = startRound
     var continue = true
@@ -163,8 +184,16 @@ object CrawlJob {
     // (driver-side planning, job scheduling, parquet commit) overlap
     // instead of summing. ~10 serial job submissions per round was the
     // Amdahl fixed term that capped measured N→4N scaling efficiency.
-    val ioPool = java.util.concurrent.Executors.newFixedThreadPool(6,
-      (r: Runnable) => { val t = new Thread(r, "graft-round-io"); t.setDaemon(true); t })
+    // rejection handler runs the task INLINE instead of aborting: every
+    // job is awaited before the pool shuts down, so anything submitted
+    // during shutdown is a completion callback racing the final await —
+    // cheap, and correct to run on the submitting thread (parasitic
+    // semantics) rather than printed as a scary stack trace or dropped.
+    val ioPool = new java.util.concurrent.ThreadPoolExecutor(6, 6,
+      0L, java.util.concurrent.TimeUnit.MILLISECONDS,
+      new java.util.concurrent.LinkedBlockingQueue[Runnable](),
+      (r: Runnable) => { val t = new Thread(r, "graft-round-io"); t.setDaemon(true); t },
+      (r: Runnable, _: java.util.concurrent.ThreadPoolExecutor) => r.run())
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(ioPool)
     def job[A](label: String)(f: => A): scala.concurrent.Future[A] =
@@ -211,7 +240,7 @@ object CrawlJob {
       //    end of the previous round — nothing is rebuilt here
       val bloomLayer: UrlSeen.BloomLayer = bloomBcOpt match {
         case Some(bc) => UrlSeen.BroadcastBloom(bc)
-        case None => cuckooDir.map(UrlSeen.ShardedBloom.apply).getOrElse(UrlSeen.NoBloom)
+        case None => bloomShardDir.map(UrlSeen.ShardedBloom.apply).getOrElse(UrlSeen.NoBloom)
       }
       val newUrls = UrlSeen.filterNew(spark, dedup, seen, bloomLayer, cuckooDir, cuckooBuckets)
 
@@ -368,9 +397,10 @@ object CrawlJob {
       // sharded mode: the bloom shards fold the SAME delta inside the
       // cuckoo cogroup, reading each bucket's previous shard from the
       // previous round's dir — no driver bytes, no broadcast
-      val prevBlobDir = cuckooDir
+      // shard lineage follows bloomShardDir (not cuckooDir): on a seeded
+      // resume the previous shards live in the auxiliary seed dir
       val shardSpec =
-        if (bloomSharded) Some(UrlSeen.BloomShardSpec(prevBlobDir,
+        if (bloomSharded) Some(UrlSeen.BloomShardSpec(bloomShardDir,
           math.max(1024L, bloomCapacity / cuckooBuckets), bloomFpp))
         else None
       val cuckooFut = job("cuckoo-write") {
@@ -431,6 +461,7 @@ object CrawlJob {
       pending = store.read(spark, round, "pending").as[PendingUrl]
       cuckoo = store.read(spark, round, "cuckoo")
       cuckooDir = Some(s"${store.snapshotDir(round)}/cuckoo_bin")
+      if (bloomSharded) bloomShardDir = cuckooDir // shards rode this round's cogroup
 
       admissions.unpersist(); fetched.unpersist()
 

@@ -50,10 +50,15 @@ object Health {
             val seen = scala.util.Try(store.readSeen(spark, id).limit(1).count())
             // bloom lives as a driver-written blob file (bloom.bin), as
             // per-bucket shard files in sharded mode, or as the legacy
-            // one-row parquet table — any of the three counts
-            val bloomOk =
-              java.nio.file.Files.exists(
-                java.nio.file.Paths.get(store.snapshotDir(id), "bloom.bin")) ||
+            // one-row parquet table — any of the three counts. The blob
+            // check goes through the Hadoop FS API with the session conf
+            // (same as the writer) so non-local roots (hdfs://, s3a://)
+            // probe the store that was actually written, not the local
+            // disk.
+            val bloomOk = {
+              val p = new org.apache.hadoop.fs.Path(s"${store.snapshotDir(id)}/bloom.bin")
+              p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+            } ||
               store.manifestMeta(id).get("bloom_sharded").contains("true") ||
               store.hasTable(id, "bloom")
             val sketches =

@@ -1,5 +1,6 @@
 package graft
 
+import graft.frontier.UrlSeen
 import graft.model.CrawlConfig
 import graft.pipeline.CrawlJob
 import graft.sources.{SnapshotStore, SyntheticWeb}
@@ -112,6 +113,41 @@ class CrawlJobSpec extends SparkSpec {
       .select("url_canon", "round_first_seen")
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     assert(engineSeen === model.seen)
+  }
+
+  test("sharded resume of a pre-sharded checkpoint seeds shards from the seen table") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("crawl-shard-seed").toString
+    // rounds 0-1 in broadcast-bloom mode
+    CrawlJob.run(spark, seeds.toDS(), robots, hostMap.toDS(), universe,
+      cfg.copy(maxRounds = 2, bloomSharded = false), root)
+    val store = new SnapshotStore(root)
+    val ckpt = store.currentSnapshot.get
+    // simulate a checkpoint that PREDATES sharded mode: its manifest has
+    // no bloom_sharded key, so resume falls back to the caller's cfg
+    val mf = java.nio.file.Paths.get(store.snapshotDir(ckpt), "MANIFEST.json")
+    Files.writeString(mf,
+      Files.readString(mf).replace("\"bloom_sharded\"", "\"legacy_stripped\""))
+    assert(!store.manifestMeta(ckpt).contains("bloom_sharded"))
+    // resume WITH bloomSharded=true: without the one-time shard seed the
+    // first rounds would build shards from the round delta only, answer
+    // "definitely new" for historical URLs (bloom false NEGATIVE,
+    // skipping cuckoo AND the exact anti-join) and re-admit them
+    CrawlJob.run(spark, seeds.toDS(), robots, hostMap.toDS(), universe,
+      cfg.copy(maxRounds = 2, bloomSharded = true), root)
+    // the seed dir was built next to the pre-sharded checkpoint
+    assert(UrlSeen.bloomShardsPresent(s"${store.snapshotDir(ckpt)}/bloom_seed_bin",
+      spark.sessionState.newHadoopConf()))
+    val last = store.currentSnapshot.get
+    val model4 = ReferenceCrawl.run(seeds, robots,
+      hostMap.map(h => h.host -> h.ips).toMap, universe, cfg.copy(maxRounds = 4))
+    val seenRows = store.readSeen(spark, last)
+      .select("url_canon", "round_first_seen")
+      .collect().map(r => r.getString(0) -> r.getInt(1))
+    // no duplicate url_canon rows (re-admission would duplicate), and
+    // the map equals the 4-round straight-line model exactly
+    assert(seenRows.length === seenRows.map(_._1).distinct.length)
+    assert(seenRows.toMap === model4.seen)
   }
 
   test("resume adopts the checkpoint's cuckoo bucket count (manifest wins over cfg)") {

@@ -137,6 +137,35 @@ class DatatoolsSpec extends SparkSpec {
     }
   }
 
+  test("hyperplane signature: null elements and short vectors take the twin's all-'0' bucket") {
+    import spark.implicits._
+    val dim = 8
+    val signs = Dedup.hyperplaneSigns(dim, 4, 42L)
+    // the Column-stack twin null-propagates any null element through
+    // every plane's dot product, and when(null > 0, ...) lands on '0';
+    // a vector shorter than dim reads missing elements as null the same
+    // way — the native expression must match instead of treating nulls
+    // as 0.0 or throwing ArrayIndexOutOfBounds
+    val rows = Seq(
+      ("ok", Seq[java.lang.Double](1.0, -2.0, 3.0, -4.0, 5.0, -6.0, 7.0, -8.0)),
+      ("with_null", Seq[java.lang.Double](1.0, -2.0, null, -4.0, 5.0, -6.0, 7.0, -8.0)),
+      ("short", Seq[java.lang.Double](1.0, -2.0, 3.0)),
+      ("empty", Seq.empty[java.lang.Double])
+    ).toDF("label", "vd")
+      .select(col("label"),
+        graft.functions.HyperplaneExprs.signatureCol(col("vd"), signs).as("sig"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows("with_null") === "0000")
+    assert(rows("short") === "0000")
+    assert(rows("empty") === "0000")
+    val okVec = Seq(1.0, -2.0, 3.0, -4.0, 5.0, -6.0, 7.0, -8.0)
+    val okExpected = signs.map { s =>
+      val dot = (0 until dim).foldLeft(0.0)((acc, d) => acc + okVec(d) * s(d))
+      if (dot > 0) '1' else '0'
+    }.mkString
+    assert(rows("ok") === okExpected)
+  }
+
   test("embedding near-dup LSH: planted duplicate vectors found with cosine 1.0") {
     import spark.implicits._
     val vecs = (0 until 50).map { i =>

@@ -128,6 +128,43 @@ class SeenLayerSpec extends SparkSpec {
     assert(cold === expected)
   }
 
+  test("seedBloomShards: every historical url_hash answers maybe in its shard") {
+    import spark.implicits._
+    val hashes = (0 until 3000).map(i => graft.functions.UrlFunctions.urlHash(s"https://h/$i"))
+    val seen = hashes.zipWithIndex.map { case (h, i) => (s"https://h/$i", h, 0) }
+      .toDF("url_canon", "url_hash", "round_first_seen")
+    val dir = java.nio.file.Files.createTempDirectory("bloom-seed").toString
+    val conf = spark.sessionState.newHadoopConf()
+    assert(!UrlSeen.bloomShardsPresent(dir, conf))
+    UrlSeen.seedBloomShards(spark, seen, dir, capacityPerShard = 1024, fpp = 0.01)
+    assert(UrlSeen.bloomShardsPresent(dir, conf))
+    // every historical hash must read "maybe" from its own shard — a
+    // false NEGATIVE here is exactly the re-admission corruption the
+    // seeded resume path exists to prevent
+    hashes.foreach { h =>
+      val b = UrlSeen.cuckooBucket(h)
+      val bf = UrlSeen.readBloomFile(s"$dir/bloom-$b.bin", conf)
+      assert(bf.isDefined, s"missing shard $b")
+      assert(bf.get.mightContainLong(h), s"false negative for $h in shard $b")
+    }
+  }
+
+  test("bloomOfDelta builds at most MaxDeltaPartials full-capacity partials") {
+    // each partial is a FULL-capacity filter (merge geometry), so the
+    // upstream partition count multiplies the treeReduce traffic: a
+    // 10^9-capacity crawl's partials are ~1.2 GB EACH. A wide delta
+    // must be coalesced before the per-partition build.
+    import spark.implicits._
+    val delta = (1L to 50000L).toDF("url_hash").repartition(64)
+    assert(UrlSeen.boundedDeltaRdd(delta).getNumPartitions <= UrlSeen.MaxDeltaPartials)
+    // and the bounded build still has no false negatives
+    val bf = UrlSeen.bloomOfDelta(delta, 100000, 0.01)
+    (1L to 50000L by 997L).foreach(h => assert(bf.mightContainLong(h)))
+    // a narrow delta keeps its (smaller) partition count
+    val narrow = (1L to 100L).toDF("url_hash").repartition(2)
+    assert(UrlSeen.boundedDeltaRdd(narrow).getNumPartitions <= 2)
+  }
+
   test("bloomOfDelta merges into the running bloom past Spark's aggregate numBits clamp") {
     // regression: df.stat.bloomFilter clamps the bit array at
     // spark.sql.optimizer.runtime.bloomFilter.maxNumBits (2^26), so an
