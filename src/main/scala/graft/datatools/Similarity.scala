@@ -48,35 +48,48 @@ object Similarity {
       .orderBy(md5(col("cid").cast("string")), col("cid"))
       .limit(nList)
 
+  /** The centroid table, collected: (cid, vector) pairs + dim. ONE
+    * corpus pass (the md5-ordered pick); the result is a bounded
+    * driver-side object by construction — nList is an index parameter
+    * (16 here, ≤ ~2¹⁴ at 10⁹+ vectors ≈ 8 MB), the same small table
+    * every IVF implementation holds to route queries.
+    */
+  private def collectCentroids(corpus: DataFrame, nList: Int,
+                               idCol: String, vecCol: String): Seq[(Long, Seq[Double])] =
+    pickCentroids(corpus, nList, idCol, vecCol).collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+
   /** IVF top-k: assign corpus rows to their nearest centroid, probe the
     * nProbe nearest lists per query, exact cosine within probed lists.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nList: Int = 16, nProbe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = pickCentroids(corpus, nList, idCol, vecCol)
+    val spark = corpus.sparkSession
+    val centroids = collectCentroids(corpus, nList, idCol, vecCol)
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).cast("array<double>").as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+    if (centroids.isEmpty) // empty corpus: empty result, right schema
+      return c.join(q, col("corpus_id") === col("query_id") && lit(false))
+        .select(col("query_id"), col("corpus_id"), lit(0.0).as("cos"), lit(0).as("rank"))
+    val dim = centroids.head._2.length
 
-    // corpus → nearest centroid (broadcast cents; one pass). Ranking
-    // keys round to 6 so near-tie assignment is fp-robust and matches
-    // the SQL oracle twin; exact ties break on cid. Argmax is a
-    // PARTIAL-AGGREGATING max_by — lexicographic max of (csim, -cid) ==
-    // the old window's (csim DESC, cid ASC) rank 1, but the map-side
-    // combine collapses the corpus×nList scored rows back to one row
-    // per corpus_id before the exchange, and nothing sorts: at 100 TB
-    // the former row_number() window was a full shuffle+sort of 16×
-    // the corpus.
-    val assigned = c.join(broadcast(cents))
-      .withColumn("csim", round(Dedup.cosine(col("cv"), col("centroid")), 6))
-      .groupBy("corpus_id")
-      .agg(max_by(struct(col("cid"), col("cv")),
-        struct(col("csim"), -col("cid"))).as("best"))
-      .select(col("corpus_id"), col("best.cv").as("cv"), col("best.cid").as("list_id"))
+    // corpus → nearest centroid in ONE narrow projection: the fused
+    // argmax expression scans the broadcast centroid matrix per row —
+    // no explode-join, no exchange, no sort; same (round(csim,6) DESC,
+    // cid ASC) ranking as the window/max_by forms it replaced
+    // (ColumnParitySpec pins all three, PLANS.md has the plan diff).
+    val assigned = c.withColumn("list_id",
+      graft.functions.NearestCentroidExprs.nearestCol(col("cv"), centroids, dim))
 
-    // query → nProbe nearest centroids
+    // query → nProbe nearest centroids (queries are small; the window
+    // over query_id is per-query top-N of nList rows). The centroid
+    // frame is rebuilt from the collected rows — no second corpus pass.
+    import spark.implicits._
+    val centsDf = centroids.map { case (cid, v) => (cid, v) }.toDF("cid", "centroid")
+      .withColumn("centroid", col("centroid").cast("array<double>"))
     val probeW = Window.partitionBy("query_id").orderBy(col("qsim").desc, col("cid"))
-    val probes = q.join(broadcast(cents))
+    val probes = q.join(broadcast(centsDf))
       .withColumn("qsim", round(Dedup.cosine(col("qv"), col("centroid")), 6))
       .withColumn("prank", row_number().over(probeW))
       .filter(col("prank") <= nProbe)
@@ -87,6 +100,75 @@ object Similarity {
       .withColumn("cos", round(Dedup.cosine(col("cv"), col("qv")), 6))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id"))
     scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "cos", "rank")
+  }
+
+  /** IVF with FLOAT32-compressed list payloads + exact re-rank — the
+    * 10⁹+-vector memory path. [[ivfTopK]]'s probed lists store and scan
+    * full float64 arrays; at a billion 64-dim embeddings that is 512 GB
+    * of hot list payload. Here the lists carry float32-quantized
+    * vectors (half the bytes scanned and shuffled — the win grows with
+    * any further SQ/PQ step, which would slot into the same two-phase
+    * shape), the probed-list scan ranks by QUANTIZED cosine, and only
+    * the top `rerank` candidates per query gather their full-precision
+    * vectors (a ~rerank×queries row join, not a corpus pass) for the
+    * exact final top-k.
+    *
+    * Quantization is IEEE double→float→double rounding — bit-identical
+    * in Spark (`cast(array<float>)`) and DuckDB (`::REAL[]::DOUBLE[]`),
+    * so the whole two-phase pipeline keeps an exact SQL oracle twin
+    * (q40). Centroid assignment happens on full-precision vectors (an
+    * index-build-time step) via the same fused argmax expression as
+    * [[ivfTopK]].
+    */
+  def ivfTopKF32(corpus: DataFrame, queries: DataFrame, k: Int,
+                 nList: Int = 16, nProbe: Int = 4, rerank: Int = 20,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(rerank >= k, s"rerank window $rerank must cover k=$k")
+    val spark = corpus.sparkSession
+    val centroids = collectCentroids(corpus, nList, idCol, vecCol)
+    val c = corpus.select(col(idCol).as("corpus_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+    if (centroids.isEmpty)
+      return c.join(q, col("corpus_id") === col("query_id") && lit(false))
+        .select(col("query_id"), col("corpus_id"), lit(0.0).as("cos"), lit(0).as("rank"))
+    val dim = centroids.head._2.length
+
+    // the persisted list payload: assignment from full precision, the
+    // heavy per-row array quantized to float32
+    val lists = c
+      .withColumn("list_id",
+        graft.functions.NearestCentroidExprs.nearestCol(col("cv"), centroids, dim))
+      .withColumn("cvq", col("cv").cast("array<float>").cast("array<double>"))
+      .select("list_id", "corpus_id", "cvq")
+
+    import spark.implicits._
+    val centsDf = centroids.toDF("cid", "centroid")
+      .withColumn("centroid", col("centroid").cast("array<double>"))
+    val probeW = Window.partitionBy("query_id").orderBy(col("qsim").desc, col("cid"))
+    val probes = q.join(broadcast(centsDf))
+      .withColumn("qsim", round(Dedup.cosine(col("qv"), col("centroid")), 6))
+      .withColumn("prank", row_number().over(probeW))
+      .filter(col("prank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cid").as("list_id"))
+
+    // phase 1: probed-list scan on the QUANTIZED payload
+    val wq = Window.partitionBy("query_id").orderBy(col("cos_q").desc, col("corpus_id"))
+    val candidates = lists.join(probes, Seq("list_id"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("cos_q", round(Dedup.cosine(col("cvq"), col("qv")), 6))
+      .withColumn("qrank", row_number().over(wq))
+      .filter(col("qrank") <= rerank)
+      .select("query_id", "qv", "corpus_id")
+
+    // phase 2: exact re-rank — gather full-precision vectors for the
+    // surviving candidates only
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id"))
+    candidates.join(c, Seq("corpus_id"))
+      .withColumn("cos", round(Dedup.cosine(col("cv"), col("qv")), 6))
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "corpus_id", "cos", "rank")
   }

@@ -69,8 +69,15 @@ object OracleSql {
     * signature 0 and bands them like any other doc, so the oracle
     * synthesizes those signature-0 rows explicitly (UNION ALL branch).
     */
-  private def simhashSql(bands: Int, bitsPerBand: Int, maxDist: Int): String = {
+  private def simhashSql(bands: Int, bitsPerBand: Int, maxDist: Int,
+                         probeHamming: Int = 0): String = {
     val mask = (1L << bitsPerBand) - 1
+    // radius-R multi-probe admits a candidate iff some band's buckets
+    // are within hamming R (each side probes every ≤R-bit flip of its
+    // own bucket) — for R = 0 this degenerates to bucket equality
+    val bucketCond =
+      if (probeHamming == 0) "a.bucket = b.bucket"
+      else s"bit_count(xor(a.bucket, b.bucket)) <= $probeHamming"
     s"""WITH toks AS (
        |  SELECT doc_id AS id, unnest(string_split($normText, ' ')) AS t FROM documents),
        |th AS (SELECT id, md5_number_lower(t) AS h FROM toks WHERE t <> ''),
@@ -86,7 +93,7 @@ object OracleSql {
        |  FROM sig CROSS JOIN generate_series(0, ${bands - 1}) AS g(band)),
        |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
        |  FROM banded a JOIN banded b
-       |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
+       |    ON a.band = b.band AND $bucketCond AND a.id < b.id)
        |SELECT id_a, id_b, bit_count(xor(sa, sb))::INT AS hamming
        |FROM pairs WHERE bit_count(xor(sa, sb)) <= $maxDist
        |ORDER BY id_a, id_b""".stripMargin
@@ -310,6 +317,41 @@ object OracleSql {
     // constants the Spark entry uses, so the parameterized banding is
     // itself oracle-verified (not just the default layout)
     "q37_simhash_bands" -> simhashSql(bands = 8, bitsPerBand = 8, maxDist = 6),
+
+    "q39_simhash_probe" ->
+      simhashSql(bands = 2, bitsPerBand = 32, maxDist = 6, probeHamming = 1),
+
+    // q35's IVF with float32-quantized list payloads + exact re-rank:
+    // ::REAL[]::DOUBLE[] is the same IEEE double→float→double rounding
+    // as Spark's cast(array<float>) — phase 1 ranks on the quantized
+    // cosine, phase 2 re-ranks the top-20 on full precision
+    "q40_ann_ivf_f32" ->
+      """WITH cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS centroid
+        |    FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+        |c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv,
+        |    embedding::REAL[]::DOUBLE[] AS cvq FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+        |    WHERE vec_id < 10),
+        |assign AS (SELECT corpus_id, cvq, cid AS list_id FROM (
+        |  SELECT corpus_id, cvq, cid, row_number() OVER (PARTITION BY corpus_id
+        |    ORDER BY round(list_cosine_similarity(cv, centroid), 6) DESC, cid) AS crank
+        |  FROM c CROSS JOIN cents) WHERE crank = 1),
+        |probes AS (SELECT query_id, qv, cid AS list_id FROM (
+        |  SELECT query_id, qv, cid, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY round(list_cosine_similarity(qv, centroid), 6) DESC, cid) AS prank
+        |  FROM q CROSS JOIN cents) WHERE prank <= 8),
+        |cand AS (SELECT query_id, qv, corpus_id FROM (
+        |  SELECT query_id, qv, corpus_id, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY round(list_cosine_similarity(cvq, qv), 6) DESC, corpus_id) AS qrank
+        |  FROM assign JOIN probes USING (list_id) WHERE corpus_id <> query_id)
+        |  WHERE qrank <= 20),
+        |rer AS (SELECT query_id, corpus_id,
+        |    round(list_cosine_similarity(cv, qv), 6) AS cos
+        |  FROM cand JOIN c USING (corpus_id)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, corpus_id) AS rank FROM rer)
+        |SELECT query_id, corpus_id, rank::INT AS rank, cos FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
 
     // wait/navigation option group: the oracle replays the Go-duration
     // parse for the generated forms (N + ms|s|m, bare number rejected),

@@ -378,6 +378,30 @@ object Queries {
       bands = 8, bitsPerBand = 8)
       .orderBy("id_a", "id_b")
 
+  // q39 — the EXTREME-SCALE SimHash banding: 2 bands × 32 bits keeps
+  // buckets sparse past 10¹⁰ docs (2³² buckets per band), and radius-1
+  // multi-probe recovers recall (pigeonhole: full recall for hamming ≤
+  // bands·(radius+1)−1 = 3). The oracle twin joins on WITHIN-BAND
+  // hamming ≤ 1 — exactly the single-bit-flip probe expansion — so the
+  // multi-probe candidate path itself is cross-engine-verified, not
+  // just the exact-bucket path of q26/q37.
+  def q39SimhashProbe(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(spark, dir, "documents"), maxDist = 6,
+      bands = 2, bitsPerBand = 32, probeRadius = 1)
+      .orderBy("id_a", "id_b")
+
+  // q40 — compressed IVF (the 10⁹+-vector memory path of q35): probed
+  // lists store float32-quantized payloads, scan ranks on quantized
+  // cosine, exact re-rank of the top-20 gathers full precision. The
+  // double→float→double rounding is IEEE-identical in DuckDB
+  // (::REAL[]::DOUBLE[]), so the whole two-phase pipeline has an exact
+  // oracle twin.
+  def q40AnnIvfF32(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.ivfTopKF32(emb, emb.filter(col("vec_id") < 10), k = 5,
+      nList = 16, nProbe = 8, rerank = 20).orderBy("query_id", "rank")
+  }
+
   // q27 — embedding cosine near-dup via the SCALE path: multi-table
   // hyperplane LSH (6 tables × 4 planes), candidates only inside
   // (table, bucket) groups, exact cosine verification — no cartesian
@@ -554,6 +578,8 @@ object Queries {
     "q35_ann_ivf" -> (q35AnnIvf _),
     "q36_cookie_header_binding" -> (q36CookieHeaderBinding _),
     "q37_simhash_bands" -> (q37SimhashBands _),
-    "q38_wait_options" -> (q38WaitOptions _)
+    "q38_wait_options" -> (q38WaitOptions _),
+    "q39_simhash_probe" -> (q39SimhashProbe _),
+    "q40_ann_ivf_f32" -> (q40AnnIvfF32 _)
   )
 }

@@ -166,6 +166,36 @@ class DatatoolsSpec extends SparkSpec {
     assert(rows("ok") === okExpected)
   }
 
+  test("nearest-centroid expression == explode-join window argmax (assignment parity)") {
+    import spark.implicits._
+    val dim = 8
+    val vecs = (0 until 120).map { i =>
+      (i.toLong, (0 until dim).map(d => math.sin(i * 13 + d * 7)))
+    }.toDF("corpus_id", "cv").withColumn("cv", col("cv").cast("array<double>"))
+    // 5 centroids, one DUPLICATED under a different id: every vector
+    // ties exactly on round(csim,6) for that pair and must resolve to
+    // the SMALLER cid, like row_number over (csim DESC, cid ASC)
+    val baseCents = (0 until 4).map(c => (c * 10L, (0 until dim).map(d => math.cos(c * 31 + d))))
+    val cents = baseCents :+ (99L, baseCents.head._2)
+    val centsDf = cents.toDF("cid", "centroid")
+      .withColumn("centroid", col("centroid").cast("array<double>"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("corpus_id").orderBy(col("csim").desc, col("cid"))
+    val expected = vecs.join(broadcast(centsDf))
+      .withColumn("csim", round(Dedup.cosine(col("cv"), col("centroid")), 6))
+      .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select("corpus_id", "cid")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = vecs.withColumn("list_id",
+      graft.functions.NearestCentroidExprs.nearestCol(col("cv"), cents, dim))
+      .select("corpus_id", "list_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    // the duplicated centroid (cid 99) must never win a tie against cid 0
+    assert(!got.values.exists(_ == 99L))
+    assert(got.values.exists(_ == 0L))
+  }
+
   test("embedding near-dup LSH: planted duplicate vectors found with cosine 1.0") {
     import spark.implicits._
     val vecs = (0 until 50).map { i =>
@@ -191,6 +221,19 @@ class DatatoolsSpec extends SparkSpec {
       .select("query_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute & partial).size.toDouble / brute.size
     assert(recall >= 0.5, s"IVF recall at half probe $recall")
+    // float32-compressed lists + exact re-rank: half the scanned bytes
+    // per probed list (4 B vs 8 B per dim) must not cost recall vs the
+    // uncompressed IVF at the same (nList, nProbe) — the re-rank window
+    // recovers any quantization-induced ordering slips
+    val f32 = Similarity.ivfTopKF32(emb, queries, k = 5, nList = 8, nProbe = 4, rerank = 20)
+      .select("query_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallF32 = (brute & f32).size.toDouble / brute.size
+    assert(recallF32 >= recall, s"compressed recall $recallF32 < uncompressed $recall")
+    // and at full probe the two-phase pipeline is EXACT (re-rank on full
+    // precision): identical to brute force
+    val f32full = Similarity.ivfTopKF32(emb, queries, k = 5, nList = 8, nProbe = 8, rerank = 20)
+      .select("query_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(f32full === brute, "nProbe = nList + exact re-rank must equal brute force")
   }
 
   test("language ID classifies planted multilingual snippets") {
