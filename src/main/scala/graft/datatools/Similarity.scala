@@ -13,6 +13,10 @@ import org.apache.spark.sql.functions._
   *     only, cutting scanned rows by ~nList/nProbe. At 100 TB the
   *     centroid assignment is the only full pass; per-query work is
   *     bounded by the probed lists.
+  *   - [[ivfTopKF32]]: the same index with float32-compressed list
+  *     payloads + exact re-rank — halves the bytes a probed-list scan
+  *     touches (4 B vs 8 B per dim; 256 GB instead of 512 GB of hot
+  *     payload at 10⁹ × 64 dims), the memory path past 10⁹ vectors.
   *
   * Ranking tiebreak is always (similarity DESC, corpus id ASC) so top-k
   * is deterministic and oracle-comparable.

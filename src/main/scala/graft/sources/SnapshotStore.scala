@@ -90,18 +90,55 @@ final class SnapshotStore(val root: String) {
       .map(m => m.group(1) -> m.group(2)).toMap
   }
 
+  /** The committed round of snapshot `id` (manifest "round" field);
+    * falls back to the snapshot id for staged-but-unmanifested dirs —
+    * the crawl layout keeps them equal.
+    */
+  def snapshotRound(id: Int): Int =
+    if (Files.exists(Paths.get(snapshotDir(id), "MANIFEST.json")))
+      """"round":\s*(\d+)""".r.findFirstMatchIn(readManifest(id))
+        .map(_.group(1).toInt).getOrElse(id)
+    else id
+
   /** Union a per-round DELTA table across snapshots 0..upTo — the
     * Iceberg-append read path: each round writes only its new rows and
     * readers see the concatenation (one multi-path parquet scan, no
     * shuffle, no per-round rewrite).
+    *
+    * Two Iceberg table semantics ride this read:
+    *   - MANIFEST-LEVEL PRUNING: `rounds = Some((lo, hi))` skips every
+    *     snapshot whose manifest round falls outside the range BEFORE
+    *     any file is opened — the metadata-only planning step Iceberg
+    *     does with manifest value ranges. A `round` predicate pushed to
+    *     the scan would still read every snapshot's footers; the prune
+    *     removes the files from the plan entirely.
+    *   - ADD-COLUMN SCHEMA EVOLUTION: snapshots written before a column
+    *     existed project that column as null. When every snapshot still
+    *     shares one schema (the common case) the read stays a single
+    *     multi-path scan; mixed schemas fold with
+    *     `unionByName(allowMissingColumns)` — the union of parallel
+    *     per-snapshot scans, no shuffle.
     */
-  def readDeltas(spark: SparkSession, upTo: Int, table: String): DataFrame = {
-    val paths = (0 to upTo).filter(hasTable(_, table)).map(tablePath(_, table))
-    require(paths.nonEmpty, s"no $table deltas up to snapshot $upTo")
-    spark.read.parquet(paths: _*)
+  def readDeltas(spark: SparkSession, upTo: Int, table: String,
+                 rounds: Option[(Int, Int)] = None): DataFrame = {
+    val ids = (0 to upTo).filter(hasTable(_, table))
+    val pruned = rounds match {
+      case None => ids
+      case Some((lo, hi)) => ids.filter { id =>
+        val r = snapshotRound(id); r >= lo && r <= hi
+      }
+    }
+    require(pruned.nonEmpty, s"no $table deltas up to snapshot $upTo (rounds=$rounds)")
+    val frames = pruned.map(id => spark.read.parquet(tablePath(id, table)))
+    val schemas = frames.map(_.schema).distinct
+    if (schemas.size == 1) spark.read.parquet(pruned.map(tablePath(_, table)): _*)
+    else frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
-  /** The full URL-seen set as of snapshot `upTo`. */
-  def readSeen(spark: SparkSession, upTo: Int): DataFrame =
-    readDeltas(spark, upTo, "url_seen_delta")
+  /** The full URL-seen set as of snapshot `upTo`; `rounds` prunes to
+    * the snapshots first seen inside the range (url_seen_delta rows of
+    * snapshot N all carry round_first_seen = N).
+    */
+  def readSeen(spark: SparkSession, upTo: Int, rounds: Option[(Int, Int)] = None): DataFrame =
+    readDeltas(spark, upTo, "url_seen_delta", rounds)
 }

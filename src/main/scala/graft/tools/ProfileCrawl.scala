@@ -72,7 +72,14 @@ object ProfileCrawl {
           .getOrElse(sys.env.getOrElse("GRAFT_PARTS", "64")).toInt,
         saltsPerHost = 4,
         hostBudgetPerRound = 64, maxRounds = rounds,
-        bloomExpectedItems = 1L << 21)
+        // sized like graft.Bench: 2x seeds keeps the fpp honest at any
+        // workload (GRAFT_BLOOM_CAP overrides for sizing experiments)
+        bloomExpectedItems = sys.env.get("GRAFT_BLOOM_CAP").map(_.toLong)
+          .getOrElse(math.max(1L << 21, 2L * seeds)),
+        // GRAFT_SHARDED=1 → per-bucket bloom shard files instead of the
+        // broadcast bloom (the 10^10 escape hatch) — soak evidence for
+        // BASELINE.md
+        bloomSharded = sys.env.get("GRAFT_SHARDED").contains("1"))
       val root = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(fastDir), s"graft-profile-$threads").toString
       val taskTime = new java.util.concurrent.atomic.AtomicLong
@@ -125,7 +132,10 @@ object ProfileCrawl {
           }
       }
       spark.stop()
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      // GRAFT_KEEP_STORE=1 keeps the snapshot store for post-run
+      // inspection (e.g. seen-set equality across bloom deployments)
+      if (sys.env.get("GRAFT_KEEP_STORE").contains("1")) println(s"STORE $root")
+      else org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     }
   }
 }

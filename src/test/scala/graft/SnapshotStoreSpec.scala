@@ -1,0 +1,67 @@
+package graft
+
+import graft.sources.SnapshotStore
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Iceberg-table semantics of the snapshot store beyond atomic commit
+  * (which CrawlJobSpec's resume/time-travel tests cover): add-column
+  * schema evolution on the delta-union read, and manifest-level file
+  * pruning for round-range reads.
+  */
+class SnapshotStoreSpec extends SparkSpec {
+
+  private def freshStore(): SnapshotStore =
+    new SnapshotStore(Files.createTempDirectory("store-spec").toString)
+
+  test("add-column schema evolution: old snapshots project null for new columns") {
+    import spark.implicits._
+    val store = freshStore()
+    // v0 written before the `source` column existed
+    store.write(Seq(("https://a/0", 10L, 0)).toDF("url_canon", "url_hash", "round_first_seen"),
+      0, "url_seen_delta")
+    store.commit(0, 0)
+    // v1 adds `source`
+    store.write(Seq(("https://a/1", 11L, 1, "sitemap"))
+      .toDF("url_canon", "url_hash", "round_first_seen", "source"),
+      1, "url_seen_delta")
+    store.commit(1, 1)
+    val seen = store.readSeen(spark, 1)
+    assert(seen.columns.toSet === Set("url_canon", "url_hash", "round_first_seen", "source"))
+    val rows = seen.select("url_canon", "source").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(rows("https://a/0") === None, "pre-evolution row must project null")
+    assert(rows("https://a/1") === Some("sitemap"))
+    // single-schema stores keep the one-scan fast path: all files from
+    // both snapshots appear in one frame with the original schema
+    val store2 = freshStore()
+    (0 to 1).foreach { r =>
+      store2.write(Seq((s"https://b/$r", r.toLong, r))
+        .toDF("url_canon", "url_hash", "round_first_seen"), r, "url_seen_delta")
+      store2.commit(r, r)
+    }
+    assert(store2.readSeen(spark, 1).count() === 2)
+  }
+
+  test("manifest-level pruning: a round-range read never opens out-of-range snapshot files") {
+    import spark.implicits._
+    val store = freshStore()
+    (0 to 2).foreach { r =>
+      store.write((0 until 5).map(i => (s"https://h/$r/$i", (r * 10 + i).toLong, r))
+        .toDF("url_canon", "url_hash", "round_first_seen"), r, "url_seen_delta")
+      store.commit(r, r)
+    }
+    val prunedDf = store.readSeen(spark, 2, rounds = Some((1, 1)))
+    // the PLAN only contains v1 files — pruning happened at metadata
+    // time, not as a row filter after reading all three snapshots
+    val files = prunedDf.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("/v1/")), files.mkString("\n"))
+    assert(prunedDf.select("round_first_seen").distinct().collect().map(_.getInt(0)).toSeq === Seq(1))
+    assert(prunedDf.count() === 5)
+    // unpruned read sees all rounds
+    assert(store.readSeen(spark, 2).count() === 15)
+    // range covering everything prunes nothing
+    assert(store.readSeen(spark, 2, rounds = Some((0, 2))).count() === 15)
+  }
+}
