@@ -255,18 +255,19 @@ object Dedup {
     * widen the bands (fewer, bigger buckets per band is WRONG —
     * fewer BITS means fewer buckets; you want MORE bits per band, e.g.
     * 2×32, so buckets stay sparse) and recover recall with
-    * `probeRadius = 1` (each doc also probes every single-bit flip of
-    * its band value — pigeonhole guarantees recall for hamming ≤
-    * bands·(probeRadius+1)−1), or raise `bands` when the distance
-    * budget needs it (8×8 guarantees hamming ≤ 7 with no probing).
-    * Candidates only ever form inside (band, bucket) groups.
+    * `probeRadius ∈ {1, 2}` (each doc also probes every ≤radius-bit
+    * flip of its band value — pigeonhole guarantees recall for hamming
+    * ≤ bands·(probeRadius+1)−1, so 2×32 radius-2 covers hamming ≤ 5),
+    * or raise `bands` when the distance budget needs it (8×8 guarantees
+    * hamming ≤ 7 with no probing). Candidates only ever form inside
+    * (band, bucket) groups.
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3,
                    bands: Int = 4, bitsPerBand: Int = 16, probeRadius: Int = 0,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(bands > 0 && bitsPerBand > 0 && bands * bitsPerBand <= 64,
       s"banding must fit the 64-bit signature: $bands x $bitsPerBand")
-    require(probeRadius == 0 || probeRadius == 1, "probeRadius ∈ {0, 1}")
+    require(probeRadius >= 0 && probeRadius <= 2, "probeRadius ∈ {0, 1, 2}")
     val mask = if (bitsPerBand == 64) -1L else (1L << bitsPerBand) - 1
     // native codegen signature (fused tokenize+md5+fold; the scalar-UDF
     // twin [[simhash64]] it replaced stays as the parity anchor the
@@ -286,13 +287,20 @@ object Dedup {
           .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
             col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       else {
-        // multi-probe: the probe side also emits every single-bit flip
-        // of its band value; a flip meets the partner's exact bucket
-        // whenever the within-band hamming is ≤ 1. Asymmetric join +
-        // least/greatest keeps each unordered pair once.
+        // multi-probe: the probe side also emits every ≤probeRadius-bit
+        // flip of its band value; a flip meets the partner's exact
+        // bucket whenever the within-band hamming is ≤ probeRadius.
+        // Asymmetric join + least/greatest keeps each unordered pair
+        // once. Probe amplification is 1 + b + C(b,2) rows per (doc,
+        // band) — at 2×32 radius 2 that is 529×, the honest algorithmic
+        // cost of guaranteeing hamming ≤ bands·3−1 at extreme banding.
+        val probeMasks: Seq[Long] = Seq(0L) ++
+          (0 until bitsPerBand).map(i => 1L << i) ++
+          (if (probeRadius < 2) Nil
+           else for { i <- 0 until bitsPerBand; j <- i + 1 until bitsPerBand }
+             yield (1L << i) | (1L << j))
         val probe = exact.select(col("id"), col("sig"), col("band"),
-          explode(array(col("bucket") +:
-            (0 until bitsPerBand).map(i => col("bucket").bitwiseXOR(lit(1L << i))): _*))
+          explode(array(probeMasks.map(m => col("bucket").bitwiseXOR(lit(m))): _*))
             .as("bucket"))
         probe.as("a").join(exact.as("b"),
             col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&

@@ -1,6 +1,6 @@
 package graft.queries
 
-/** DuckDB oracle twins for [[Queries]] — ALL 40 queries have one.
+/** DuckDB oracle twins for [[Queries]] — ALL 41 queries have one.
   * Column names and rounding match the Spark side exactly (driver
   * compare sorts columns by name and hashes values). Sketch-parameter
   * queries (q26 simhash, q27 hyperplane LSH, q35 IVF) share their hash
@@ -320,6 +320,9 @@ object OracleSql {
 
     "q39_simhash_probe" ->
       simhashSql(bands = 2, bitsPerBand = 32, maxDist = 6, probeHamming = 1),
+
+    "q41_simhash_r2" ->
+      simhashSql(bands = 2, bitsPerBand = 32, maxDist = 6, probeHamming = 2),
 
     // q35's IVF with float32-quantized list payloads + exact re-rank:
     // ::REAL[]::DOUBLE[] is the same IEEE double→float→double rounding

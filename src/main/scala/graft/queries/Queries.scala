@@ -390,6 +390,16 @@ object Queries {
       bands = 2, bitsPerBand = 32, probeRadius = 1)
       .orderBy("id_a", "id_b")
 
+  // q41 — radius-2 multi-probe on the same extreme banding as q39:
+  // each (doc, band) probes all ≤2-bit flips (529 probes at 32 bits),
+  // buying the pigeonhole guarantee hamming ≤ 2·3−1 = 5 without giving
+  // up the sparse 2³²-bucket space. Oracle joins on within-band
+  // hamming ≤ 2.
+  def q41SimhashR2(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(spark, dir, "documents"), maxDist = 6,
+      bands = 2, bitsPerBand = 32, probeRadius = 2)
+      .orderBy("id_a", "id_b")
+
   // q40 — compressed IVF (the 10⁹+-vector memory path of q35): probed
   // lists store float32-quantized payloads, scan ranks on quantized
   // cosine, exact re-rank of the top-20 gathers full precision. The
@@ -580,6 +590,7 @@ object Queries {
     "q37_simhash_bands" -> (q37SimhashBands _),
     "q38_wait_options" -> (q38WaitOptions _),
     "q39_simhash_probe" -> (q39SimhashProbe _),
-    "q40_ann_ivf_f32" -> (q40AnnIvfF32 _)
+    "q40_ann_ivf_f32" -> (q40AnnIvfF32 _),
+    "q41_simhash_r2" -> (q41SimhashR2 _)
   )
 }

@@ -141,4 +141,48 @@ final class SnapshotStore(val root: String) {
     */
   def readSeen(spark: SparkSession, upTo: Int, rounds: Option[(Int, Int)] = None): DataFrame =
     readDeltas(spark, upTo, "url_seen_delta", rounds)
+
+  /** Every COMMITTED snapshot id (manifest present), ascending —
+    * dangling `v<N>` dirs from crashed rounds are excluded, matching
+    * the reader's view.
+    */
+  def committedSnapshots: Seq[Int] =
+    if (!Files.isDirectory(rootPath)) Nil
+    else Files.list(rootPath).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.drop(1).forall(_.isDigit) => s.drop(1).toInt }
+      .filter(id => Files.exists(Paths.get(snapshotDir(id), "MANIFEST.json")))
+      .toSeq.sorted
+
+  /** Iceberg-style `snapshots` metadata table: one row per committed
+    * snapshot — (snapshot_id, round, is_current, tables). Built from
+    * manifests on the driver: metadata rows are O(#snapshots), never
+    * data-sized.
+    */
+  def snapshotsTable(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val cur = currentSnapshot
+    committedSnapshots.map { id =>
+      val tables = """"tables":\s*\[([^\]]*)\]""".r.findFirstMatchIn(readManifest(id))
+        .map(_.group(1)).toSeq
+        .flatMap(""""([^"]+)"""".r.findAllMatchIn(_).map(_.group(1)))
+      (id, snapshotRound(id), cur.contains(id), tables)
+    }.toDF("snapshot_id", "round", "is_current", "tables")
+  }
+
+  /** Iceberg-style `files` metadata table: one row per data file of
+    * every committed snapshot — (snapshot_id, table, file, size_bytes).
+    * The planning input the round-range prune operates on.
+    */
+  def filesTable(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    committedSnapshots.flatMap { id =>
+      val dir = Paths.get(snapshotDir(id))
+      Files.list(dir).iterator().asScala.filter(Files.isDirectory(_)).flatMap { t =>
+        Files.list(t).iterator().asScala
+          .filter(f => f.getFileName.toString.endsWith(".parquet"))
+          .map(f => (id, t.getFileName.toString, f.toString, Files.size(f)))
+      }
+    }.toDF("snapshot_id", "table", "file", "size_bytes")
+  }
 }

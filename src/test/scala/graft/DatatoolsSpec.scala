@@ -100,6 +100,13 @@ class DatatoolsSpec extends SparkSpec {
     planted.filter { case (a, b) =>
       java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 3
     }.foreach(p => assert(p2probe.contains(p), s"2x32+probe must find $p"))
+    // radius 2 widens the guarantee to hamming ≤ 5 (529 probes per
+    // band) and can only ADD candidates over radius 1
+    val p2probe2 = pairSet(2, 32, 2)
+    assert(p2probe.subsetOf(p2probe2), "radius-2 candidates must cover radius-1")
+    planted.filter { case (a, b) =>
+      java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 5
+    }.foreach(p => assert(p2probe2.contains(p), s"2x32 radius-2 must find $p"))
     // occupancy property: banding emits exactly `bands` rows per doc and
     // every bucket fits in bitsPerBand bits (the saturation math in the
     // scaladoc depends on this bucket-space size)

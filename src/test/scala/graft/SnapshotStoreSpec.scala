@@ -64,4 +64,32 @@ class SnapshotStoreSpec extends SparkSpec {
     // range covering everything prunes nothing
     assert(store.readSeen(spark, 2, rounds = Some((0, 2))).count() === 15)
   }
+
+  test("metadata tables: snapshots and files mirror the committed store") {
+    import spark.implicits._
+    val store = freshStore()
+    (0 to 1).foreach { r =>
+      store.write((0 until 3).map(i => (s"https://m/$r/$i", i.toLong, r))
+        .toDF("url_canon", "url_hash", "round_first_seen"), r, "url_seen_delta")
+      store.commit(r, r)
+    }
+    // a dangling uncommitted dir must NOT appear (crashed-round debris)
+    store.write(Seq(("x", 1L, 9)).toDF("url_canon", "url_hash", "round_first_seen"),
+      9, "url_seen_delta")
+    val snaps = store.snapshotsTable(spark).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getBoolean(2), r.getSeq[String](3)))
+    assert(snaps.map(_._1).toSeq.sorted === Seq(0, 1))
+    assert(snaps.forall(_._4.contains("url_seen_delta")))
+    assert(snaps.filter(_._3).map(_._1).toSeq === Seq(1), "only v1 is current")
+    val files = store.filesTable(spark).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(files.map(_._1).distinct.sorted.toSeq === Seq(0, 1))
+    assert(files.forall(f => f._2 === "url_seen_delta" && f._3.endsWith(".parquet") && f._4 > 0))
+    // the files table is exactly what the pruned read plans over
+    // (compare by filesystem path — inputFiles returns URIs)
+    val plannedV1 = store.readSeen(spark, 1, rounds = Some((1, 1))).inputFiles
+      .map(u => new java.net.URI(u).getPath).toSet
+    val metaV1 = files.filter(_._1 == 1).map(_._3).toSet
+    assert(plannedV1 === metaV1)
+  }
 }
