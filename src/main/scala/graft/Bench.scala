@@ -124,7 +124,12 @@ object Bench {
       "q06_url_canonicalize", "q08_politeness_admission", "q10_status_expansion",
       "q14_net_aggregate", "q16_window_offset", "q17_split_explode",
       "q22_sessionize", "q23_dedup_exact", "q25_minhash_lsh",
-      "q26_simhash", "q28_ann_brute", "q29_lang_id", "q31_token_count")
+      "q26_simhash", "q28_ann_brute", "q29_lang_id", "q31_token_count",
+      // round 4: the sketch/ANN scale paths join the artifact so their
+      // cost is measured every round (parameterized SimHash bandings,
+      // IVF and its float32-compressed variant)
+      "q35_ann_ivf", "q37_simhash_bands", "q39_simhash_probe",
+      "q40_ann_ivf_f32", "q41_simhash_r2")
     val qmap = SparkEntry.queries
     val spark = newSession(cpus)
     def median(xs: Seq[Double]): Double = {
