@@ -129,7 +129,7 @@ object Bench {
       // cost is measured every round (parameterized SimHash bandings,
       // IVF and its float32-compressed variant)
       "q35_ann_ivf", "q37_simhash_bands", "q39_simhash_probe",
-      "q40_ann_ivf_f32", "q41_simhash_r2")
+      "q40_ann_ivf_f32", "q41_simhash_r2", "q42_ann_ivf_sq8")
     val qmap = SparkEntry.queries
     val spark = newSession(cpus)
     def median(xs: Seq[Double]): Double = {

@@ -55,11 +55,19 @@ object Health {
             // (same as the writer) so non-local roots (hdfs://, s3a://)
             // probe the store that was actually written, not the local
             // disk.
+            val hconf = spark.sessionState.newHadoopConf()
             val bloomOk = {
               val p = new org.apache.hadoop.fs.Path(s"${store.snapshotDir(id)}/bloom.bin")
-              p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+              p.getFileSystem(hconf).exists(p)
+            } || {
+              // sharded mode: the flag alone isn't health — the shard
+              // FILES must be committed beside the cuckoo blobs (a
+              // flagged checkpoint with no shards is exactly the state
+              // the resume path has to repair by re-seeding)
+              store.manifestMeta(id).get("bloom_sharded").contains("true") &&
+                graft.frontier.UrlSeen.bloomShardsPresent(
+                  s"${store.snapshotDir(id)}/cuckoo_bin", hconf)
             } ||
-              store.manifestMeta(id).get("bloom_sharded").contains("true") ||
               store.hasTable(id, "bloom")
             val sketches =
               if (store.hasTable(id, "cuckoo") && bloomOk) "up"

@@ -1,6 +1,6 @@
 package graft.queries
 
-/** DuckDB oracle twins for [[Queries]] — ALL 41 queries have one.
+/** DuckDB oracle twins for [[Queries]] — ALL 42 queries have one.
   * Column names and rounding match the Spark side exactly (driver
   * compare sorts columns by name and hashes values). Sketch-parameter
   * queries (q26 simhash, q27 hyperplane LSH, q35 IVF) share their hash
@@ -323,6 +323,45 @@ object OracleSql {
 
     "q41_simhash_r2" ->
       simhashSql(bands = 2, bitsPerBand = 32, maxDist = 6, probeHamming = 2),
+
+    // q40's pipeline with SQ8 list payloads: the round-trip
+    // min + floor((x-min)/((max-min)/255) + 0.5)·scale is plain IEEE
+    // double arithmetic in both engines (floor, not round — no decimal
+    // representation subtleties)
+    "q42_ann_ivf_sq8" ->
+      """WITH cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS centroid
+        |    FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+        |c0 AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv,
+        |    list_aggregate(embedding::DOUBLE[], 'min') AS mn,
+        |    (list_aggregate(embedding::DOUBLE[], 'max')
+        |     - list_aggregate(embedding::DOUBLE[], 'min')) / 255.0 AS sc
+        |  FROM embeddings),
+        |c AS (SELECT corpus_id, cv,
+        |    list_transform(cv, x -> CASE WHEN sc = 0 THEN mn
+        |      ELSE mn + floor((x - mn) / sc + 0.5) * sc END) AS cvq
+        |  FROM c0),
+        |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+        |    WHERE vec_id < 10),
+        |assign AS (SELECT corpus_id, cvq, cid AS list_id FROM (
+        |  SELECT corpus_id, cvq, cid, row_number() OVER (PARTITION BY corpus_id
+        |    ORDER BY round(list_cosine_similarity(cv, centroid), 6) DESC, cid) AS crank
+        |  FROM c CROSS JOIN cents) WHERE crank = 1),
+        |probes AS (SELECT query_id, qv, cid AS list_id FROM (
+        |  SELECT query_id, qv, cid, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY round(list_cosine_similarity(qv, centroid), 6) DESC, cid) AS prank
+        |  FROM q CROSS JOIN cents) WHERE prank <= 8),
+        |cand AS (SELECT query_id, qv, corpus_id FROM (
+        |  SELECT query_id, qv, corpus_id, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY round(list_cosine_similarity(cvq, qv), 6) DESC, corpus_id) AS qrank
+        |  FROM assign JOIN probes USING (list_id) WHERE corpus_id <> query_id)
+        |  WHERE qrank <= 20),
+        |rer AS (SELECT query_id, corpus_id,
+        |    round(list_cosine_similarity(cv, qv), 6) AS cos
+        |  FROM cand JOIN c USING (corpus_id)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, corpus_id) AS rank FROM rer)
+        |SELECT query_id, corpus_id, rank::INT AS rank, cos FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
 
     // q35's IVF with float32-quantized list payloads + exact re-rank:
     // ::REAL[]::DOUBLE[] is the same IEEE double→float→double rounding

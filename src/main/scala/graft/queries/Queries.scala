@@ -400,6 +400,17 @@ object Queries {
       bands = 2, bitsPerBand = 32, probeRadius = 2)
       .orderBy("id_a", "id_b")
 
+  // q42 — SQ8-compressed IVF (8× payload reduction: 1 byte/dim + a
+  // per-vector (min, scale) pair). The quantize/dequantize round-trip
+  // is floor((x-min)/scale + 0.5) — every step a plain IEEE double op,
+  // so the oracle's list_transform twin is bit-identical with no
+  // decimal-round ambiguity.
+  def q42AnnIvfSq8(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.ivfTopKSQ8(emb, emb.filter(col("vec_id") < 10), k = 5,
+      nList = 16, nProbe = 8, rerank = 20).orderBy("query_id", "rank")
+  }
+
   // q40 — compressed IVF (the 10⁹+-vector memory path of q35): probed
   // lists store float32-quantized payloads, scan ranks on quantized
   // cosine, exact re-rank of the top-20 gathers full precision. The
@@ -591,6 +602,7 @@ object Queries {
     "q38_wait_options" -> (q38WaitOptions _),
     "q39_simhash_probe" -> (q39SimhashProbe _),
     "q40_ann_ivf_f32" -> (q40AnnIvfF32 _),
-    "q41_simhash_r2" -> (q41SimhashR2 _)
+    "q41_simhash_r2" -> (q41SimhashR2 _),
+    "q42_ann_ivf_sq8" -> (q42AnnIvfSq8 _)
   )
 }

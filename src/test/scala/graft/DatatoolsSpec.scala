@@ -241,6 +241,16 @@ class DatatoolsSpec extends SparkSpec {
     val f32full = Similarity.ivfTopKF32(emb, queries, k = 5, nList = 8, nProbe = 8, rerank = 20)
       .select("query_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(f32full === brute, "nProbe = nList + exact re-rank must equal brute force")
+    // SQ8 (8 bits/dim, ~8× smaller payload than float64): the coarser
+    // quantization must still not cost recall vs uncompressed IVF —
+    // the re-rank window absorbs its larger ordering slips too
+    val sq8 = Similarity.ivfTopKSQ8(emb, queries, k = 5, nList = 8, nProbe = 4, rerank = 20)
+      .select("query_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallSq8 = (brute & sq8).size.toDouble / brute.size
+    assert(recallSq8 >= recall, s"SQ8 recall $recallSq8 < uncompressed $recall")
+    val sq8full = Similarity.ivfTopKSQ8(emb, queries, k = 5, nList = 8, nProbe = 8, rerank = 20)
+      .select("query_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sq8full === brute, "SQ8 at full probe + exact re-rank must equal brute force")
   }
 
   test("language ID classifies planted multilingual snippets") {

@@ -27,6 +27,29 @@ class HealthSpec extends SparkSpec {
     assert(rows("*") === "up")
   }
 
+  test("health: sharded store is up only when its shard files are committed") {
+    import spark.implicits._
+    val universe = SyntheticWeb.Universe(numHosts = 5, pagesPerHost = 10, seed = 2L)
+    val cfg = CrawlConfig(numPartitions = 2, saltsPerHost = 1,
+      hostBudgetPerRound = 4, maxRounds = 1, bloomExpectedItems = 1 << 10,
+      bloomSharded = true)
+    val root = Files.createTempDirectory("health-sharded").toString
+    CrawlJob.run(spark, universe.seedUrls(20).toDS(), SyntheticWeb.defaultRobots,
+      SyntheticWeb.hostMap(universe.numHosts).toDS(), universe, cfg, root)
+    val rows = Health.health(spark, Some(root)).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows("seen-sketches") === "up", "committed shards = healthy sketches")
+    // a sharded-flagged snapshot WITHOUT shard files (the legacy state
+    // the resume path re-seeds) must report degraded, not up
+    val store = new graft.sources.SnapshotStore(root)
+    val last = store.currentSnapshot.get
+    new java.io.File(store.snapshotDir(last), "cuckoo_bin").listFiles()
+      .filter(_.getName.startsWith("bloom-")).foreach(_.delete())
+    val rows2 = Health.health(spark, Some(root)).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows2("seen-sketches") === "degraded")
+  }
+
   test("health: missing store turns the aggregate down (one failing check suffices)") {
     val rows = Health.health(spark, Some("/nonexistent/store")).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
