@@ -39,8 +39,18 @@ final class SnapshotStore(val root: String) {
   def hasTable(id: Int, table: String): Boolean =
     Files.exists(Paths.get(tablePath(id, table), "_SUCCESS"))
 
-  def read(spark: SparkSession, id: Int, table: String): DataFrame =
-    spark.read.parquet(tablePath(id, table))
+  /** Hidden-partition layout column — written as a partition directory,
+    * NEVER visible to readers (Iceberg's hidden partitioning: layout is
+    * table metadata, not schema).
+    */
+  private val HiddenPartCol = "_part"
+  private def transformMarker(id: Int, table: String): Path =
+    Paths.get(tablePath(id, table), "_PARTITION_TRANSFORM")
+
+  def read(spark: SparkSession, id: Int, table: String): DataFrame = {
+    val df = spark.read.parquet(tablePath(id, table))
+    if (df.columns.contains(HiddenPartCol)) df.drop(HiddenPartCol) else df
+  }
 
   def readOrEmpty(spark: SparkSession, id: Option[Int], table: String, like: DataFrame): DataFrame =
     id.filter(hasTable(_, table)) match {
@@ -57,6 +67,42 @@ final class SnapshotStore(val root: String) {
       else df
     out.write.mode(SaveMode.Overwrite).parquet(tablePath(id, table))
   }
+
+  /** Stage a table with a HIDDEN partition: rows are laid out under
+    * `_part=<value>` directories computed by `transform`, the transform
+    * column never appears to readers (every read path drops it), and a
+    * `_PARTITION_TRANSFORM` marker records the transform name — the
+    * Iceberg hidden-partitioning contract (partitioning is table
+    * metadata; predicates on partition VALUES prune files without the
+    * schema ever carrying the derived column). Opt-in per table.
+    */
+  def writeHiddenPartitioned(df: DataFrame, id: Int, table: String,
+                             transformName: String,
+                             transform: org.apache.spark.sql.Column): Unit = {
+    df.withColumn(HiddenPartCol, transform)
+      .write.mode(SaveMode.Overwrite).partitionBy(HiddenPartCol)
+      .parquet(tablePath(id, table))
+    Files.writeString(transformMarker(id, table), transformName)
+  }
+
+  /** The recorded hidden-partition transform of a staged table. */
+  def partitionTransform(id: Int, table: String): Option[String] =
+    if (Files.exists(transformMarker(id, table)))
+      Some(Files.readString(transformMarker(id, table)).trim)
+    else None
+
+  /** Read a hidden-partitioned table keeping only the given partition
+    * VALUES — the predicate lands on the partition column inside the
+    * scan (PartitionFilters), so out-of-range `_part=` directories
+    * never enter the plan, and the returned frame still hides the
+    * column.
+    */
+  def readPartitions(spark: SparkSession, id: Int, table: String,
+                     values: Seq[String]): DataFrame =
+    spark.read.parquet(tablePath(id, table))
+      .filter(org.apache.spark.sql.functions.col(HiddenPartCol)
+        .isin(values.map(x => x: Any): _*))
+      .drop(HiddenPartCol)
 
   /** Atomically commit snapshot `id` with manifest metadata. */
   def commit(id: Int, round: Int, meta: Map[String, String] = Map.empty): Unit = {
@@ -129,9 +175,14 @@ final class SnapshotStore(val root: String) {
       }
     }
     require(pruned.nonEmpty, s"no $table deltas up to snapshot $upTo (rounds=$rounds)")
-    val frames = pruned.map(id => spark.read.parquet(tablePath(id, table)))
+    val frames = pruned.map(id => read(spark, id, table))
     val schemas = frames.map(_.schema).distinct
-    if (schemas.size == 1) spark.read.parquet(pruned.map(tablePath(_, table)): _*)
+    // hidden-partitioned snapshots have per-path directory layouts that
+    // a single multi-root scan would try to unify — route them through
+    // the per-snapshot union like mixed schemas
+    val anyHidden = pruned.exists(id => partitionTransform(id, table).isDefined)
+    if (schemas.size == 1 && !anyHidden)
+      spark.read.parquet(pruned.map(tablePath(_, table)): _*)
     else frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
@@ -179,9 +230,12 @@ final class SnapshotStore(val root: String) {
     committedSnapshots.flatMap { id =>
       val dir = Paths.get(snapshotDir(id))
       Files.list(dir).iterator().asScala.filter(Files.isDirectory(_)).flatMap { t =>
-        Files.list(t).iterator().asScala
+        // walk (not list): hidden-partitioned tables nest their data
+        // files under `_part=<value>/` directories
+        Files.walk(t).iterator().asScala
           .filter(f => f.getFileName.toString.endsWith(".parquet"))
           .map(f => (id, t.getFileName.toString, f.toString, Files.size(f)))
+          .toSeq
       }
     }.toDF("snapshot_id", "table", "file", "size_bytes")
   }

@@ -65,6 +65,47 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(store.readSeen(spark, 2, rounds = Some((0, 2))).count() === 15)
   }
 
+  test("hidden partitioning: layout prunes by partition value, readers never see the column") {
+    import spark.implicits._
+    val store = freshStore()
+    val log = (0 until 60).map { i =>
+      (s"https://h/$i", 200 + (i % 3) * 100, i.toLong) // statuses 200/300/400
+    }.toDF("url_canon", "status", "bytes")
+    // layout by status CENTURY — a derived value, not a column readers see
+    store.writeHiddenPartitioned(log, 0, "fetch_log_hp", "status_century",
+      (col("status") / 100).cast("int") * 100)
+    store.commit(0, 0)
+    assert(store.partitionTransform(0, "fetch_log_hp") === Some("status_century"))
+    // plain read: full rows, NO _part column (hidden = not schema)
+    val all = store.read(spark, 0, "fetch_log_hp")
+    assert(all.columns.toSet === Set("url_canon", "status", "bytes"))
+    assert(all.count() === 60)
+    // partition-value read: only the 2xx directory's files enter the plan
+    val only200 = store.readPartitions(spark, 0, "fetch_log_hp", Seq("200"))
+    assert(only200.columns.toSet === Set("url_canon", "status", "bytes"))
+    assert(only200.count() === 20)
+    assert(only200.select("status").distinct().collect().map(_.getInt(0)).toSeq === Seq(200))
+    // pruning is a SCAN property: the partition predicate lands in
+    // PartitionFilters (inputFiles reflects the pre-pruning index, so
+    // it can't witness this)
+    val planStr = only200.queryExecution.executedPlan.toString()
+    assert(planStr.contains("PartitionFilters") && planStr.contains("_part"), planStr)
+    // and the layout itself: the 2xx rows live alone in their directory
+    assert(spark.read.parquet(s"${store.tablePath(0, "fetch_log_hp")}/_part=200")
+      .count() === 20)
+    // delta-union read across a hidden-partitioned and a plain snapshot
+    store.write(Seq(("https://h/x", 500, 1L)).toDF("url_canon", "status", "bytes"),
+      1, "fetch_log_hp")
+    store.commit(1, 1)
+    val union = store.readDeltas(spark, 1, "fetch_log_hp")
+    assert(union.columns.toSet === Set("url_canon", "status", "bytes"))
+    assert(union.count() === 61)
+    // metadata files table walks into the partition directories
+    val metaFiles = store.filesTable(spark).filter(col("table") === "fetch_log_hp")
+      .collect().map(_.getString(2))
+    assert(metaFiles.exists(_.contains("_part=")), metaFiles.mkString("\n"))
+  }
+
   test("metadata tables: snapshots and files mirror the committed store") {
     import spark.implicits._
     val store = freshStore()
