@@ -21,6 +21,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[CosineSimilarityExpr].getName, "cosine_similarity"),
         (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           CosineSimilarityExpr(children.head, children(1))))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[graft.functions.SimHashExpr].getName, "simhash64"),
+        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          graft.functions.SimHashExpr(children.head)))
   }
 }
 
@@ -43,7 +49,17 @@ object GraftFunctions {
       TextFunctions.toInches(s).map(java.lang.Double.valueOf).orNull))
     spark.udf.register("markdown_to_html", udf(TextFunctions.markdownToHtml _))
     spark.udf.register("normalize_domain", udf(UrlFunctions.normalizeDomain _))
-    spark.udf.register("simhash64", udf(graft.datatools.Dedup.simhash64 _))
+    // native codegen expressions (not UDFs): the SQL surface gets the
+    // same fused loops as the Column API
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => graft.functions.SimHashExpr(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sq8_round_trip",
+      exprs => graft.functions.Sq8RoundTripExpr(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_shingles",
+      exprs => graft.functions.ShinglesExpr(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
     spark.udf.register("rolling_fingerprint", udf((s: String) =>
       graft.datatools.TextAnalysis.rollingFingerprint(s)))
     // fused text-analysis scalars + the DuckDB-compatible md5 hash

@@ -39,6 +39,27 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(df.count() === 10)
   }
 
+  test("simhash64 / word_shingles / sq8_round_trip via registry are the native expressions") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT
+        |  simhash64('the quick brown fox') AS sig,
+        |  word_shingles('a b c', 2) AS sh,
+        |  sq8_round_trip(array(0.0D, 1.0D, 2.0D)) AS q
+        |""".stripMargin).collect()(0)
+    assert(row.getLong(0) === graft.datatools.Dedup.simhash64("the quick brown fox"))
+    assert(row.getSeq[String](1) === Seq("a b", "b c"))
+    // exact round-trip semantics: scale = 2/255, midpoint 1.0 lands on
+    // code 128 (127.5 + 0.5 floors up), endpoints are exact
+    val sc = 2.0 / 255.0
+    assert(row.getSeq[Double](2) === Seq(0.0, math.floor(1.0 / sc + 0.5) * sc, 2.0))
+    // the SQL path is the codegen expression, not a UDF wrapper
+    val plan = spark.range(10)
+      .selectExpr("simhash64(cast(id AS string)) AS s")
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("simhash64") && !plan.contains("BatchEvalPython"))
+  }
+
   test("fused text scalars + md5_number_lower available from SQL") {
     GraftFunctions.register(spark)
     val row = spark.sql(
