@@ -153,6 +153,7 @@ object Bench {
     // A failing headline query FAILS the bench (no silent near-zero
     // timings for broken queries).
     val qreps = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_REPS", "3").toInt
+    require(qreps >= 1, s"SPARK_GRAFT_BENCH_QUERY_REPS must be >= 1, got $qreps")
     val runsByQuery = scala.collection.mutable.LinkedHashMap(
       headline.map(_ -> scala.collection.mutable.ArrayBuffer.empty[Double]): _*)
     for (_ <- 1 to qreps; name <- headline) {

@@ -25,8 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[graft.functions.SimHashExpr].getName, "simhash64"),
-        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          graft.functions.SimHashExpr(children.head)))
+        (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+          require(children.length == 1, "simhash64(text) takes exactly 1 argument")
+          graft.functions.SimHashExpr(GraftFunctions.castTo(children.head, "string"))
+        }))
   }
 }
 
@@ -34,6 +36,15 @@ object GraftFunctions {
 
   /** Column API for the native expression. */
   def cosine_similarity(a: Column, b: Column): Column = CosineSimilarityExpr.cosine(a, b)
+
+  /** Analysis-time input cast for the native-expression SQL builders
+    * (the same cast the Column API applies before handing bytes to the
+    * fused loops).
+    */
+  private[graft] def castTo(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                            ddl: String): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(e,
+      org.apache.spark.sql.types.DataType.fromDDL(ddl))
 
   /** Register every scalar port on an existing session. */
   def register(spark: SparkSession): Unit = {
@@ -50,16 +61,35 @@ object GraftFunctions {
     spark.udf.register("markdown_to_html", udf(TextFunctions.markdownToHtml _))
     spark.udf.register("normalize_domain", udf(UrlFunctions.normalizeDomain _))
     // native codegen expressions (not UDFs): the SQL surface gets the
-    // same fused loops as the Column API
+    // same fused loops as the Column API. Each builder validates arity
+    // and inserts the input cast the Column API applies (a raw child of
+    // the wrong type would read garbage bytes — getDouble on a float
+    // array — or fail janino compilation, instead of a clean analysis
+    // error).
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => graft.functions.SimHashExpr(exprs.head), "scala_udf")
+      "simhash64", { exprs =>
+        require(exprs.length == 1, "simhash64(text) takes exactly 1 argument")
+        graft.functions.SimHashExpr(castTo(exprs.head, "string"))
+      }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sq8_round_trip",
-      exprs => graft.functions.Sq8RoundTripExpr(exprs.head), "scala_udf")
+      "sq8_round_trip", { exprs =>
+        require(exprs.length == 1, "sq8_round_trip(vec) takes exactly 1 argument")
+        graft.functions.Sq8RoundTripExpr(castTo(exprs.head, "array<double>"))
+      }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "word_shingles",
-      exprs => graft.functions.ShinglesExpr(exprs.head,
-        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+      "word_shingles", { exprs =>
+        require(exprs.length == 2, "word_shingles(text, k) takes exactly 2 arguments")
+        require(exprs(1).foldable, "word_shingles k must be a literal")
+        val k = exprs(1).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case s: Short => s.toInt
+          case b: Byte => b.toInt
+          case other => throw new IllegalArgumentException(
+            s"word_shingles k must be an integer literal, got $other")
+        }
+        graft.functions.ShinglesExpr(castTo(exprs.head, "string"), k)
+      }, "scala_udf")
     spark.udf.register("rolling_fingerprint", udf((s: String) =>
       graft.datatools.TextAnalysis.rollingFingerprint(s)))
     // fused text-analysis scalars + the DuckDB-compatible md5 hash

@@ -63,43 +63,52 @@ object Similarity {
     pickCentroids(corpus, nList, idCol, vecCol).collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
 
+  /** Empty-corpus result with the top-k schema. */
+  private def emptyTopK(c: DataFrame, q: DataFrame): DataFrame =
+    c.join(q, col("corpus_id") === col("query_id") && lit(false))
+      .select(col("query_id"), col("corpus_id"), lit(0.0).as("cos"), lit(0).as("rank"))
+
+  /** query → nProbe nearest centroids (queries are small; the window
+    * over query_id is per-query top-N of nList rows). The centroid
+    * frame is rebuilt from the collected rows — no second corpus pass.
+    */
+  private def probesFor(q: DataFrame, centroids: Seq[(Long, Seq[Double])],
+                        nProbe: Int): DataFrame = {
+    val spark = q.sparkSession
+    import spark.implicits._
+    val centsDf = centroids.toDF("cid", "centroid")
+      .withColumn("centroid", col("centroid").cast("array<double>"))
+    val probeW = Window.partitionBy("query_id").orderBy(col("qsim").desc, col("cid"))
+    q.join(broadcast(centsDf))
+      .withColumn("qsim", round(Dedup.cosine(col("qv"), col("centroid")), 6))
+      .withColumn("prank", row_number().over(probeW))
+      .filter(col("prank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cid").as("list_id"))
+  }
+
+  /** corpus → nearest centroid in ONE narrow projection: the fused
+    * argmax expression scans the broadcast centroid matrix per row — no
+    * explode-join, no exchange, no sort; same (round(csim,6) DESC, cid
+    * ASC) ranking as the window/max_by forms it replaced (DatatoolsSpec
+    * pins the parity, PLANS.md has the plan history).
+    */
+  private def assignLists(c: DataFrame, centroids: Seq[(Long, Seq[Double])],
+                          dim: Int): DataFrame =
+    c.withColumn("list_id",
+      graft.functions.NearestCentroidExprs.nearestCol(col("cv"), centroids, dim))
+
   /** IVF top-k: assign corpus rows to their nearest centroid, probe the
     * nProbe nearest lists per query, exact cosine within probed lists.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nList: Int = 16, nProbe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = corpus.sparkSession
     val centroids = collectCentroids(corpus, nList, idCol, vecCol)
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).cast("array<double>").as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
-    if (centroids.isEmpty) // empty corpus: empty result, right schema
-      return c.join(q, col("corpus_id") === col("query_id") && lit(false))
-        .select(col("query_id"), col("corpus_id"), lit(0.0).as("cos"), lit(0).as("rank"))
-    val dim = centroids.head._2.length
-
-    // corpus → nearest centroid in ONE narrow projection: the fused
-    // argmax expression scans the broadcast centroid matrix per row —
-    // no explode-join, no exchange, no sort; same (round(csim,6) DESC,
-    // cid ASC) ranking as the window/max_by forms it replaced
-    // (ColumnParitySpec pins all three, PLANS.md has the plan diff).
-    val assigned = c.withColumn("list_id",
-      graft.functions.NearestCentroidExprs.nearestCol(col("cv"), centroids, dim))
-
-    // query → nProbe nearest centroids (queries are small; the window
-    // over query_id is per-query top-N of nList rows). The centroid
-    // frame is rebuilt from the collected rows — no second corpus pass.
-    import spark.implicits._
-    val centsDf = centroids.map { case (cid, v) => (cid, v) }.toDF("cid", "centroid")
-      .withColumn("centroid", col("centroid").cast("array<double>"))
-    val probeW = Window.partitionBy("query_id").orderBy(col("qsim").desc, col("cid"))
-    val probes = q.join(broadcast(centsDf))
-      .withColumn("qsim", round(Dedup.cosine(col("qv"), col("centroid")), 6))
-      .withColumn("prank", row_number().over(probeW))
-      .filter(col("prank") <= nProbe)
-      .select(col("query_id"), col("qv"), col("cid").as("list_id"))
-
-    val scored = assigned.join(probes, Seq("list_id"))
+    if (centroids.isEmpty) return emptyTopK(c, q)
+    val assigned = assignLists(c, centroids, centroids.head._2.length)
+    val scored = assigned.join(probesFor(q, centroids, nProbe), Seq("list_id"))
       .filter(col("corpus_id") =!= col("query_id"))
       .withColumn("cos", round(Dedup.cosine(col("cv"), col("qv")), 6))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id"))
@@ -155,37 +164,21 @@ object Similarity {
                                 quantize: Column => Column,
                                 idCol: String, vecCol: String): DataFrame = {
     require(rerank >= k, s"rerank window $rerank must cover k=$k")
-    val spark = corpus.sparkSession
     val centroids = collectCentroids(corpus, nList, idCol, vecCol)
     val c = corpus.select(col(idCol).as("corpus_id"),
       col(vecCol).cast("array<double>").as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
-    if (centroids.isEmpty)
-      return c.join(q, col("corpus_id") === col("query_id") && lit(false))
-        .select(col("query_id"), col("corpus_id"), lit(0.0).as("cos"), lit(0).as("rank"))
-    val dim = centroids.head._2.length
+    if (centroids.isEmpty) return emptyTopK(c, q)
 
     // the persisted list payload: assignment from full precision, the
     // heavy per-row array quantized
-    val lists = c
-      .withColumn("list_id",
-        graft.functions.NearestCentroidExprs.nearestCol(col("cv"), centroids, dim))
+    val lists = assignLists(c, centroids, centroids.head._2.length)
       .withColumn("cvq", quantize(col("cv")))
       .select("list_id", "corpus_id", "cvq")
 
-    import spark.implicits._
-    val centsDf = centroids.toDF("cid", "centroid")
-      .withColumn("centroid", col("centroid").cast("array<double>"))
-    val probeW = Window.partitionBy("query_id").orderBy(col("qsim").desc, col("cid"))
-    val probes = q.join(broadcast(centsDf))
-      .withColumn("qsim", round(Dedup.cosine(col("qv"), col("centroid")), 6))
-      .withColumn("prank", row_number().over(probeW))
-      .filter(col("prank") <= nProbe)
-      .select(col("query_id"), col("qv"), col("cid").as("list_id"))
-
     // phase 1: probed-list scan on the QUANTIZED payload
     val wq = Window.partitionBy("query_id").orderBy(col("cos_q").desc, col("corpus_id"))
-    val candidates = lists.join(probes, Seq("list_id"))
+    val candidates = lists.join(probesFor(q, centroids, nProbe), Seq("list_id"))
       .filter(col("corpus_id") =!= col("query_id"))
       .withColumn("cos_q", round(Dedup.cosine(col("cvq"), col("qv")), 6))
       .withColumn("qrank", row_number().over(wq))

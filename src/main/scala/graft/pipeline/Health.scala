@@ -51,10 +51,12 @@ object Health {
             // bloom lives as a driver-written blob file (bloom.bin), as
             // per-bucket shard files in sharded mode, or as the legacy
             // one-row parquet table — any of the three counts. The blob
-            // check goes through the Hadoop FS API with the session conf
-            // (same as the writer) so non-local roots (hdfs://, s3a://)
-            // probe the store that was actually written, not the local
-            // disk.
+            // probes go through the Hadoop FS API with the session conf,
+            // matching the writer (the blob files are the one store
+            // artifact written via that API; the SnapshotStore's own
+            // manifest/CURRENT metadata is java.nio local-path-only in
+            // this miniature, so a non-local root needs the real
+            // Iceberg-runtime swap the store documents).
             val hconf = spark.sessionState.newHadoopConf()
             val bloomOk = {
               val p = new org.apache.hadoop.fs.Path(s"${store.snapshotDir(id)}/bloom.bin")

@@ -105,10 +105,23 @@ final class SnapshotStore(val root: String) {
       .drop(HiddenPartCol)
 
   /** Atomically commit snapshot `id` with manifest metadata. */
+  /** Files.list/walk hold an open directory handle until closed — a
+    * long-lived driver calling metadata paths repeatedly would leak fds
+    * toward ulimit without the explicit close.
+    */
+  private def listed[A](dir: Path)(f: Iterator[Path] => A): A = {
+    val s = Files.list(dir)
+    try f(s.iterator().asScala) finally s.close()
+  }
+  private def walked[A](dir: Path)(f: Iterator[Path] => A): A = {
+    val s = Files.walk(dir)
+    try f(s.iterator().asScala) finally s.close()
+  }
+
   def commit(id: Int, round: Int, meta: Map[String, String] = Map.empty): Unit = {
     Files.createDirectories(Paths.get(snapshotDir(id)))
-    val tables = Files.list(Paths.get(snapshotDir(id))).iterator().asScala
-      .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq.sorted
+    val tables = listed(Paths.get(snapshotDir(id)))(
+      _.filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq).sorted
     val metaJson = (meta + ("round" -> round.toString))
       .map { case (k, v) => s""""$k": "$v"""" }.mkString(", ")
     val manifest =
@@ -199,11 +212,10 @@ final class SnapshotStore(val root: String) {
     */
   def committedSnapshots: Seq[Int] =
     if (!Files.isDirectory(rootPath)) Nil
-    else Files.list(rootPath).iterator().asScala
-      .map(_.getFileName.toString)
+    else listed(rootPath)(_.map(_.getFileName.toString)
       .collect { case s if s.startsWith("v") && s.drop(1).forall(_.isDigit) => s.drop(1).toInt }
       .filter(id => Files.exists(Paths.get(snapshotDir(id), "MANIFEST.json")))
-      .toSeq.sorted
+      .toSeq).sorted
 
   /** Iceberg-style `snapshots` metadata table: one row per committed
     * snapshot — (snapshot_id, round, is_current, tables). Built from
@@ -229,13 +241,12 @@ final class SnapshotStore(val root: String) {
     import spark.implicits._
     committedSnapshots.flatMap { id =>
       val dir = Paths.get(snapshotDir(id))
-      Files.list(dir).iterator().asScala.filter(Files.isDirectory(_)).flatMap { t =>
+      listed(dir)(_.filter(Files.isDirectory(_)).toSeq).flatMap { t =>
         // walk (not list): hidden-partitioned tables nest their data
         // files under `_part=<value>/` directories
-        Files.walk(t).iterator().asScala
-          .filter(f => f.getFileName.toString.endsWith(".parquet"))
+        walked(t)(_.filter(f => f.getFileName.toString.endsWith(".parquet"))
           .map(f => (id, t.getFileName.toString, f.toString, Files.size(f)))
-          .toSeq
+          .toSeq)
       }
     }.toDF("snapshot_id", "table", "file", "size_bytes")
   }
