@@ -182,6 +182,16 @@ object Dedup {
     sig(shArr)
   }
 
+  /** (id, band, bucket) rows from (id, sig): band b's bucket is the
+    * hash of the signature slice [b·r+1, b·r+r], salted by the band
+    * index so identical slices in different bands never collide.
+    */
+  private def bandBuckets(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)), b))).as(Seq("band", "bucket")))
+      .select("id", "band", "bucket")
+
   /** MinHash LSH near-dup pairs, exact-Jaccard-verified.
     * numHashes = bands × rowsPerBand.
     */
@@ -201,10 +211,7 @@ object Dedup {
       .select("id", "sh", "sig")
       .persist()
     // band buckets: (band_idx, hash(slice of sig)) → ids
-    val banded = withSig.select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)), b))).as(Seq("band", "bucket")))
-      .select("id", "band", "bucket")
+    val banded = bandBuckets(withSig.select("id", "sig"), bands, rowsPerBand)
     val candidates = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
@@ -212,6 +219,91 @@ object Dedup {
     // exact verification (sketches propose, exactness disposes), sizes
     // prefiltered so shingle arrays only ship for plausible pairs
     verifyJaccard(candidates, withSig.select(col("id"), col("sh")), threshold)
+  }
+
+  /** MinHash signature index rows — (id, sz, sig): the persisted state
+    * an INCREMENTAL pipeline carries between snapshots, ~8 + 8·numHashes
+    * bytes per doc (≈0.1% of a 500 KB document). Text and shingles stay
+    * in the corpus table; the index alone drives candidate generation
+    * AND the size prefilter, so corpus text is fetched only for
+    * candidate ids ([[minhashIncrementalPairs]]).
+    */
+  def minhashIndex(docs: DataFrame, k: Int,
+                   bands: Int = 16, rowsPerBand: Int = 4, seed: Long = 42L,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val perms = permutations(bands * rowsPerBand, seed)
+    docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sz", size(graft.functions.MinHashExprs.shinglesCol(col("text"), k)))
+      .filter(col("sz") > 0)
+      .withColumn("sig", graft.functions.MinHashExprs.signatureCol(col("text"), k, perms))
+      .select("id", "sz", "sig")
+  }
+
+  /** INCREMENTAL MinHash near-dup: all near-dup pairs with at least one
+    * side in `delta`, against a corpus represented by its signature
+    * index — corpus signatures are never recomputed. This is the shape
+    * a 100-TB training pipeline actually runs: each crawl snapshot's
+    * new batch dedups against the accumulated corpus by reading the
+    * ~1000×-smaller index table (see the SnapshotStore round-trip in
+    * IncrementalDedupSpec), then appends its own [[minhashIndex]] rows
+    * for the next batch.
+    *
+    * Scale path, in order: (1) delta signatures computed fresh (one
+    * codegen pass over the small batch); (2) candidates form only
+    * inside (band, bucket) groups between delta and index ∪ delta —
+    * same banding as [[minhashLshPairs]], so the captured pair set is
+    * the full-LSH one restricted to delta-involving pairs; (3) the
+    * Jaccard size bound runs on index metadata BEFORE any corpus text
+    * moves; (4) exact verification re-shingles only candidate corpus
+    * docs (left-semi pushdown on the corpus table).
+    *
+    * `delta` ids must be disjoint from index ids (it is the new batch).
+    */
+  def minhashIncrementalPairs(delta: DataFrame, corpus: DataFrame, index: DataFrame,
+                              k: Int, threshold: Double,
+                              bands: Int = 16, rowsPerBand: Int = 4, seed: Long = 42L,
+                              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val perms = permutations(bands * rowsPerBand, seed)
+    val deltaSig = delta.repartition(col(idCol))
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sh", graft.functions.MinHashExprs.shinglesCol(col("text"), k))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", graft.functions.MinHashExprs.signatureCol(col("text"), k, perms))
+      .persist()
+    val deltaBanded = bandBuckets(deltaSig.select("id", "sig"), bands, rowsPerBand)
+    val allBanded = bandBuckets(index.select("id", "sig"), bands, rowsPerBand)
+      .unionByName(deltaBanded)
+    // normalized pairs (id_a < id_b); a delta×delta collision arrives
+    // once from each side — distinct collapses it
+    val candidates = deltaBanded.as("d").join(allBanded.as("o"),
+        col("d.band") === col("o.band") && col("d.bucket") === col("o.bucket") &&
+          col("d.id") =!= col("o.id"))
+      .select(least(col("d.id"), col("o.id")).as("id_a"),
+        greatest(col("d.id"), col("o.id")).as("id_b")).distinct()
+    // size plausibility from index metadata + delta sizes — kills the
+    // bulk of false candidates without touching corpus text
+    val sizes = index.select(col("id"), col("sz"))
+      .unionByName(deltaSig.select(col("id"), size(col("sh")).as("sz")))
+    // persisted: referenced by the candidate-id fetch AND the verify
+    // joins — without the cache the banding joins re-run per reference
+    // (candidate sets are sketch-bounded, so the cache is tiny)
+    val plausible = candidates
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .filter(least(col("sz_a"), col("sz_b")).cast("double") >=
+        lit(threshold) * greatest(col("sz_a"), col("sz_b")))
+      .select("id_a", "id_b")
+      .persist()
+    // corpus text only for surviving candidate ids (left-semi pushdown
+    // at the parquet scan; at 100 TB this is the difference between
+    // reading the corpus and reading a few thousand rows of it)
+    val candIds = plausible
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val corpusSh = corpus.select(col(idCol).as("id"), col(textCol).as("text"))
+      .join(candIds, Seq("id"), "left_semi")
+      .withColumn("sh", graft.functions.MinHashExprs.shinglesCol(col("text"), k))
+      .select("id", "sh")
+    verifyJaccard(plausible, corpusSh.unionByName(deltaSig.select("id", "sh")), threshold)
   }
 
   // -----------------------------------------------------------------

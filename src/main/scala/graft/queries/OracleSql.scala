@@ -1,6 +1,6 @@
 package graft.queries
 
-/** DuckDB oracle twins for [[Queries]] — ALL 42 queries have one.
+/** DuckDB oracle twins for [[Queries]] — ALL 43 queries have one.
   * Column names and rounding match the Spark side exactly (driver
   * compare sorts columns by name and hashes values). Sketch-parameter
   * queries (q26 simhash, q27 hyperplane LSH, q35 IVF) share their hash
@@ -309,6 +309,19 @@ object OracleSql {
          |  round(CAST(inter AS DOUBLE) / (sa + sb - inter), 6) AS jaccard
          |FROM pairs
          |WHERE round(CAST(inter AS DOUBLE) / (sa + sb - inter), 6) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // incremental near-dup (delta = doc_id % 5 = 0 vs indexed corpus):
+    // the exact answer is q25's pair set restricted to pairs with a
+    // delta member — the banding is identical, only candidate
+    // generation is incremental
+    "q43_minhash_incremental" ->
+      s"""$bigramSets
+         |SELECT id_a, id_b,
+         |  round(CAST(inter AS DOUBLE) / (sa + sb - inter), 6) AS jaccard
+         |FROM pairs
+         |WHERE round(CAST(inter AS DOUBLE) / (sa + sb - inter), 6) >= 0.8
+         |  AND (id_a % 5 = 0 OR id_b % 5 = 0)
          |ORDER BY id_a, id_b""".stripMargin,
 
     "q26_simhash" -> simhashSql(bands = 4, bitsPerBand = 16, maxDist = 6),

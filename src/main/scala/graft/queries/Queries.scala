@@ -423,6 +423,26 @@ object Queries {
       nList = 16, nProbe = 8, rerank = 20).orderBy("query_id", "rank")
   }
 
+  // q43 — INCREMENTAL near-dup: dedup a new batch against an
+  // already-indexed corpus without recomputing corpus signatures — the
+  // operation every snapshot of a 100-TB pipeline actually runs. delta
+  // = doc_id % 5 == 0 (~20%), corpus = the rest; the corpus enters
+  // candidate generation ONLY as its (id, sz, sig) signature index,
+  // and corpus text is fetched just for candidate ids. Oracle: the
+  // exact-Jaccard pair set (same machinery as q25's) restricted to
+  // pairs with a delta member.
+  def q43MinhashIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    // persisted: in production this is a SnapshotStore table read (see
+    // IncrementalDedupSpec); computed in-query for the oracle, the
+    // cache stands in for that table so the signature pass runs once
+    val index = Dedup.minhashIndex(corpus, k = 2, bands = 16, rowsPerBand = 4).persist()
+    Dedup.minhashIncrementalPairs(delta, corpus, index, k = 2, threshold = 0.8,
+      bands = 16, rowsPerBand = 4).orderBy("id_a", "id_b")
+  }
+
   // q27 — embedding cosine near-dup via the SCALE path: multi-table
   // hyperplane LSH (6 tables × 4 planes), candidates only inside
   // (table, bucket) groups, exact cosine verification — no cartesian
@@ -603,6 +623,7 @@ object Queries {
     "q39_simhash_probe" -> (q39SimhashProbe _),
     "q40_ann_ivf_f32" -> (q40AnnIvfF32 _),
     "q41_simhash_r2" -> (q41SimhashR2 _),
-    "q42_ann_ivf_sq8" -> (q42AnnIvfSq8 _)
+    "q42_ann_ivf_sq8" -> (q42AnnIvfSq8 _),
+    "q43_minhash_incremental" -> (q43MinhashIncremental _)
   )
 }
