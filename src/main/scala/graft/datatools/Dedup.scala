@@ -262,7 +262,25 @@ object Dedup {
   def minhashIncrementalPairs(delta: DataFrame, corpus: DataFrame, index: DataFrame,
                               k: Int, threshold: Double,
                               bands: Int = 16, rowsPerBand: Int = 4, seed: Long = 42L,
-                              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                              idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    minhashIncrementalPairsWithCaches(delta, corpus, index, k, threshold,
+      bands, rowsPerBand, seed, idCol, textCol) match { case (pairs, _, _) => pairs }
+
+  /** As [[minhashIncrementalPairs]], additionally returning (2) the
+    * delta's own [[minhashIndex]] rows — computed from the cached
+    * signature pass, so callers appending the index (the per-round
+    * crawl stage) don't re-run it — and (3) the frames it cached
+    * (delta signatures, plausible candidates) so loop-style callers
+    * can unpersist them after materializing both results; one-shot
+    * queries may drop the handles (session LRU reclaims them, the
+    * [[minhashLshPairs]] pattern).
+    */
+  def minhashIncrementalPairsWithCaches(
+      delta: DataFrame, corpus: DataFrame, index: DataFrame,
+      k: Int, threshold: Double,
+      bands: Int = 16, rowsPerBand: Int = 4, seed: Long = 42L,
+      idCol: String = "doc_id", textCol: String = "text")
+      : (DataFrame, DataFrame, Seq[DataFrame]) = {
     val perms = permutations(bands * rowsPerBand, seed)
     val deltaSig = delta.repartition(col(idCol))
       .select(col(idCol).as("id"), col(textCol).as("text"))
@@ -303,7 +321,9 @@ object Dedup {
       .join(candIds, Seq("id"), "left_semi")
       .withColumn("sh", graft.functions.MinHashExprs.shinglesCol(col("text"), k))
       .select("id", "sh")
-    verifyJaccard(plausible, corpusSh.unionByName(deltaSig.select("id", "sh")), threshold)
+    (verifyJaccard(plausible, corpusSh.unionByName(deltaSig.select("id", "sh")), threshold),
+      deltaSig.select(col("id"), size(col("sh")).as("sz"), col("sig")),
+      Seq(deltaSig, plausible))
   }
 
   // -----------------------------------------------------------------
@@ -404,6 +424,58 @@ object Dedup {
     joined.withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming").distinct()
+  }
+
+  /** SimHash signature index — (id, sig): 8 bytes per doc, the
+    * cheapest incremental-dedup state of any sketch family, because
+    * verification needs only the signatures (hamming distance) — no
+    * document text is ever re-read.
+    */
+  def simhashIndex(docs: DataFrame,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("id"),
+      graft.functions.MinHashExprs.simhashCol(col(textCol)).as("sig"))
+
+  /** INCREMENTAL SimHash near-dup: all pairs within `maxDist` hamming
+    * with at least one side in `delta`, against a corpus represented
+    * ONLY by its (id, sig) [[simhashIndex]] — the captured pair set is
+    * [[simhashPairs]] over delta ∪ corpus restricted to delta-involving
+    * pairs (same banding, same multi-probe; only the delta side
+    * probes, which reaches every within-radius index bucket exactly as
+    * the symmetric self-join does). `delta` ids must be disjoint from
+    * index ids (it is the new batch).
+    */
+  def simhashIncrementalPairs(delta: DataFrame, index: DataFrame, maxDist: Int = 3,
+                              bands: Int = 4, bitsPerBand: Int = 16, probeRadius: Int = 0,
+                              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(bands > 0 && bitsPerBand > 0 && bands * bitsPerBand <= 64,
+      s"banding must fit the 64-bit signature: $bands x $bitsPerBand")
+    require(probeRadius >= 0 && probeRadius <= 2, "probeRadius ∈ {0, 1, 2}")
+    val mask = if (bitsPerBand == 64) -1L else (1L << bitsPerBand) - 1
+    def banded(sigs: DataFrame): DataFrame = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until bands).map(b =>
+        shiftrightunsigned(col("sig"), b * bitsPerBand).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "bucket")))
+    val deltaSigs = simhashIndex(delta, idCol, textCol)
+    val exact = banded(index.select("id", "sig").unionByName(deltaSigs))
+    val probeMasks: Seq[Long] = Seq(0L) ++
+      (if (probeRadius < 1) Nil else (0 until bitsPerBand).map(i => 1L << i)) ++
+      (if (probeRadius < 2) Nil
+       else for { i <- 0 until bitsPerBand; j <- i + 1 until bitsPerBand }
+         yield (1L << i) | (1L << j))
+    val probe =
+      if (probeRadius == 0) banded(deltaSigs)
+      else banded(deltaSigs).select(col("id"), col("sig"), col("band"),
+        explode(array(probeMasks.map(m => col("bucket").bitwiseXOR(lit(m))): _*))
+          .as("bucket"))
+    probe.as("a").join(exact.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
   }
 
   // -----------------------------------------------------------------

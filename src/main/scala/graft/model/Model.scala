@@ -125,7 +125,21 @@ final case class CrawlConfig(
     softTimeoutMs: Long = 30000L,
     outlinksPerDoc: Int = 4,
     maxRounds: Int = 3,
-    seed: Long = 42L
+    seed: Long = 42L,
+    // OPT-IN per-round document near-dup: each round's converted docs
+    // dedup incrementally against the accumulated minhash_index
+    // (delta-append table — prior rounds' signatures are read, never
+    // recomputed); near-dup pairs land in doc_dup_pairs. Off by
+    // default: not part of the crawl headline, and the synthetic web's
+    // short templated span texts make LSH bucket load quadratic in a
+    // way real crawled documents are not (see IncrementalDedupSpec for
+    // the store-backed batch shape).
+    dedupDocs: Boolean = false,
+    dedupThreshold: Double = 0.9,
+    // shingle width for the doc index — pinned by the checkpoint
+    // manifest on resume (a different k would make old signatures
+    // incomparable, like resuming with different cuckooBuckets)
+    dedupShingleK: Int = 3
 )
 
 /** Split options (`pkg/gotenberg/pdfengine.go:140-160`): mode ∈

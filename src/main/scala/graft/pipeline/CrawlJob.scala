@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.datatools.Dedup
 import graft.frontier.{Politeness, RobotsFilter, UrlSeen}
 import graft.functions.UrlFunctions
 import graft.model._
@@ -90,6 +91,12 @@ object CrawlJob {
     val cuckooBuckets: Int = store.currentSnapshot
       .flatMap(c => store.manifestMeta(c).get("cuckoo_buckets"))
       .map(_.toInt).getOrElse(cfg.cuckooBuckets)
+    // same pinning for the doc-dedup shingle width: resuming with a
+    // different k would band fresh signatures against incomparable
+    // stored ones — the checkpoint's value wins
+    val dedupShingleK: Int = store.currentSnapshot
+      .flatMap(c => store.manifestMeta(c).get("dedup_k"))
+      .map(_.toInt).getOrElse(cfg.dedupShingleK)
     var seen: DataFrame =
       store.currentSnapshot
         .filter(store.hasTable(_, "url_seen_delta"))
@@ -362,6 +369,40 @@ object CrawlJob {
           "cookies_applied", "headers_applied", "duration_ms"),
         round, "fetch_log"))
 
+      // 9b. OPT-IN incremental doc near-dup: this round's converted
+      // docs dedup against the ACCUMULATED minhash_index (delta-append
+      // like url_seen_delta) — prior rounds' signatures are read from
+      // the store, never recomputed, and prior rounds' span text is
+      // fetched only for verified-candidate doc ids (left-semi inside
+      // minhashIncrementalPairs). Two per-round delta outputs:
+      // doc_dup_pairs and this round's minhash_index rows. The seen
+      // layer guarantees each doc_id is fetched in exactly one round,
+      // so delta ids are disjoint from the index by construction.
+      val dedupFut: scala.concurrent.Future[Any] =
+        if (!cfg.dedupDocs) scala.concurrent.Future.successful(())
+        else job("doc-dedup") {
+          def docText(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+            expr("array_join(transform(spans, s -> s.text), ' ')").as("text"))
+          val docsRound = docText(fetched.toDF().filter(col("error") === ""))
+          val havePrior = (0 until round).exists(store.hasTable(_, "minhash_index"))
+          val (corpus, index) =
+            if (havePrior)
+              (docText(store.readDeltas(spark, round - 1, "output_spans")),
+                store.readDeltas(spark, round - 1, "minhash_index"))
+            else
+              (docsRound.limit(0),
+                Dedup.minhashIndex(docsRound.limit(0), k = dedupShingleK, seed = cfg.seed))
+          val (pairs, deltaIndex, caches) = Dedup.minhashIncrementalPairsWithCaches(
+            docsRound, corpus, index,
+            k = dedupShingleK, threshold = cfg.dedupThreshold, seed = cfg.seed)
+          store.write(pairs.withColumn("round", lit(round)), round, "doc_dup_pairs")
+          store.write(deltaIndex, round, "minhash_index")
+          // release the stage's caches — a long crawl must not
+          // accumulate per-round cached frames (the admissions/fetched
+          // discipline of the main loop)
+          caches.foreach(_.unpersist())
+        }
+
       // 10. seen ∪ admitted — DELTA write only (O(new), the Iceberg
       //     append): readers union url_seen_delta across snapshots.
       //     Both sketches fold in ONLY this round's delta:
@@ -439,7 +480,7 @@ object CrawlJob {
       val fetchedCount = metricRows.map(_.getLong(2)).sum
       val failedCount = metricRows.map(_.getLong(5)).sum
       val outlinkCount = metricRows.map(r => if (r.isNullAt(9)) 0L else r.getLong(9)).sum
-      Seq(fetchLogFut, seenFut, bloomFut, cuckooFut, pendingFut).foreach(await)
+      Seq(fetchLogFut, seenFut, bloomFut, cuckooFut, pendingFut, dedupFut).foreach(await)
 
       // 12. atomic commit → resumable checkpoint
       store.commit(round, round, Map(
@@ -448,7 +489,10 @@ object CrawlJob {
         "cuckoo_buckets" -> cuckooBuckets.toString,
         "bloom_capacity" -> bloomCapacity.toString,
         "bloom_fpp" -> bloomFpp.toString,
-        "bloom_sharded" -> bloomSharded.toString))
+        "bloom_sharded" -> bloomSharded.toString) ++
+        (if (cfg.dedupDocs) Map(
+          "dedup_k" -> dedupShingleK.toString,
+          "dedup_threshold" -> cfg.dedupThreshold.toString) else Map.empty))
 
       stats += RoundStats(round, candidateCount, deniedCount,
         admittedCount + deferredCount, admittedCount, deferredCount,
