@@ -1,6 +1,6 @@
 package graft.queries
 
-/** DuckDB oracle twins for [[Queries]] — ALL 43 queries have one.
+/** DuckDB oracle twins for [[Queries]] — ALL 44 queries have one.
   * Column names and rounding match the Spark side exactly (driver
   * compare sorts columns by name and hashes values). Sketch-parameter
   * queries (q26 simhash, q27 hyperplane LSH, q35 IVF) share their hash
@@ -70,7 +70,7 @@ object OracleSql {
     * synthesizes those signature-0 rows explicitly (UNION ALL branch).
     */
   private def simhashSql(bands: Int, bitsPerBand: Int, maxDist: Int,
-                         probeHamming: Int = 0): String = {
+                         probeHamming: Int = 0, extraWhere: String = ""): String = {
     val mask = (1L << bitsPerBand) - 1
     // radius-R multi-probe admits a candidate iff some band's buckets
     // are within hamming R (each side probes every ≤R-bit flip of its
@@ -95,7 +95,7 @@ object OracleSql {
        |  FROM banded a JOIN banded b
        |    ON a.band = b.band AND $bucketCond AND a.id < b.id)
        |SELECT id_a, id_b, bit_count(xor(sa, sb))::INT AS hamming
-       |FROM pairs WHERE bit_count(xor(sa, sb)) <= $maxDist
+       |FROM pairs WHERE bit_count(xor(sa, sb)) <= $maxDist$extraWhere
        |ORDER BY id_a, id_b""".stripMargin
   }
 
@@ -325,6 +325,13 @@ object OracleSql {
          |ORDER BY id_a, id_b""".stripMargin,
 
     "q26_simhash" -> simhashSql(bands = 4, bitsPerBand = 16, maxDist = 6),
+
+    // incremental SimHash (delta = doc_id % 5 = 0 vs the (id, sig)
+    // index of the rest): q26's exact pair set restricted to pairs
+    // with a delta member — signature-only verification, so the
+    // incremental path reads zero corpus text
+    "q44_simhash_incremental" -> simhashSql(bands = 4, bitsPerBand = 16,
+      maxDist = 6, extraWhere = " AND (id_a % 5 = 0 OR id_b % 5 = 0)"),
 
     // same operator, second banding config — generated from the same
     // constants the Spark entry uses, so the parameterized banding is

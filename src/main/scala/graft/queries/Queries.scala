@@ -443,6 +443,18 @@ object Queries {
       bands = 16, rowsPerBand = 4).orderBy("id_a", "id_b")
   }
 
+  // q44 — INCREMENTAL SimHash: the same delta-vs-index shape as q43,
+  // but verification is on the 8-byte signatures themselves — the
+  // incremental path reads ZERO corpus text. Oracle: q26's exact pair
+  // set restricted to pairs with a delta member.
+  def q44SimhashIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val index = Dedup.simhashIndex(docs.filter(col("doc_id") % 5 =!= 0))
+    Dedup.simhashIncrementalPairs(delta, index, maxDist = 6)
+      .orderBy("id_a", "id_b")
+  }
+
   // q27 — embedding cosine near-dup via the SCALE path: multi-table
   // hyperplane LSH (6 tables × 4 planes), candidates only inside
   // (table, bucket) groups, exact cosine verification — no cartesian
@@ -624,6 +636,7 @@ object Queries {
     "q40_ann_ivf_f32" -> (q40AnnIvfF32 _),
     "q41_simhash_r2" -> (q41SimhashR2 _),
     "q42_ann_ivf_sq8" -> (q42AnnIvfSq8 _),
-    "q43_minhash_incremental" -> (q43MinhashIncremental _)
+    "q43_minhash_incremental" -> (q43MinhashIncremental _),
+    "q44_simhash_incremental" -> (q44SimhashIncremental _)
   )
 }

@@ -88,6 +88,31 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(got.forall { case (a, b) => Set(3L, 100L, 0L, 200L, 201L).contains(a) || b >= 200L })
   }
 
+  test("incremental simhash = full simhash pair set restricted to delta pairs (both radii)") {
+    import spark.implicits._
+    // simhash needs long docs for a small edit to stay within radius
+    val base = (0 until 15).map { i =>
+      (i.toLong, (0 until 200).map(j => s"s${i}t$j").mkString(" "))
+    }
+    val dups = (0 until 5).map { i =>
+      val toks = base(i)._2.split(" "); toks(77) = "CHANGED"
+      (100L + i, toks.mkString(" "))
+    }
+    val longDocs = (base ++ dups).toDF("doc_id", "text")
+    val dIds = Set(0L, 100L, 101L)
+    val d = longDocs.filter(col("doc_id").isin(dIds.toSeq: _*))
+    val c = longDocs.filter(!col("doc_id").isin(dIds.toSeq: _*))
+    for ((bands, bits, radius) <- Seq((4, 16, 0), (2, 32, 1))) {
+      val full = Dedup.simhashPairs(longDocs, maxDist = 12,
+        bands = bands, bitsPerBand = bits, probeRadius = radius)
+      val expected = pairSet(full).filter { case (a, b) => dIds(a) || dIds(b) }
+      val inc = Dedup.simhashIncrementalPairs(d, Dedup.simhashIndex(c),
+        maxDist = 12, bands = bands, bitsPerBand = bits, probeRadius = radius)
+      assert(pairSet(inc) === expected, s"config $bands x $bits r$radius")
+      assert(expected.nonEmpty, s"fixture produced no delta pairs at $bands x $bits")
+    }
+  }
+
   test("empty delta yields an empty result with the pair schema") {
     val index = Dedup.minhashIndex(corpus, k = 2)
     val inc = Dedup.minhashIncrementalPairs(delta.limit(0), corpus, index,
