@@ -79,7 +79,14 @@ object ProfileCrawl {
         // GRAFT_SHARDED=1 → per-bucket bloom shard files instead of the
         // broadcast bloom (the 10^10 escape hatch) — soak evidence for
         // BASELINE.md
-        bloomSharded = sys.env.get("GRAFT_SHARDED").contains("1"))
+        bloomSharded = sys.env.get("GRAFT_SHARDED").contains("1"),
+        // "graft.dedup=true" in GRAFT_CONF_A/B (or GRAFT_DEDUP=1) turns
+        // on the per-round incremental doc near-dup stage — same-JVM
+        // A/B isolates its cost from host noise
+        dedupDocs = spark.conf.getOption("graft.dedup").map(_.toBoolean)
+          .getOrElse(sys.env.get("GRAFT_DEDUP").contains("1")),
+        dedupThreshold = sys.env.getOrElse("GRAFT_DEDUP_T", "0.9").toDouble,
+        dedupShingleK = sys.env.getOrElse("GRAFT_DEDUP_K", "3").toInt)
       val root = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(fastDir), s"graft-profile-$threads").toString
       val taskTime = new java.util.concurrent.atomic.AtomicLong
