@@ -156,6 +156,44 @@ object Similarity {
     ivfTopKCompressed(corpus, queries, k, nList, nProbe, rerank,
       graft.functions.Sq8Exprs.roundTripCol, idCol, vecCol)
 
+  /** IVF with PRODUCT-QUANTIZED list payloads (Jégou et al., TPAMI
+    * 2011) — the compression tier past SQ8: the 64-dim payload stores
+    * as `m` codeword indices (`m·log2(numCodes)` bits/vector; at
+    * production m=8 × 256 codes that is 8 B vs float64's 512 B — 64×,
+    * i.e. 8 GB of hot list bytes at 10⁹ × 64 dims). Same two-phase
+    * shape as [[ivfTopKF32]]/[[ivfTopKSQ8]]: the probed-list scan ranks
+    * on the RECONSTRUCTION ([[graft.functions.PqExprs]] round-trip —
+    * per subspace, the nearest codeword by round-6 L2, ties to the
+    * smallest index), exact re-rank recovers full precision for the
+    * survivors.
+    *
+    * The codebook is training-free and oracle-twinnable: the
+    * `numCodes` md5-ordered sample vectors (the same deterministic
+    * pick as [[pickCentroids]]), each sliced into its `m` subvectors —
+    * one bounded corpus pass, no k-means. At 10⁹+ vectors a trained
+    * codebook recalls better; the index SHAPE (codes in lists, ADC
+    * scan, exact re-rank) is what this pins, and a trained codebook
+    * drops into the same `quantize` slot.
+    */
+  def ivfTopKPQ(corpus: DataFrame, queries: DataFrame, k: Int,
+                nList: Int = 16, nProbe: Int = 4, rerank: Int = 20,
+                m: Int = 4, numCodes: Int = 32,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sample = collectCentroids(corpus, numCodes, idCol, vecCol)
+    if (sample.isEmpty) {
+      val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).cast("array<double>").as("cv"))
+      val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      return emptyTopK(c, q)
+    }
+    val dim = sample.head._2.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val subDim = dim / m
+    val codebook: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(s => sample.map(_._2.slice(s * subDim, (s + 1) * subDim)))
+    ivfTopKCompressed(corpus, queries, k, nList, nProbe, rerank,
+      cv => graft.functions.PqExprs.roundTripCol(cv, codebook), idCol, vecCol)
+  }
+
   /** Shared two-phase compressed-IVF pipeline; `quantize` models the
     * list storage format (the scan sees its output).
     */

@@ -326,6 +326,54 @@ object OracleSql {
 
     "q26_simhash" -> simhashSql(bands = 4, bitsPerBand = 16, maxDist = 6),
 
+    // q42's pipeline with PRODUCT-QUANTIZED list payloads: the
+    // codebook is the md5-ordered 32-vector sample sliced into 4
+    // subspaces of 16 dims; each subspace stores the codeword with the
+    // smallest round-6 Euclidean distance (ties to the smallest
+    // sample index j), and the scan ranks on the reconstruction
+    // (chosen codewords concatenated in subspace order)
+    "q45_ann_ivf_pq" ->
+      """WITH cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS centroid
+        |    FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+        |samp AS (SELECT embedding::DOUBLE[] AS sv,
+        |    row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS j
+        |  FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 32),
+        |ss AS (SELECT unnest(range(4)) AS s),
+        |codes AS (SELECT s, j, list_slice(sv, s*16+1, s*16+16) AS cw
+        |  FROM samp CROSS JOIN ss),
+        |c0 AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        |subs AS (SELECT corpus_id, s, list_slice(cv, s*16+1, s*16+16) AS sub
+        |  FROM c0 CROSS JOIN ss),
+        |best AS (SELECT corpus_id, s, cw FROM (
+        |  SELECT corpus_id, s, cw, row_number() OVER (PARTITION BY corpus_id, s
+        |    ORDER BY round(list_distance(sub, cw), 6), j) AS r
+        |  FROM subs JOIN codes USING (s)) WHERE r = 1),
+        |cq AS (SELECT corpus_id, flatten(list(cw ORDER BY s)) AS cvq
+        |  FROM best GROUP BY corpus_id),
+        |c AS (SELECT corpus_id, cv, cvq FROM c0 JOIN cq USING (corpus_id)),
+        |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+        |    WHERE vec_id < 10),
+        |assign AS (SELECT corpus_id, cvq, cid AS list_id FROM (
+        |  SELECT corpus_id, cvq, cid, row_number() OVER (PARTITION BY corpus_id
+        |    ORDER BY round(list_cosine_similarity(cv, centroid), 6) DESC, cid) AS crank
+        |  FROM c CROSS JOIN cents) WHERE crank = 1),
+        |probes AS (SELECT query_id, qv, cid AS list_id FROM (
+        |  SELECT query_id, qv, cid, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY round(list_cosine_similarity(qv, centroid), 6) DESC, cid) AS prank
+        |  FROM q CROSS JOIN cents) WHERE prank <= 8),
+        |cand AS (SELECT query_id, qv, corpus_id FROM (
+        |  SELECT query_id, qv, corpus_id, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY round(list_cosine_similarity(cvq, qv), 6) DESC, corpus_id) AS qrank
+        |  FROM assign JOIN probes USING (list_id) WHERE corpus_id <> query_id)
+        |  WHERE qrank <= 20),
+        |rer AS (SELECT query_id, corpus_id,
+        |    round(list_cosine_similarity(cv, qv), 6) AS cos
+        |  FROM cand JOIN c USING (corpus_id)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, corpus_id) AS rank FROM rer)
+        |SELECT query_id, corpus_id, rank::INT AS rank, cos FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
     // incremental SimHash (delta = doc_id % 5 = 0 vs the (id, sig)
     // index of the rest): q26's exact pair set restricted to pairs
     // with a delta member — signature-only verification, so the

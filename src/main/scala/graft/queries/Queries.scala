@@ -423,6 +423,20 @@ object Queries {
       nList = 16, nProbe = 8, rerank = 20).orderBy("query_id", "rank")
   }
 
+  // q45 — PRODUCT-QUANTIZED IVF (the compression tier past q42's SQ8:
+  // m=4 subspaces × 32 codewords stores 4 code indices per vector —
+  // 64× at the production 8×256 shape). The codebook is the same
+  // md5-ordered deterministic sample the centroid pick uses, sliced
+  // per subspace, so the whole encode — round-6 L2 argmin per
+  // subspace, ties to the smallest codeword index — has an exact
+  // DuckDB twin (list_slice + list_distance).
+  def q45AnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.ivfTopKPQ(emb, emb.filter(col("vec_id") < 10), k = 5,
+      nList = 16, nProbe = 8, rerank = 20, m = 4, numCodes = 32)
+      .orderBy("query_id", "rank")
+  }
+
   // q43 — INCREMENTAL near-dup: dedup a new batch against an
   // already-indexed corpus without recomputing corpus signatures — the
   // operation every snapshot of a 100-TB pipeline actually runs. delta
@@ -637,6 +651,7 @@ object Queries {
     "q41_simhash_r2" -> (q41SimhashR2 _),
     "q42_ann_ivf_sq8" -> (q42AnnIvfSq8 _),
     "q43_minhash_incremental" -> (q43MinhashIncremental _),
-    "q44_simhash_incremental" -> (q44SimhashIncremental _)
+    "q44_simhash_incremental" -> (q44SimhashIncremental _),
+    "q45_ann_ivf_pq" -> (q45AnnIvfPq _)
   )
 }

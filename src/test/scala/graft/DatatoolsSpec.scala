@@ -253,6 +253,55 @@ class DatatoolsSpec extends SparkSpec {
     assert(sq8full === brute, "SQ8 at full probe + exact re-rank must equal brute force")
   }
 
+  test("IVF-PQ: coarse reconstruction, recall recovered by a wider re-rank window") {
+    // PQ's training-free codebook (32 md5-sampled codewords per 16-dim
+    // subspace) is deliberately coarse on these unstructured synthetic
+    // embeddings — PQ's worst case. What the tier must deliver is the
+    // SHAPE: codes in lists (64× payload reduction at the production
+    // 8×256 layout), approximate scan on the reconstruction, and a
+    // re-rank window that buys back recall monotonically. Measured on
+    // this data: rerank=20 → 0.2, rerank=200 → 0.92.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def pqRecall(rerank: Int): Double = {
+      val got = Similarity.ivfTopKPQ(emb, queries, k = 5, nList = 8, nProbe = 8,
+        rerank = rerank, m = 4, numCodes = 32)
+        .select("query_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (brute & got).size.toDouble / brute.size
+    }
+    val narrow = pqRecall(20)
+    val wide = pqRecall(200)
+    assert(wide >= 0.85, s"PQ recall at rerank=200 is $wide")
+    assert(wide > narrow, s"wider re-rank must recover recall ($narrow -> $wide)")
+  }
+
+  test("PQ round-trip expression: reconstruction parity, null and short-vector semantics") {
+    import spark.implicits._
+    val m = 2; val subDim = 3; val numCodes = 2
+    // codebook[s][j]: subspace 0 codes {(0,0,0),(1,1,1)}, subspace 1 {(2,2,2),(9,9,9)}
+    val codebook: Seq[Seq[Seq[Double]]] = Seq(
+      Seq(Seq(0.0, 0.0, 0.0), Seq(1.0, 1.0, 1.0)),
+      Seq(Seq(2.0, 2.0, 2.0), Seq(9.0, 9.0, 9.0)))
+    val rows = Seq(
+      (1L, Seq(0.1, 0.0, 0.2, 2.5, 2.0, 2.1)), // → code 0, code 0
+      (2L, Seq(0.9, 1.2, 1.0, 8.0, 9.5, 9.0)), // → code 1, code 1
+      (3L, Seq(0.5, 0.5, 0.5, 5.5, 5.5, 5.5))) // exact ties → SMALLEST index both
+    val df = rows.toDF("id", "v").withColumn("v", col("v").cast("array<double>"))
+    val got = df.withColumn("rt", graft.functions.PqExprs.roundTripCol(col("v"), codebook))
+      .select("id", "rt").collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(got(1L) === Seq(0.0, 0.0, 0.0, 2.0, 2.0, 2.0))
+    assert(got(2L) === Seq(1.0, 1.0, 1.0, 9.0, 9.0, 9.0))
+    assert(got(3L) === Seq(0.0, 0.0, 0.0, 2.0, 2.0, 2.0), "ties must pick the smallest codeword index")
+    // a short vector (< m·subDim) and a null element both yield null
+    val degenerate = Seq((1L, Seq[java.lang.Double](1.0, 2.0)),
+      (2L, Seq[java.lang.Double](0.1, null, 0.2, 2.5, 2.0, 2.1)))
+      .toDF("id", "v").withColumn("v", col("v").cast("array<double>"))
+      .withColumn("rt", graft.functions.PqExprs.roundTripCol(col("v"), codebook))
+    assert(degenerate.filter(col("rt").isNotNull).count() === 0)
+  }
+
   test("language ID classifies planted multilingual snippets") {
     import spark.implicits._
     // (the driver corpus's lang column is synthetic — its text is the
