@@ -98,11 +98,18 @@ final class SnapshotStore(val root: String) {
     * column.
     */
   def readPartitions(spark: SparkSession, id: Int, table: String,
-                     values: Seq[String]): DataFrame =
-    spark.read.parquet(tablePath(id, table))
-      .filter(org.apache.spark.sql.functions.col(HiddenPartCol)
-        .isin(values.map(x => x: Any): _*))
+                     values: Seq[String]): DataFrame = {
+    // metadata-level pruning: only the matching `_part=<v>` dirs enter
+    // the plan as read paths (basePath keeps the partition column
+    // parsing) — out-of-range files are absent from the scan, not
+    // filtered after it, exactly like Iceberg partition pruning
+    val dirs = values.map(v => Paths.get(tablePath(id, table), s"$HiddenPartCol=$v"))
+      .filter(Files.isDirectory(_)).map(_.toString)
+    if (dirs.isEmpty) read(spark, id, table).limit(0)
+    else spark.read.option("basePath", tablePath(id, table))
+      .parquet(dirs: _*)
       .drop(HiddenPartCol)
+  }
 
   /** Atomically commit snapshot `id` with manifest metadata. */
   /** Files.list/walk hold an open directory handle until closed — a
@@ -118,10 +125,17 @@ final class SnapshotStore(val root: String) {
     try f(s.iterator().asScala) finally s.close()
   }
 
+  /** Table dirs of a snapshot — dot-dirs (crashed compaction staging)
+    * never reach a manifest.
+    */
+  private def listedTables(id: Int): Seq[String] =
+    listed(Paths.get(snapshotDir(id)))(
+      _.filter(Files.isDirectory(_)).map(_.getFileName.toString)
+        .filterNot(_.startsWith(".")).toSeq).sorted
+
   def commit(id: Int, round: Int, meta: Map[String, String] = Map.empty): Unit = {
     Files.createDirectories(Paths.get(snapshotDir(id)))
-    val tables = listed(Paths.get(snapshotDir(id)))(
-      _.filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq).sorted
+    val tables = listedTables(id)
     val metaJson = (meta + ("round" -> round.toString))
       .map { case (k, v) => s""""$k": "$v"""" }.mkString(", ")
     val manifest =
@@ -147,6 +161,89 @@ final class SnapshotStore(val root: String) {
       .findFirstMatchIn(manifest).map(_.group(1)).getOrElse("")
     """"([^"]+)":\s*"([^"]*)"""".r.findAllMatchIn(metaBody)
       .map(m => m.group(1) -> m.group(2)).toMap
+  }
+
+  /** Delta tables this snapshot was compacted over (it subsumes every
+    * earlier snapshot's rows of those tables); empty when the snapshot
+    * is a plain per-round delta.
+    */
+  def compactedTables(id: Int): Set[String] =
+    if (!Files.exists(Paths.get(snapshotDir(id), "MANIFEST.json"))) Set.empty
+    else manifestMeta(id).get("compacted_tables")
+      .map(_.split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+
+  /** Rewrite snapshot `id`'s manifest in place with extra meta, WITHOUT
+    * touching CURRENT — maintenance operations (compaction) re-describe
+    * an already-committed snapshot; only `commit` moves the pointer.
+    */
+  private def rewriteManifest(id: Int, extraMeta: Map[String, String]): Unit = {
+    val round = snapshotRound(id)
+    val tables = listedTables(id)
+    val meta = manifestMeta(id) ++ extraMeta + ("round" -> round.toString)
+    val metaJson = meta.map { case (k, v) => s""""$k": "$v"""" }.mkString(", ")
+    val manifest =
+      s"""{"snapshot_id": $id, "round": $round, "tables": [${tables.map(t => s""""$t"""").mkString(", ")}], "meta": {$metaJson}}"""
+    Files.writeString(Paths.get(snapshotDir(id), "MANIFEST.json"), manifest)
+  }
+
+  /** Iceberg `rewrite_data_files` + manifest rewrite for the delta
+    * tables: fold every delta of `table` in snapshots 0..baseId into
+    * `v<baseId>/<table>` itself, hidden-partitioned by `roundCol` so
+    * round-range reads keep file-level pruning INSIDE the compacted
+    * table (the per-snapshot manifest prune those rounds used to get).
+    * After compaction, snapshots below `baseId` hold no live data for
+    * `table` and [[expireSnapshots]] may delete them.
+    *
+    * At 10⁴ crawl rounds this is the maintenance pass that keeps the
+    * union read O(#snapshots-since-compaction) instead of O(#rounds
+    * ever), and replaces 10⁴ small per-round files with
+    * one-file-per-round partitions of a single table.
+    */
+  def compactDeltas(spark: SparkSession, baseId: Int, table: String,
+                    roundCol: String = "round_first_seen"): Unit = {
+    require(hasTable(baseId, table), s"snapshot $baseId has no $table to compact into")
+    val full = readDeltas(spark, baseId, table)
+    require(full.columns.contains(roundCol), s"$table lacks round column $roundCol")
+    // one shuffle by round → each `_part=<round>` dir gets its rows from
+    // few tasks (fat files), instead of every task spraying every round
+    val packed = full.repartition(org.apache.spark.sql.functions.col(roundCol))
+    // stage beside, then swap: the rewrite must not destroy the inputs
+    // (v<baseId>'s own delta is one of them) before the new files exist
+    val tmpTable = s".compact_$table"
+    packed.withColumn(HiddenPartCol, org.apache.spark.sql.functions.col(roundCol))
+      .write.mode(SaveMode.Overwrite).partitionBy(HiddenPartCol)
+      .parquet(tablePath(baseId, tmpTable))
+    val dst = Paths.get(tablePath(baseId, table))
+    deleteRecursively(dst)
+    Files.move(Paths.get(tablePath(baseId, tmpTable)), dst)
+    Files.writeString(transformMarker(baseId, table), s"identity($roundCol)")
+    val prior = compactedTables(baseId)
+    rewriteManifest(baseId, Map(
+      "compacted_tables" -> (prior + table).toSeq.sorted.mkString(","),
+      "compacted_through" -> baseId.toString))
+  }
+
+  private def deleteRecursively(p: Path): Unit = if (Files.exists(p)) {
+    val s = Files.walk(p)
+    try s.sorted(java.util.Comparator.reverseOrder()).forEach(Files.delete(_))
+    finally s.close()
+  }
+
+  /** Iceberg `expire_snapshots`: delete every snapshot dir strictly
+    * below the newest compacted base (their rows live on inside it).
+    * No-op without a compaction; never touches the base, anything after
+    * it, or CURRENT. Returns the expired ids.
+    */
+  def expireSnapshots(): Seq[Int] = {
+    val ids = committedSnapshots
+    val base = ids.filter(id => compactedTables(id).nonEmpty).lastOption
+    base match {
+      case None => Nil
+      case Some(b) =>
+        val expire = ids.filter(_ < b)
+        expire.foreach(id => deleteRecursively(Paths.get(snapshotDir(id))))
+        expire
+    }
   }
 
   /** The committed round of snapshot `id` (manifest "round" field);
@@ -180,15 +277,31 @@ final class SnapshotStore(val root: String) {
     */
   def readDeltas(spark: SparkSession, upTo: Int, table: String,
                  rounds: Option[(Int, Int)] = None): DataFrame = {
-    val ids = (0 to upTo).filter(hasTable(_, table))
+    val all = (0 to upTo).filter(hasTable(_, table))
+    // a compacted snapshot subsumes every earlier delta of this table:
+    // start the union at the NEWEST such base ≤ upTo (expired v<i> dirs
+    // below it have already dropped out of `all`)
+    val base = all.filter(id => compactedTables(id).contains(table)).lastOption
+    val ids = base.map(b => all.filter(_ >= b)).getOrElse(all)
     val pruned = rounds match {
       case None => ids
       case Some((lo, hi)) => ids.filter { id =>
-        val r = snapshotRound(id); r >= lo && r <= hi
+        if (base.contains(id)) lo <= snapshotRound(id) // holds rounds 0..base
+        else { val r = snapshotRound(id); r >= lo && r <= hi }
       }
     }
     require(pruned.nonEmpty, s"no $table deltas up to snapshot $upTo (rounds=$rounds)")
-    val frames = pruned.map(id => read(spark, id, table))
+    val frames = pruned.map { id =>
+      rounds match {
+        // the compacted base holds MANY rounds, hidden-partitioned by
+        // the round column — a range read prunes its `_part=` dirs like
+        // Iceberg partition pruning, so expiry costs the prune nothing
+        case Some((lo, hi)) if base.contains(id) =>
+          readPartitions(spark, id, table,
+            (math.max(lo, 0) to math.min(hi, snapshotRound(id))).map(_.toString))
+        case _ => read(spark, id, table)
+      }
+    }
     val schemas = frames.map(_.schema).distinct
     // hidden-partitioned snapshots have per-path directory layouts that
     // a single multi-root scan would try to unify — route them through
@@ -241,7 +354,8 @@ final class SnapshotStore(val root: String) {
     import spark.implicits._
     committedSnapshots.flatMap { id =>
       val dir = Paths.get(snapshotDir(id))
-      listed(dir)(_.filter(Files.isDirectory(_)).toSeq).flatMap { t =>
+      listed(dir)(_.filter(Files.isDirectory(_))
+        .filterNot(_.getFileName.toString.startsWith(".")).toSeq).flatMap { t =>
         // walk (not list): hidden-partitioned tables nest their data
         // files under `_part=<value>/` directories
         walked(t)(_.filter(f => f.getFileName.toString.endsWith(".parquet"))

@@ -133,4 +133,54 @@ class SnapshotStoreSpec extends SparkSpec {
     val metaV1 = files.filter(_._1 == 1).map(_._3).toSet
     assert(plannedV1 === metaV1)
   }
+
+  test("compaction + expiry: same rows, fewer snapshots, pruning survives inside the base") {
+    import spark.implicits._
+    val store = freshStore()
+    // 6 rounds of deltas, several files each (repartition(3))
+    (0 to 5).foreach { r =>
+      store.write((0 until 10).map(i => (s"https://h/$r/$i", (r * 100 + i).toLong, r))
+        .toDF("url_canon", "url_hash", "round_first_seen").repartition(3),
+        r, "url_seen_delta")
+      store.commit(r, r)
+    }
+    val before = store.readSeen(spark, 5).collect().map(_.getString(0)).toSet
+    val filesBefore = store.filesTable(spark)
+      .filter(col("snapshot_id") <= 3 && col("table") === "url_seen_delta").count()
+
+    // compact rounds 0..3 into v3; v0..v2 become expirable
+    store.compactDeltas(spark, baseId = 3, table = "url_seen_delta")
+    assert(store.compactedTables(3) === Set("url_seen_delta"))
+    // full read BEFORE expiry: identical row set (the base subsumes 0..2,
+    // which must not be double-counted)
+    assert(store.readSeen(spark, 5).collect().map(_.getString(0)).toSet === before)
+
+    val expired = store.expireSnapshots()
+    assert(expired === Seq(0, 1, 2))
+    assert(store.committedSnapshots === Seq(3, 4, 5))
+    // full read AFTER expiry: still the identical 60-row set
+    val after = store.readSeen(spark, 5).collect().map(_.getString(0)).toSet
+    assert(after === before)
+    // fewer files for the compacted range: one partition dir per round
+    // inside v3 instead of 4 snapshots x 3 files
+    val filesAfter = store.filesTable(spark)
+      .filter(col("snapshot_id") === 3 && col("table") === "url_seen_delta").count()
+    assert(filesAfter < filesBefore, s"$filesAfter !< $filesBefore")
+
+    // round-range pruning INSIDE the compacted base: only its matching
+    // `_part=` dirs are planned, plus nothing from v4/v5
+    val pruned = store.readSeen(spark, 5, rounds = Some((1, 2)))
+    assert(pruned.collect().map(_.getString(0)).toSet ===
+      before.filter(u => u.contains("/1/") || u.contains("/2/")))
+    val planned = pruned.inputFiles
+    assert(planned.nonEmpty && planned.forall(f =>
+      f.contains("/v3/") && (f.contains("_part=1") || f.contains("_part=2"))),
+      planned.mkString("\n"))
+    // a range spanning base and later deltas unions both sides
+    val spanning = store.readSeen(spark, 5, rounds = Some((3, 4)))
+    assert(spanning.collect().map(_.getString(0)).toSet ===
+      before.filter(u => u.contains("/3/") || u.contains("/4/")))
+    // the seen read of the CURRENT snapshot feeds resume — unchanged
+    assert(store.readSeen(spark, 5).count() === 60)
+  }
 }
