@@ -139,7 +139,16 @@ final case class CrawlConfig(
     // shingle width for the doc index — pinned by the checkpoint
     // manifest on resume (a different k would make old signatures
     // incomparable, like resuming with different cuckooBuckets)
-    dedupShingleK: Int = 3
+    dedupShingleK: Int = 3,
+    // OPT-IN snapshot maintenance: every `compactEvery` committed
+    // rounds, fold the cross-round delta tables (url_seen_delta, and
+    // with dedupDocs the minhash_index + output_spans it re-reads)
+    // into the just-committed snapshot and EXPIRE the subsumed ones —
+    // Iceberg's rewrite_data_files + expire_snapshots. Keeps the
+    // delta-union read O(rounds-since-compaction) on a long crawl at
+    // the cost of deleting expired rounds' per-round outputs
+    // (frontier/metrics history), so 0 = off by default.
+    compactEvery: Int = 0
 )
 
 /** Split options (`pkg/gotenberg/pdfengine.go:140-160`): mode ∈

@@ -396,7 +396,9 @@ object CrawlJob {
             docsRound, corpus, index,
             k = dedupShingleK, threshold = cfg.dedupThreshold, seed = cfg.seed)
           store.write(pairs.withColumn("round", lit(round)), round, "doc_dup_pairs")
-          store.write(deltaIndex, round, "minhash_index")
+          // `round` makes the index compactable (hidden-partitioned by
+          // round) under cfg.compactEvery maintenance
+          store.write(deltaIndex.withColumn("round", lit(round)), round, "minhash_index")
           // release the stage's caches — a long crawl must not
           // accumulate per-round cached frames (the admissions/fetched
           // discipline of the main loop)
@@ -498,6 +500,24 @@ object CrawlJob {
         admittedCount + deferredCount, admittedCount, deferredCount,
         fetchedCount, failedCount, outlinkCount, seenCount + admittedCount)
       seenCount += admittedCount
+
+      // 12b. OPT-IN snapshot maintenance (Iceberg rewrite_data_files +
+      // expire_snapshots): fold the cross-round delta tables into the
+      // snapshot just committed and delete the subsumed ones. Runs
+      // AFTER the commit (the checkpoint is durable either way) and
+      // BEFORE the state reload below, so the reloaded frames plan over
+      // the post-maintenance file set — never over paths expiry removed.
+      if (cfg.compactEvery > 0 && (round + 1) % cfg.compactEvery == 0) {
+        spark.sparkContext.setJobDescription("snapshot-maintenance")
+        timed("compact+expire") {
+          store.compactDeltas(spark, round, "url_seen_delta")
+          if (store.hasTable(round, "minhash_index"))
+            store.compactDeltas(spark, round, "minhash_index", roundCol = "round")
+          if (cfg.dedupDocs && store.hasTable(round, "output_spans"))
+            store.compactDeltas(spark, round, "output_spans", roundCol = "round")
+          store.expireSnapshots()
+        }
+      }
 
       // reload state from the committed snapshot (truncates lineage —
       // the equivalent of Iceberg snapshot isolation between rounds)

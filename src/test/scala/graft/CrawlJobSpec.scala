@@ -187,6 +187,34 @@ class CrawlJobSpec extends SparkSpec {
     (0 to last).foreach { r => assert(store.readManifest(r).contains("\"round\"")) }
   }
 
+  test("in-crawl snapshot maintenance (compactEvery) preserves the seen set and resume") {
+    // same crawl with the opt-in compact+expire stage firing mid-run
+    // (after round 1: (1+1) % 2 == 0) must land on the reference model's
+    // seen set, with the subsumed snapshots actually gone from disk.
+    val root = Files.createTempDirectory("crawl-compact").toString
+    import spark.implicits._
+    CrawlJob.run(spark, seeds.toDS(), robots, hostMap.toDS(), universe,
+      cfg.copy(compactEvery = 2), root)
+    val store = new SnapshotStore(root)
+    val last = store.currentSnapshot.get
+    val engineSeen = store.readSeen(spark, last)
+      .select("url_canon", "round_first_seen")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(engineSeen === model.seen)
+    // round-1 compaction expired v0; the base and everything after survive
+    assert(!Files.exists(java.nio.file.Paths.get(store.snapshotDir(0))))
+    assert(store.compactedTables(1).contains("url_seen_delta"))
+    // resume FROM a maintained checkpoint: 1 more round, model agreement
+    CrawlJob.run(spark, seeds.toDS(), robots, hostMap.toDS(), universe,
+      cfg.copy(maxRounds = 1, compactEvery = 2), root)
+    val model4 = ReferenceCrawl.run(seeds, robots,
+      hostMap.map(h => h.host -> h.ips).toMap, universe, cfg.copy(maxRounds = 4))
+    val resumedSeen = store.readSeen(spark, store.currentSnapshot.get)
+      .select("url_canon", "round_first_seen")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(resumedSeen === model4.seen)
+  }
+
   test("hot-host politeness budget is honored per round") {
     summary
     val store = new SnapshotStore(storeRoot)
