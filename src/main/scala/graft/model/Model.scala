@@ -141,13 +141,16 @@ final case class CrawlConfig(
     // incomparable, like resuming with different cuckooBuckets)
     dedupShingleK: Int = 3,
     // OPT-IN snapshot maintenance: every `compactEvery` committed
-    // rounds, fold the cross-round delta tables (url_seen_delta, and
-    // with dedupDocs the minhash_index + output_spans it re-reads)
-    // into the just-committed snapshot and EXPIRE the subsumed ones —
-    // Iceberg's rewrite_data_files + expire_snapshots. Keeps the
-    // delta-union read O(rounds-since-compaction) on a long crawl at
-    // the cost of deleting expired rounds' per-round outputs
-    // (frontier/metrics history), so 0 = off by default.
+    // rounds, fold the cross-round delta tables into the just-committed
+    // snapshot and EXPIRE the subsumed ones — Iceberg's
+    // rewrite_data_files + expire_snapshots. Small metadata deltas
+    // (url_seen_delta, minhash_index) are rewrite-compacted; the heavy
+    // history tables (output_spans, fetch_log, doc_dup_pairs, metrics)
+    // are folded by RENAME-only relocation, so expiry never deletes
+    // live rows and never rewrites the corpus. What expiry does drop is
+    // superseded per-round STATE (old frontier/pending/sketch
+    // snapshots — exactly what Iceberg expiry drops). Keeps the
+    // delta-union read O(rounds-since-compaction); 0 = off by default.
     compactEvery: Int = 0
 )
 

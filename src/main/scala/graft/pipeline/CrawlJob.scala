@@ -510,11 +510,20 @@ object CrawlJob {
       if (cfg.compactEvery > 0 && (round + 1) % cfg.compactEvery == 0) {
         spark.sparkContext.setJobDescription("snapshot-maintenance")
         timed("compact+expire") {
+          // a table may exist only in EARLIER snapshots (an empty round,
+          // or dedupDocs toggled off after indexed rounds) — the guard
+          // must scan the whole history or expiry would strand live rows
+          def anywhere(t: String) = (0 to round).exists(store.hasTable(_, t))
+          // small metadata tables: REWRITE-compact (packs 10⁴ rounds of
+          // tiny delta files into one fat file per round-partition)
           store.compactDeltas(spark, round, "url_seen_delta")
-          if (store.hasTable(round, "minhash_index"))
+          if (anywhere("minhash_index"))
             store.compactDeltas(spark, round, "minhash_index", roundCol = "round")
-          if (cfg.dedupDocs && store.hasTable(round, "output_spans"))
-            store.compactDeltas(spark, round, "output_spans", roundCol = "round")
+          // heavy history tables (the corpus + lineage): RENAME-only
+          // relocation — maintenance must never rewrite the 100-TB
+          // payload, and expiry must never delete live rows of it
+          Seq("output_spans", "fetch_log", "doc_dup_pairs", "metrics")
+            .filter(anywhere).foreach(t => store.relocateDeltas(round, t))
           store.expireSnapshots()
         }
       }

@@ -201,7 +201,12 @@ final class SnapshotStore(val root: String) {
     */
   def compactDeltas(spark: SparkSession, baseId: Int, table: String,
                     roundCol: String = "round_first_seen"): Unit = {
-    require(hasTable(baseId, table), s"snapshot $baseId has no $table to compact into")
+    // the base need not carry its own delta (a round can legitimately
+    // append nothing — e.g. zero converted docs → an empty index
+    // delta): compaction folds every EARLIER delta into the base
+    // regardless, so expiry below the base never strands live rows
+    require((0 to baseId).exists(hasTable(_, table)),
+      s"no $table in snapshots 0..$baseId to compact")
     val full = readDeltas(spark, baseId, table)
     require(full.columns.contains(roundCol), s"$table lacks round column $roundCol")
     // one shuffle by round → each `_part=<round>` dir gets its rows from
@@ -227,6 +232,80 @@ final class SnapshotStore(val root: String) {
     val s = Files.walk(p)
     try s.sorted(java.util.Comparator.reverseOrder()).forEach(Files.delete(_))
     finally s.close()
+  }
+
+  /** Rename-only sibling of [[compactDeltas]] for the HEAVY history
+    * tables (output spans, fetch log, dup pairs, metrics): fold every
+    * snapshot ≤ `baseId`'s delta of `table` into `v<baseId>/<table>` as
+    * hidden `_part=<round>` partition directories by pure file MOVE —
+    * zero data rewrite. The result is layout-identical to what
+    * [[compactDeltas]] produces (`identity(roundCol)` hidden
+    * partitioning, round-range reads prune `_part=` dirs), but costs
+    * O(#files) renames instead of an O(table) Spark job — at 100 TB a
+    * maintenance pass must not rewrite the corpus it maintains, which
+    * is exactly Iceberg's `expire_snapshots` contract: expiry drops
+    * unreferenced metadata, never live data files.
+    *
+    * Each delta's files keep their `roundCol` column; the partition dir
+    * merely mirrors it (identity transform), so readers see the same
+    * rows either way. Sources already hidden-partitioned (an earlier
+    * relocation base) contribute their `_part=` dirs verbatim.
+    *
+    * Crash safety: moves stage into a dot-dir (invisible to manifests)
+    * and the manifest is rewritten BEFORE drained source dirs are
+    * deleted, so a crashed pass is completed by simply re-running —
+    * every step is an idempotent merge-move.
+    */
+  def relocateDeltas(baseId: Int, table: String, roundCol: String = "round"): Unit = {
+    val sources = (0 to baseId).filter(hasTable(_, table))
+    require(sources.nonEmpty, s"no $table in snapshots 0..$baseId to relocate")
+    val dstRoot = Paths.get(tablePath(baseId, table))
+    val staging = Paths.get(snapshotDir(baseId), s".reloc_$table")
+    Files.createDirectories(staging)
+    def mergeMove(from: Path, into: Path): Unit = {
+      Files.createDirectories(into)
+      listed(from)(_.toSeq).foreach { f =>
+        Files.move(f, into.resolve(f.getFileName.toString),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    sources.foreach { id =>
+      val src = Paths.get(tablePath(id, table))
+      if (partitionTransform(id, table).isDefined) {
+        // an earlier base: its `_part=` dirs carry many rounds already
+        listed(src)(_.filter(p =>
+          p.getFileName.toString.startsWith(s"$HiddenPartCol=")).toSeq)
+          .foreach(d => mergeMove(d, staging.resolve(d.getFileName.toString)))
+      } else {
+        val part = staging.resolve(s"$HiddenPartCol=${snapshotRound(id)}")
+        Files.createDirectories(part)
+        listed(src)(_.filter { p =>
+          val n = p.getFileName.toString
+          Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")
+        }.toSeq).foreach(f =>
+          Files.move(f, part.resolve(f.getFileName.toString),
+            StandardCopyOption.REPLACE_EXISTING))
+      }
+    }
+    // an all-empty delta (a round that appended zero rows) contributes
+    // a fileless `_part=` dir — drop it so a pruned read over just that
+    // round falls back to the schema-bearing empty-frame path instead
+    // of failing parquet schema inference on a dir with no footers
+    listed(staging)(_.filter(Files.isDirectory(_)).toSeq)
+      .filter(d => listed(d)(_.isEmpty)).foreach(Files.delete(_))
+    // swap the assembled layout in (same window as compactDeltas'
+    // stage-beside-then-swap), then mark + manifest BEFORE dropping the
+    // drained sources: once the base is recorded as compacted, readers
+    // start their union at it and never touch the empty source dirs
+    deleteRecursively(dstRoot)
+    Files.move(staging, dstRoot)
+    Files.writeString(dstRoot.resolve("_SUCCESS"), "")
+    Files.writeString(transformMarker(baseId, table), s"identity($roundCol)")
+    rewriteManifest(baseId, Map(
+      "compacted_tables" -> (compactedTables(baseId) + table).toSeq.sorted.mkString(","),
+      "compacted_through" -> baseId.toString))
+    sources.filter(_ != baseId)
+      .foreach(id => deleteRecursively(Paths.get(tablePath(id, table))))
   }
 
   /** Iceberg `expire_snapshots`: delete every snapshot dir strictly

@@ -66,7 +66,12 @@ class CrawlDedupSpec extends SparkSpec {
     val store = new SnapshotStore(storeRoot)
     val last = store.currentSnapshot.get
     val index = store.readDeltas(spark, last, "minhash_index")
-    assert(index.columns.toSeq === Seq("id", "sz", "sig"))
+    // `round` makes the index compactable (hidden-partitionable by
+    // round) under CrawlConfig.compactEvery maintenance, and each
+    // delta's rows carry the round that appended them
+    assert(index.columns.toSeq === Seq("id", "sz", "sig", "round"))
+    assert(index.select("round").distinct().count() === last + 1,
+      "each committed round appended its own index delta")
     val allDocs = docText(store.readDeltas(spark, last, "output_spans"))
     // the canonical tokenizer's own emptiness predicate (at k = 1 even
     // an empty text yields one empty-token shingle — the twin-pinned

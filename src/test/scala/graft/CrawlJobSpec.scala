@@ -204,6 +204,17 @@ class CrawlJobSpec extends SparkSpec {
     // round-1 compaction expired v0; the base and everything after survive
     assert(!Files.exists(java.nio.file.Paths.get(store.snapshotDir(0))))
     assert(store.compactedTables(1).contains("url_seen_delta"))
+    // expiry is Iceberg-faithful: the HISTORY tables survive it in full.
+    // output spans were relocated (rename-only) into the base, so the
+    // cumulative corpus equals the model's fetched docs across rounds,
+    // and per-URL lineage keeps one fetch_log row per fetched URL
+    assert(store.compactedTables(1).contains("output_spans"))
+    val engineDocs = store.readDeltas(spark, last, "output_spans")
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    assert(engineDocs === model.rounds.flatMap(_.fetchedDocs.keys).toSet)
+    val logged = store.readDeltas(spark, last, "fetch_log")
+      .select("url_canon").collect().map(_.getString(0)).toSet
+    assert(logged === model.rounds.flatMap(_.admittedOrdered).toSet)
     // resume FROM a maintained checkpoint: 1 more round, model agreement
     CrawlJob.run(spark, seeds.toDS(), robots, hostMap.toDS(), universe,
       cfg.copy(maxRounds = 1, compactEvery = 2), root)

@@ -183,4 +183,49 @@ class SnapshotStoreSpec extends SparkSpec {
     // the seen read of the CURRENT snapshot feeds resume — unchanged
     assert(store.readSeen(spark, 5).count() === 60)
   }
+
+  test("relocation: rename-only fold preserves rows and file identity; chains across bases") {
+    import spark.implicits._
+    val store = freshStore()
+    (0 to 3).foreach { r =>
+      store.write((0 until 8).map(i => (s"d$r-$i", s"text $r $i", r))
+        .toDF("doc_id", "text", "round").repartition(2), r, "output_spans")
+      store.commit(r, r)
+    }
+    val before = store.readDeltas(spark, 3, "output_spans")
+      .collect().map(_.getString(0)).toSet
+    val filesBefore = store.filesTable(spark)
+      .filter(col("table") === "output_spans")
+      .collect().map(_.getString(2).split("/").last).toSet
+
+    // fold 0..2 into v2 by pure rename — the DATA FILES are the same
+    // files (no rewrite), just living under `_part=<round>` dirs now
+    store.relocateDeltas(baseId = 2, table = "output_spans")
+    assert(store.compactedTables(2) === Set("output_spans"))
+    val filesAfter = store.filesTable(spark)
+      .filter(col("table") === "output_spans")
+      .collect().map(_.getString(2).split("/").last).toSet
+    assert(filesAfter === filesBefore, "relocation must move, never rewrite")
+    assert(store.readDeltas(spark, 3, "output_spans")
+      .collect().map(_.getString(0)).toSet === before)
+    // sources drained: the union starts at the base, expiry drops them
+    assert(!store.hasTable(0, "output_spans") && !store.hasTable(1, "output_spans"))
+    assert(store.expireSnapshots() === Seq(0, 1))
+
+    // round-range pruning inside the relocated base, like compaction
+    val pruned = store.readDeltas(spark, 3, "output_spans", rounds = Some((1, 1)))
+    assert(pruned.collect().map(_.getString(0)).toSet === before.filter(_.startsWith("d1-")))
+    assert(pruned.inputFiles.forall(f => f.contains("/v2/") && f.contains("_part=1")))
+
+    // a LATER relocation folds the partitioned v2 base + plain v3 into
+    // v3 — the chained-maintenance shape of a long crawl
+    store.relocateDeltas(baseId = 3, table = "output_spans")
+    assert(store.expireSnapshots() === Seq(2))
+    assert(store.committedSnapshots === Seq(3))
+    assert(store.readDeltas(spark, 3, "output_spans")
+      .collect().map(_.getString(0)).toSet === before)
+    assert(store.readDeltas(spark, 3, "output_spans", rounds = Some((0, 1)))
+      .collect().map(_.getString(0)).toSet ===
+      before.filter(d => d.startsWith("d0-") || d.startsWith("d1-")))
+  }
 }
