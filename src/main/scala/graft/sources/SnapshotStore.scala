@@ -205,33 +205,66 @@ final class SnapshotStore(val root: String) {
     // append nothing — e.g. zero converted docs → an empty index
     // delta): compaction folds every EARLIER delta into the base
     // regardless, so expiry below the base never strands live rows
-    require((0 to baseId).exists(hasTable(_, table)),
-      s"no $table in snapshots 0..$baseId to compact")
-    val full = readDeltas(spark, baseId, table)
-    require(full.columns.contains(roundCol), s"$table lacks round column $roundCol")
-    // one shuffle by round → each `_part=<round>` dir gets its rows from
-    // few tasks (fat files), instead of every task spraying every round
-    val packed = full.repartition(org.apache.spark.sql.functions.col(roundCol))
-    // stage beside, then swap: the rewrite must not destroy the inputs
-    // (v<baseId>'s own delta is one of them) before the new files exist
-    val tmpTable = s".compact_$table"
-    packed.withColumn(HiddenPartCol, org.apache.spark.sql.functions.col(roundCol))
-      .write.mode(SaveMode.Overwrite).partitionBy(HiddenPartCol)
-      .parquet(tablePath(baseId, tmpTable))
+    val all = (0 to baseId).filter(hasTable(_, table))
+    require(all.nonEmpty, s"no $table in snapshots 0..$baseId to compact")
+    // INCREMENTAL: a previous maintenance base already holds rounds
+    // 0..prev as packed `_part=` dirs — those fold into the new base by
+    // pure RENAME below; only the uncompacted tail (rounds since the
+    // last maintenance) pays the rewrite. Per-pass cost is O(delta
+    // since last maintenance), not O(table) — on a 10⁴-round crawl the
+    // difference between flat and quadratic total maintenance cost.
+    val prevBase = all.filter(id =>
+      compactedTables(id).contains(table) && partitionTransform(id, table).isDefined)
+      .lastOption.filter(_ < baseId)
+    val tailIds = prevBase.map(b => all.filter(_ > b)).getOrElse(all)
+    val tmp = Paths.get(snapshotDir(baseId), s".compact_$table")
+    if (tailIds.nonEmpty) {
+      val tail = tailIds.map(read(spark, _, table))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+      require(tail.columns.contains(roundCol), s"$table lacks round column $roundCol")
+      // one shuffle by round → each `_part=<round>` dir gets its rows
+      // from few tasks (fat files), instead of every task spraying
+      // every round. Staged beside, then swapped: the rewrite must not
+      // destroy its inputs (v<baseId>'s own delta) before the new
+      // files exist.
+      tail.repartition(org.apache.spark.sql.functions.col(roundCol))
+        .withColumn(HiddenPartCol, org.apache.spark.sql.functions.col(roundCol))
+        .write.mode(SaveMode.Overwrite).partitionBy(HiddenPartCol)
+        .parquet(tmp.toString)
+    } else Files.createDirectories(tmp)
+    // previous base's packed partitions ride in by rename, never rewrite
+    prevBase.foreach { b =>
+      val src = Paths.get(tablePath(b, table))
+      listed(src)(_.filter(p =>
+        p.getFileName.toString.startsWith(s"$HiddenPartCol=")).toSeq)
+        .foreach(d => mergeMove(d, tmp.resolve(d.getFileName.toString)))
+    }
     val dst = Paths.get(tablePath(baseId, table))
     deleteRecursively(dst)
-    Files.move(Paths.get(tablePath(baseId, tmpTable)), dst)
+    Files.move(tmp, dst)
     Files.writeString(transformMarker(baseId, table), s"identity($roundCol)")
-    val prior = compactedTables(baseId)
     rewriteManifest(baseId, Map(
-      "compacted_tables" -> (prior + table).toSeq.sorted.mkString(","),
+      "compacted_tables" -> (compactedTables(baseId) + table).toSeq.sorted.mkString(","),
       "compacted_through" -> baseId.toString))
+    prevBase.foreach(b => deleteRecursively(Paths.get(tablePath(b, table))))
   }
 
   private def deleteRecursively(p: Path): Unit = if (Files.exists(p)) {
     val s = Files.walk(p)
     try s.sorted(java.util.Comparator.reverseOrder()).forEach(Files.delete(_))
     finally s.close()
+  }
+
+  /** Move every entry of `from` into `into` (created if absent) —
+    * idempotent per-file renames, the primitive both maintenance folds
+    * (compaction's prev-base carry and relocation) are built from.
+    */
+  private def mergeMove(from: Path, into: Path): Unit = {
+    Files.createDirectories(into)
+    listed(from)(_.toSeq).foreach { f =>
+      Files.move(f, into.resolve(f.getFileName.toString),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   /** Rename-only sibling of [[compactDeltas]] for the HEAVY history
@@ -262,13 +295,6 @@ final class SnapshotStore(val root: String) {
     val dstRoot = Paths.get(tablePath(baseId, table))
     val staging = Paths.get(snapshotDir(baseId), s".reloc_$table")
     Files.createDirectories(staging)
-    def mergeMove(from: Path, into: Path): Unit = {
-      Files.createDirectories(into)
-      listed(from)(_.toSeq).foreach { f =>
-        Files.move(f, into.resolve(f.getFileName.toString),
-          StandardCopyOption.REPLACE_EXISTING)
-      }
-    }
     sources.foreach { id =>
       val src = Paths.get(tablePath(id, table))
       if (partitionTransform(id, table).isDefined) {
@@ -308,13 +334,34 @@ final class SnapshotStore(val root: String) {
       .foreach(id => deleteRecursively(Paths.get(tablePath(id, table))))
   }
 
+  /** Iceberg `rollback_to_snapshot`: atomically point CURRENT back at
+    * an older committed snapshot; the crawl's resume path then replays
+    * deterministically from that checkpoint. One deliberate difference
+    * from Iceberg (which keeps orphaned snapshots until expiry): the
+    * rolled-over snapshots are deleted here, because this layout reuses
+    * their ids on the next commit — a stale `v<id+1>` table the re-run
+    * round doesn't overwrite must not be re-manifested as live data.
+    */
+  def rollbackTo(id: Int): Unit = {
+    require(committedSnapshots.contains(id), s"snapshot $id is not committed")
+    val later = committedSnapshots.filter(_ > id)
+    val tmp = rootPath.resolve("CURRENT.tmp")
+    Files.writeString(tmp, id.toString)
+    Files.move(tmp, currentFile, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    later.foreach(l => deleteRecursively(Paths.get(snapshotDir(l))))
+  }
+
   /** Iceberg `expire_snapshots`: delete every snapshot dir strictly
     * below the newest compacted base (their rows live on inside it).
     * No-op without a compaction; never touches the base, anything after
     * it, or CURRENT. Returns the expired ids.
     */
   def expireSnapshots(): Seq[Int] = {
-    val ids = committedSnapshots
+    // bounded by CURRENT: a dangling future dir (crash between
+    // rollback's CURRENT swap and its deletes) must not elect itself
+    // base and expire live snapshots below it
+    val ids = committedSnapshots.filter(id => currentSnapshot.forall(id <= _))
     val base = ids.filter(id => compactedTables(id).nonEmpty).lastOption
     base match {
       case None => Nil

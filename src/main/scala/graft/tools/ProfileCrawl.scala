@@ -86,7 +86,15 @@ object ProfileCrawl {
         dedupDocs = spark.conf.getOption("graft.dedup").map(_.toBoolean)
           .getOrElse(sys.env.get("GRAFT_DEDUP").contains("1")),
         dedupThreshold = sys.env.getOrElse("GRAFT_DEDUP_T", "0.9").toDouble,
-        dedupShingleK = sys.env.getOrElse("GRAFT_DEDUP_K", "3").toInt)
+        dedupShingleK = sys.env.getOrElse("GRAFT_DEDUP_K", "3").toInt,
+        // GRAFT_COMPACT_EVERY=k → in-crawl snapshot maintenance every k
+        // rounds (compact metadata deltas, relocate history tables,
+        // expire) — the `compact+expire` stage shows up in the per-stage
+        // breakdown, the BASELINE.md maintenance-cost datum.
+        // "graft.compactEvery" in GRAFT_CONF_A/B joins the same-JVM A/B
+        // so the maintenance cost can be isolated from host noise.
+        compactEvery = spark.conf.getOption("graft.compactEvery")
+          .getOrElse(sys.env.getOrElse("GRAFT_COMPACT_EVERY", "0")).toInt)
       val root = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(fastDir), s"graft-profile-$threads").toString
       val taskTime = new java.util.concurrent.atomic.AtomicLong

@@ -226,6 +226,31 @@ class CrawlJobSpec extends SparkSpec {
     assert(resumedSeen === model4.seen)
   }
 
+  test("rollback_to_snapshot: resume replays deterministically from the rolled-back checkpoint") {
+    val root = Files.createTempDirectory("crawl-rollback").toString
+    import spark.implicits._
+    CrawlJob.run(spark, seeds.toDS(), robots, hostMap.toDS(), universe, cfg, root)
+    val store = new SnapshotStore(root)
+    def seenMap(id: Int) = store.readSeen(spark, id)
+      .select("url_canon", "round_first_seen")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val seenBefore = seenMap(2)
+    store.rollbackTo(1)
+    assert(store.currentSnapshot === Some(1))
+    // the rolled-over snapshot is gone (its id will be recommitted)
+    assert(!Files.exists(java.nio.file.Paths.get(store.snapshotDir(2))))
+    assert(seenMap(1) === model.rounds.take(2)
+      .flatMap(_.admittedOrdered).distinct
+      .map(u => u -> model.seen(u)).toMap)
+    // resume ONE round from the rolled-back checkpoint: round 2 is
+    // recomputed, and determinism makes it bit-equal to the first run
+    CrawlJob.run(spark, seeds.toDS(), robots, hostMap.toDS(), universe,
+      cfg.copy(maxRounds = 1), root)
+    assert(store.currentSnapshot === Some(2))
+    assert(seenMap(2) === seenBefore)
+    assert(seenMap(2) === model.seen)
+  }
+
   test("hot-host politeness budget is honored per round") {
     summary
     val store = new SnapshotStore(storeRoot)

@@ -182,6 +182,24 @@ class SnapshotStoreSpec extends SparkSpec {
       before.filter(u => u.contains("/3/") || u.contains("/4/")))
     // the seen read of the CURRENT snapshot feeds resume — unchanged
     assert(store.readSeen(spark, 5).count() === 60)
+
+    // INCREMENTAL second pass: compacting into v5 rewrites only the
+    // v4/v5 tail; v3's already-packed `_part=` dirs are carried by
+    // RENAME — same file names, no rewrite — so per-pass maintenance
+    // cost is O(delta since last pass), not O(table)
+    val packedBefore = store.filesTable(spark)
+      .filter(col("snapshot_id") === 3 && col("table") === "url_seen_delta")
+      .collect().map(_.getString(2).split("/").last).toSet
+    store.compactDeltas(spark, baseId = 5, table = "url_seen_delta")
+    assert(store.expireSnapshots() === Seq(3, 4))
+    assert(store.readSeen(spark, 5).collect().map(_.getString(0)).toSet === before)
+    val carried = store.filesTable(spark)
+      .filter(col("table") === "url_seen_delta")
+      .collect().map(_.getString(2).split("/").last).toSet
+    assert(packedBefore.subsetOf(carried), "prev-base partitions must carry by rename")
+    assert(store.readSeen(spark, 5, rounds = Some((1, 2)))
+      .collect().map(_.getString(0)).toSet ===
+      before.filter(u => u.contains("/1/") || u.contains("/2/")))
   }
 
   test("relocation: rename-only fold preserves rows and file identity; chains across bases") {
