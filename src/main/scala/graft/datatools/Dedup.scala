@@ -122,14 +122,22 @@ object Dedup {
     * The size join moves two ints per pair; the array join that follows
     * only sees the survivors.
     */
-  private def verifyJaccard(candidates: DataFrame, sets: DataFrame, threshold: Double): DataFrame = {
-    val sizes = sets.select(col("id"), size(col("sh")).as("sz"))
-    val sized = candidates
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-      .filter(least(col("sz_a"), col("sz_b")).cast("double") >=
-        lit(threshold) * greatest(col("sz_a"), col("sz_b")))
-      .select("id_a", "id_b")
+  /** Exact-Jaccard verification of candidate pairs against shingle
+    * sets. `presized = true` skips the size-bound prefilter for callers
+    * that already applied it on index metadata (the incremental path) —
+    * the bound can never change the result, only save the heavy joins.
+    */
+  private def verifyJaccard(candidates: DataFrame, sets: DataFrame, threshold: Double,
+                            presized: Boolean = false): DataFrame = {
+    val sized = if (presized) candidates.select("id_a", "id_b") else {
+      val sizes = sets.select(col("id"), size(col("sh")).as("sz"))
+      candidates
+        .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .filter(least(col("sz_a"), col("sz_b")).cast("double") >=
+          lit(threshold) * greatest(col("sz_a"), col("sz_b")))
+        .select("id_a", "id_b")
+    }
     sized
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -321,7 +329,11 @@ object Dedup {
       .join(candIds, Seq("id"), "left_semi")
       .withColumn("sh", graft.functions.MinHashExprs.shinglesCol(col("text"), k))
       .select("id", "sh")
-    (verifyJaccard(plausible, corpusSh.unionByName(deltaSig.select("id", "sh")), threshold),
+    // presized: the Jaccard size bound already ran on index metadata
+    // above — re-deriving it from the re-shingled sets would pay two
+    // extra joins for a filter that cannot fire again
+    (verifyJaccard(plausible, corpusSh.unionByName(deltaSig.select("id", "sh")), threshold,
+      presized = true),
       deltaSig.select(col("id"), size(col("sh")).as("sz"), col("sig")),
       Seq(deltaSig, plausible))
   }

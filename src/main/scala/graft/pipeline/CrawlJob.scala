@@ -84,6 +84,16 @@ object CrawlJob {
 
     // ---- resume from the last committed snapshot (north rule) ----
     val startRound = store.currentSnapshot.map(_ + 1).getOrElse(0)
+    // a crash MID-MAINTENANCE leaves staging/backup dot-dirs whose rows
+    // are invisible to readers — crawling over them would corrupt the
+    // seen/corpus invariants silently. Fail fast; the dot-dirs preserve
+    // every byte for repair.
+    store.currentSnapshot.foreach { c =>
+      val debris = store.maintenanceDebris(c)
+      require(debris.isEmpty,
+        s"snapshot v$c has interrupted-maintenance debris (${debris.mkString(", ")}): " +
+          "repair (or remove after inspection) before resuming the crawl")
+    }
     // sketch partitioning is a property of the CHECKPOINT, not the
     // caller: resuming with a different cfg.cuckooBuckets would hash
     // url_hash to the wrong bucket-N.bin, turn cuckoo "no"s into lies
@@ -97,6 +107,12 @@ object CrawlJob {
     val dedupShingleK: Int = store.currentSnapshot
       .flatMap(c => store.manifestMeta(c).get("dedup_k"))
       .map(_.toInt).getOrElse(cfg.dedupShingleK)
+    // and the threshold: a mid-crawl switch would break the invariant
+    // that the union of per-round doc_dup_pairs equals one batch LSH
+    // run over all docs (CrawlDedupSpec/FIXTURES.md)
+    val dedupThreshold: Double = store.currentSnapshot
+      .flatMap(c => store.manifestMeta(c).get("dedup_threshold"))
+      .map(_.toDouble).getOrElse(cfg.dedupThreshold)
     var seen: DataFrame =
       store.currentSnapshot
         .filter(store.hasTable(_, "url_seen_delta"))
@@ -215,6 +231,11 @@ object CrawlJob {
 
     try {
     while (continue && round < startRound + cfg.maxRounds) {
+      // 0. clear any dangling v<round> dir — a crashed attempt or an
+      //    interrupted rollback may have left tables this attempt won't
+      //    overwrite, and commit manifests every dir it finds
+      store.clearStaged(round)
+
       // 1. canonicalize + hash via the native codegen expression — the
       //    single-pass parser inside WholeStageCodegen (no scalar UDF, no
       //    regex stack; UrlExprParitySpec pins equality with both twins)
@@ -394,7 +415,7 @@ object CrawlJob {
                 Dedup.minhashIndex(docsRound.limit(0), k = dedupShingleK, seed = cfg.seed))
           val (pairs, deltaIndex, caches) = Dedup.minhashIncrementalPairsWithCaches(
             docsRound, corpus, index,
-            k = dedupShingleK, threshold = cfg.dedupThreshold, seed = cfg.seed)
+            k = dedupShingleK, threshold = dedupThreshold, seed = cfg.seed)
           store.write(pairs.withColumn("round", lit(round)), round, "doc_dup_pairs")
           // `round` makes the index compactable (hidden-partitioned by
           // round) under cfg.compactEvery maintenance
@@ -494,7 +515,7 @@ object CrawlJob {
         "bloom_sharded" -> bloomSharded.toString) ++
         (if (cfg.dedupDocs) Map(
           "dedup_k" -> dedupShingleK.toString,
-          "dedup_threshold" -> cfg.dedupThreshold.toString) else Map.empty))
+          "dedup_threshold" -> dedupThreshold.toString) else Map.empty))
 
       stats += RoundStats(round, candidateCount, deniedCount,
         admittedCount + deferredCount, admittedCount, deferredCount,

@@ -1,6 +1,6 @@
 package graft.queries
 
-/** DuckDB oracle twins for [[Queries]] — ALL 44 queries have one.
+/** DuckDB oracle twins for [[Queries]] — ALL 45 queries have one.
   * Column names and rounding match the Spark side exactly (driver
   * compare sorts columns by name and hashes values). Sketch-parameter
   * queries (q26 simhash, q27 hyperplane LSH, q35 IVF) share their hash

@@ -58,6 +58,18 @@ final class SnapshotStore(val root: String) {
       case None => like.limit(0)
     }
 
+  /** Clear a dangling (uncommitted) snapshot dir before staging round
+    * `id`: a crashed attempt — or a rolled-back timeline whose deletes
+    * were interrupted — may have left tables the new attempt will not
+    * overwrite, and `commit` manifests every dir it finds, so stale
+    * tables from the dead attempt would be re-manifested as live data.
+    * Refuses to touch committed snapshots.
+    */
+  def clearStaged(id: Int): Unit = {
+    require(currentSnapshot.forall(_ < id), s"refusing to clear committed snapshot $id")
+    deleteRecursively(Paths.get(snapshotDir(id)))
+  }
+
   /** Stage a table into the (uncommitted) snapshot `id`. */
   def write(df: DataFrame, id: Int, table: String,
             sortWithinPartitionsBy: Seq[String] = Nil): Unit = {
@@ -239,9 +251,7 @@ final class SnapshotStore(val root: String) {
         p.getFileName.toString.startsWith(s"$HiddenPartCol=")).toSeq)
         .foreach(d => mergeMove(d, tmp.resolve(d.getFileName.toString)))
     }
-    val dst = Paths.get(tablePath(baseId, table))
-    deleteRecursively(dst)
-    Files.move(tmp, dst)
+    swapStaged(baseId, table, tmp)
     Files.writeString(transformMarker(baseId, table), s"identity($roundCol)")
     rewriteManifest(baseId, Map(
       "compacted_tables" -> (compactedTables(baseId) + table).toSeq.sorted.mkString(","),
@@ -249,11 +259,49 @@ final class SnapshotStore(val root: String) {
     prevBase.foreach(b => deleteRecursively(Paths.get(tablePath(b, table))))
   }
 
+  /** Swap a fully-staged maintenance layout in for the live table: the
+    * old table moves aside with ONE rename (not a slow recursive delete
+    * while the table is already gone), the staging dir renames in, and
+    * `_SUCCESS` is (re)written so `hasTable` holds even when the staged
+    * layout came from renames alone (empty-tail compaction / relocation
+    * never ran a Spark write). The unreadable window is two renames
+    * wide; the old layout survives intact in the `.old_` dir until the
+    * swap completes.
+    */
+  private def swapStaged(baseId: Int, table: String, staged: Path): Unit = {
+    val dst = Paths.get(tablePath(baseId, table))
+    val bak = Paths.get(snapshotDir(baseId), s".old_$table")
+    deleteRecursively(bak)
+    if (Files.exists(dst)) Files.move(dst, bak)
+    Files.move(staged, dst)
+    Files.writeString(dst.resolve("_SUCCESS"), "")
+    deleteRecursively(bak)
+  }
+
   private def deleteRecursively(p: Path): Unit = if (Files.exists(p)) {
     val s = Files.walk(p)
     try s.sorted(java.util.Comparator.reverseOrder()).forEach(Files.delete(_))
     finally s.close()
   }
+
+  private def hasPartDirs(dir: Path): Boolean =
+    Files.isDirectory(dir) && listed(dir)(
+      _.exists(_.getFileName.toString.startsWith(s"$HiddenPartCol=")))
+
+  /** Dot-dirs a crashed maintenance pass may have left in a snapshot —
+    * `.compact_*` / `.reloc_*` staging and `.old_*` swap backups. They
+    * preserve every byte of an interrupted pass, but rows parked there
+    * are invisible to readers, so resume paths must refuse to crawl
+    * over them ([[graft.pipeline.CrawlJob]] fails fast; the real
+    * Iceberg metadata swap is the component that makes maintenance
+    * crash-atomic, and is the documented drop-in for this store).
+    */
+  def maintenanceDebris(id: Int): Seq[String] =
+    if (!Files.isDirectory(Paths.get(snapshotDir(id)))) Nil
+    else listed(Paths.get(snapshotDir(id)))(
+      _.map(_.getFileName.toString)
+        .filter(n => n.startsWith(".compact_") || n.startsWith(".reloc_") ||
+          n.startsWith(".old_")).toSeq).sorted
 
   /** Move every entry of `from` into `into` (created if absent) —
     * idempotent per-file renames, the primitive both maintenance folds
@@ -284,10 +332,17 @@ final class SnapshotStore(val root: String) {
     * rows either way. Sources already hidden-partitioned (an earlier
     * relocation base) contribute their `_part=` dirs verbatim.
     *
-    * Crash safety: moves stage into a dot-dir (invisible to manifests)
-    * and the manifest is rewritten BEFORE drained source dirs are
-    * deleted, so a crashed pass is completed by simply re-running —
-    * every step is an idempotent merge-move.
+    * Crash safety: every byte is always on disk — moves stage into a
+    * dot-dir (invisible to manifests), the live table moves aside with
+    * one rename during the swap ([[swapStaged]]) and is deleted only
+    * after the staged layout is in place, and the manifest is rewritten
+    * BEFORE drained source dirs are deleted (so readers never union a
+    * drained source). A crash mid-pass can leave rows parked in the
+    * dot-dirs until a re-run of the pass at the SAME base completes the
+    * idempotent merge-moves; this miniature does not self-heal across a
+    * crash followed by maintenance at a LATER base — that last gap is
+    * what the real Iceberg metadata swap (the documented drop-in
+    * replacement for this store) closes.
     */
   def relocateDeltas(baseId: Int, table: String, roundCol: String = "round"): Unit = {
     val sources = (0 to baseId).filter(hasTable(_, table))
@@ -297,7 +352,11 @@ final class SnapshotStore(val root: String) {
     Files.createDirectories(staging)
     sources.foreach { id =>
       val src = Paths.get(tablePath(id, table))
-      if (partitionTransform(id, table).isDefined) {
+      // detect partitioned layout by CONTENT, not only the marker — a
+      // crash between a swap and its marker write leaves `_part=` dirs
+      // without one, and treating them as a plain delta would misfile
+      // every carried round under this snapshot's round
+      if (partitionTransform(id, table).isDefined || hasPartDirs(src)) {
         // an earlier base: its `_part=` dirs carry many rounds already
         listed(src)(_.filter(p =>
           p.getFileName.toString.startsWith(s"$HiddenPartCol=")).toSeq)
@@ -319,13 +378,11 @@ final class SnapshotStore(val root: String) {
     // of failing parquet schema inference on a dir with no footers
     listed(staging)(_.filter(Files.isDirectory(_)).toSeq)
       .filter(d => listed(d)(_.isEmpty)).foreach(Files.delete(_))
-    // swap the assembled layout in (same window as compactDeltas'
-    // stage-beside-then-swap), then mark + manifest BEFORE dropping the
-    // drained sources: once the base is recorded as compacted, readers
-    // start their union at it and never touch the empty source dirs
-    deleteRecursively(dstRoot)
-    Files.move(staging, dstRoot)
-    Files.writeString(dstRoot.resolve("_SUCCESS"), "")
+    // swap the assembled layout in (rename-aside, see swapStaged), then
+    // mark + manifest BEFORE dropping the drained sources: once the
+    // base is recorded as compacted, readers start their union at it
+    // and never touch the empty source dirs
+    swapStaged(baseId, table, staging)
     Files.writeString(transformMarker(baseId, table), s"identity($roundCol)")
     rewriteManifest(baseId, Map(
       "compacted_tables" -> (compactedTables(baseId) + table).toSeq.sorted.mkString(","),

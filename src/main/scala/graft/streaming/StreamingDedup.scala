@@ -60,16 +60,18 @@ object StreamingDedup {
           state.getOption.foreach(seen ++= _)
           val out = Seq.newBuilder[DupPair]
           rows.foreach { case (id, sig, _, _) =>
-            // each row also sees earlier rows of ITS OWN micro-batch —
-            // in-batch pairs need no second pass
-            seen.foreach { p =>
-              if (p.id != id) {
+            // an at-least-once source may replay a doc id: state stays
+            // one entry per doc per band, and a replay emits nothing new
+            if (!seen.exists(_.id == id)) {
+              // each row also sees earlier rows of ITS OWN micro-batch —
+              // in-batch pairs need no second pass
+              seen.foreach { p =>
                 val h = java.lang.Long.bitCount(p.sig ^ sig)
                 if (h <= maxDist)
                   out += (if (id < p.id) DupPair(id, p.id, h) else DupPair(p.id, id, h))
               }
+              seen += DocSig(id, sig)
             }
-            seen += DocSig(id, sig)
           }
           state.update(seen.toList)
           out.result().iterator

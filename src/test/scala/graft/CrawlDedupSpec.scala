@@ -86,4 +86,26 @@ class CrawlDedupSpec extends SparkSpec {
     assert(store.manifestMeta(last).get("dedup_k") === Some("1"))
     assert(store.manifestMeta(last).get("dedup_threshold") === Some("0.5"))
   }
+
+  test("resume pins dedup_k AND dedup_threshold from the manifest (checkpoint wins over cfg)") {
+    summary
+    import spark.implicits._
+    // resume one round with a mismatched cfg: a different k would band
+    // fresh signatures against incomparable stored ones, a different
+    // threshold would break the union==batch invariant above
+    CrawlJob.run(spark, universe.seedUrls(40).toDS(), SyntheticWeb.defaultRobots,
+      SyntheticWeb.hostMap(universe.numHosts).toDS(), universe,
+      cfg.copy(maxRounds = 1, dedupShingleK = 5, dedupThreshold = 0.99), storeRoot)
+    val store = new SnapshotStore(storeRoot)
+    val last = store.currentSnapshot.get
+    assert(store.manifestMeta(last).get("dedup_k") === Some("1"))
+    assert(store.manifestMeta(last).get("dedup_threshold") === Some("0.5"))
+    // the invariant still holds across the resumed round at the PINNED
+    // parameters — proof the mismatched cfg never reached the operator
+    val incremental = pairSet(store.readDeltas(spark, last, "doc_dup_pairs"))
+    val allDocs = docText(store.readDeltas(spark, last, "output_spans"))
+    val batch = pairSet(Dedup.minhashLshPairs(allDocs, k = 1,
+      threshold = 0.5, seed = cfg.seed))
+    assert(incremental === batch)
+  }
 }

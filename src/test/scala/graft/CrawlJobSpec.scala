@@ -226,6 +226,22 @@ class CrawlJobSpec extends SparkSpec {
     assert(resumedSeen === model4.seen)
   }
 
+  test("resume fails fast on interrupted-maintenance debris (rows parked in dot-dirs)") {
+    summary
+    val store = new SnapshotStore(storeRoot)
+    val cur = store.currentSnapshot.get
+    val debris = java.nio.file.Paths.get(store.snapshotDir(cur), ".reloc_output_spans")
+    Files.createDirectories(debris)
+    try {
+      import spark.implicits._
+      val ex = intercept[IllegalArgumentException] {
+        CrawlJob.run(spark, seeds.toDS(), robots, hostMap.toDS(), universe,
+          cfg.copy(maxRounds = 1), storeRoot)
+      }
+      assert(ex.getMessage.contains(".reloc_output_spans"))
+    } finally Files.delete(debris)
+  }
+
   test("rollback_to_snapshot: resume replays deterministically from the rolled-back checkpoint") {
     val root = Files.createTempDirectory("crawl-rollback").toString
     import spark.implicits._

@@ -76,6 +76,20 @@ class StreamingDedupSpec extends SparkSpec {
       val pairs = spark.table("streamdup2").collect()
       assert(pairs.forall(r => r.getString(0) != r.getString(1)))
       assert(!pairs.exists(r => r.getString(0) == "doc000" && r.getString(1) == "doc000"))
+      // replay idempotence: state keeps ONE entry per doc per band —
+      // a neighbor pairs with doc000 once per colliding band as usual,
+      // and a FURTHER replay of doc000 after that emits nothing new
+      // (the un-guarded version would re-pair the replayed row against
+      // everything in state)
+      input.addData(doc(0, edit = true)) // near-dup neighbor
+      query.processAllAvailable()
+      val withNeighbor = spark.table("streamdup2").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(withNeighbor.contains("doc000" -> "dup000"), "neighbor pair missing")
+      input.addData(doc(0)) // third replay, now with dup000 in state
+      query.processAllAvailable()
+      assert(spark.table("streamdup2").count() === withNeighbor.size,
+        "a replayed doc id re-emitted pairs against state")
     } finally query.stop()
   }
 }
