@@ -166,10 +166,9 @@ object Bench {
       runsByQuery(name) += (System.nanoTime() - t0) / 1e9
     }
     val results = headline.map(name => name -> median(runsByQuery(name).toSeq))
-    // release the query half's internal caches (q25/q43-style persisted
-    // index/candidate frames — deduped by plan across passes, but never
-    // dropped by the queries themselves) before the crawl half measures
-    spark.catalog.clearCache()
+    // spark.stop() releases the query half's internal caches (q25/q43-
+    // style persisted index/candidate frames) with the context — the
+    // crawl half builds fresh sessions
     spark.stop()
 
     // ---- part 2: crawl throughput at N and 4N parallelism ----

@@ -48,7 +48,16 @@ final class SnapshotStore(val root: String) {
     Paths.get(tablePath(id, table), "_PARTITION_TRANSFORM")
 
   def read(spark: SparkSession, id: Int, table: String): DataFrame = {
-    val df = spark.read.parquet(tablePath(id, table))
+    // a maintained base can hold files of MIXED schemas in one dir (the
+    // incremental carry renames pre-evolution partitions in beside the
+    // rewritten tail); without footer merging a single arbitrary footer
+    // would win and silently drop an added column. Plain per-round
+    // deltas stay on the cheap single-footer path.
+    val reader =
+      if (partitionTransform(id, table).isDefined)
+        spark.read.option("mergeSchema", "true")
+      else spark.read
+    val df = reader.parquet(tablePath(id, table))
     if (df.columns.contains(HiddenPartCol)) df.drop(HiddenPartCol) else df
   }
 
@@ -119,6 +128,8 @@ final class SnapshotStore(val root: String) {
       .filter(Files.isDirectory(_)).map(_.toString)
     if (dirs.isEmpty) read(spark, id, table).limit(0)
     else spark.read.option("basePath", tablePath(id, table))
+      // mixed schemas across carried partitions — see read()
+      .option("mergeSchema", "true")
       .parquet(dirs: _*)
       .drop(HiddenPartCol)
   }
@@ -225,6 +236,16 @@ final class SnapshotStore(val root: String) {
     // last maintenance) pays the rewrite. Per-pass cost is O(delta
     // since last maintenance), not O(table) — on a 10⁴-round crawl the
     // difference between flat and quadratic total maintenance cost.
+    // NOT re-run-safe after a crash: the Overwrite tail write would
+    // clobber staging that may hold the only copy of already-carried
+    // prev-base partitions, and a fresh swap would destroy the backup.
+    // Fail fast instead — the dot-dirs preserve every byte for manual
+    // repair. (relocateDeltas' assembly, by contrast, is merge-
+    // idempotent and adopts its own staging.)
+    val debris = maintenanceDebris(baseId).filter(_.endsWith(s"_$table"))
+    require(debris.isEmpty,
+      s"interrupted-maintenance debris for $table in v$baseId (${debris.mkString(", ")}): " +
+        "repair manually before compacting — a re-run would clobber parked rows")
     val prevBase = all.filter(id =>
       compactedTables(id).contains(table) && partitionTransform(id, table).isDefined)
       .lastOption.filter(_ < baseId)
@@ -251,12 +272,19 @@ final class SnapshotStore(val root: String) {
         p.getFileName.toString.startsWith(s"$HiddenPartCol=")).toSeq)
         .foreach(d => mergeMove(d, tmp.resolve(d.getFileName.toString)))
     }
+    // intent file: spans the swap → manifest window, during which the
+    // pass leaves no staging/backup debris but is not yet recorded —
+    // without it, a crash there would pass the resume fail-fast and
+    // readDeltas would double-count every carried round
+    val intent = Paths.get(snapshotDir(baseId), s".maint_$table")
+    Files.writeString(intent, table)
     swapStaged(baseId, table, tmp)
     Files.writeString(transformMarker(baseId, table), s"identity($roundCol)")
     rewriteManifest(baseId, Map(
       "compacted_tables" -> (compactedTables(baseId) + table).toSeq.sorted.mkString(","),
       "compacted_through" -> baseId.toString))
     prevBase.foreach(b => deleteRecursively(Paths.get(tablePath(b, table))))
+    Files.delete(intent)
   }
 
   /** Swap a fully-staged maintenance layout in for the live table: the
@@ -301,7 +329,7 @@ final class SnapshotStore(val root: String) {
     else listed(Paths.get(snapshotDir(id)))(
       _.map(_.getFileName.toString)
         .filter(n => n.startsWith(".compact_") || n.startsWith(".reloc_") ||
-          n.startsWith(".old_")).toSeq).sorted
+          n.startsWith(".old_") || n.startsWith(".maint_")).toSeq).sorted
 
   /** Move every entry of `from` into `into` (created if absent) —
     * idempotent per-file renames, the primitive both maintenance folds
@@ -349,6 +377,14 @@ final class SnapshotStore(val root: String) {
     require(sources.nonEmpty, s"no $table in snapshots 0..$baseId to relocate")
     val dstRoot = Paths.get(tablePath(baseId, table))
     val staging = Paths.get(snapshotDir(baseId), s".reloc_$table")
+    // assembly-phase staging is adopted (merge-idempotent renames), but
+    // swap-phase debris (.old_ backup, .maint_ intent) means a crash
+    // mid-swap — fail fast, a fresh swap would destroy the backup
+    val swapDebris = maintenanceDebris(baseId)
+      .filter(d => d == s".old_$table" || d == s".maint_$table")
+    require(swapDebris.isEmpty,
+      s"interrupted-maintenance swap debris for $table in v$baseId " +
+        s"(${swapDebris.mkString(", ")}): repair manually before relocating")
     Files.createDirectories(staging)
     sources.foreach { id =>
       val src = Paths.get(tablePath(id, table))
@@ -381,7 +417,11 @@ final class SnapshotStore(val root: String) {
     // swap the assembled layout in (rename-aside, see swapStaged), then
     // mark + manifest BEFORE dropping the drained sources: once the
     // base is recorded as compacted, readers start their union at it
-    // and never touch the empty source dirs
+    // and never touch the empty source dirs. The intent file spans the
+    // swap → manifest window, which otherwise leaves no debris for the
+    // resume fail-fast to catch.
+    val intent = Paths.get(snapshotDir(baseId), s".maint_$table")
+    Files.writeString(intent, table)
     swapStaged(baseId, table, staging)
     Files.writeString(transformMarker(baseId, table), s"identity($roundCol)")
     rewriteManifest(baseId, Map(
@@ -389,6 +429,7 @@ final class SnapshotStore(val root: String) {
       "compacted_through" -> baseId.toString))
     sources.filter(_ != baseId)
       .foreach(id => deleteRecursively(Paths.get(tablePath(id, table))))
+    Files.delete(intent)
   }
 
   /** Iceberg `rollback_to_snapshot`: atomically point CURRENT back at
@@ -402,6 +443,15 @@ final class SnapshotStore(val root: String) {
   def rollbackTo(id: Int): Unit = {
     require(committedSnapshots.contains(id), s"snapshot $id is not committed")
     val later = committedSnapshots.filter(_ > id)
+    // a LATER maintenance base holds the ONLY copy of earlier rounds'
+    // folded tables (sources were drained/expired into it) — deleting
+    // it would destroy rounds ≤ id too. Rolling back across a
+    // maintenance base is impossible in this id-reusing layout; real
+    // Iceberg can, because old snapshots pin their own files.
+    val bases = later.filter(l => compactedTables(l).nonEmpty)
+    require(bases.isEmpty,
+      s"cannot roll back to $id across maintenance base(s) v${bases.mkString(", v")}: " +
+        "they hold the only copy of earlier rounds' compacted/relocated tables")
     val tmp = rootPath.resolve("CURRENT.tmp")
     Files.writeString(tmp, id.toString)
     Files.move(tmp, currentFile, StandardCopyOption.ATOMIC_MOVE,

@@ -30,6 +30,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * with a retention policy (GroupStateTimeout / watermark eviction) at
   * a recall cost over evicted history; unbounded here, matching the
   * batch index semantics.
+  *
+  * Doc ids are IMMUTABLE: a re-fed id is treated as an at-least-once
+  * replay and ignored (first write wins — replay emits nothing new,
+  * StreamingDedupSpec). Re-feeding an id with DIFFERENT text is
+  * unsupported — the per-band guard would keep the old signature in
+  * unchanged-bucket bands and admit the new one elsewhere, leaving
+  * state mixed across versions; model document revisions as new ids
+  * (`doc42@v2`), the same contract as the batch index's
+  * delta-ids-disjoint requirement.
   */
 object StreamingDedup {
 

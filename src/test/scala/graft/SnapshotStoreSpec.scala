@@ -137,11 +137,14 @@ class SnapshotStoreSpec extends SparkSpec {
   test("compaction + expiry: same rows, fewer snapshots, pruning survives inside the base") {
     import spark.implicits._
     val store = freshStore()
-    // 6 rounds of deltas, several files each (repartition(3))
+    // 6 rounds of deltas, several files each (repartition(3)); rounds
+    // 4-5 carry an ADDED column (src_tag) so the incremental second
+    // compaction below mixes pre- and post-evolution files in one base
     (0 to 5).foreach { r =>
-      store.write((0 until 10).map(i => (s"https://h/$r/$i", (r * 100 + i).toLong, r))
-        .toDF("url_canon", "url_hash", "round_first_seen").repartition(3),
-        r, "url_seen_delta")
+      val base = (0 until 10).map(i => (s"https://h/$r/$i", (r * 100 + i).toLong, r))
+        .toDF("url_canon", "url_hash", "round_first_seen")
+      val delta = if (r >= 4) base.withColumn("src_tag", lit(s"crawl$r")) else base
+      store.write(delta.repartition(3), r, "url_seen_delta")
       store.commit(r, r)
     }
     val before = store.readSeen(spark, 5).collect().map(_.getString(0)).toSet
@@ -151,6 +154,10 @@ class SnapshotStoreSpec extends SparkSpec {
     // compact rounds 0..3 into v3; v0..v2 become expirable
     store.compactDeltas(spark, baseId = 3, table = "url_seen_delta")
     assert(store.compactedTables(3) === Set("url_seen_delta"))
+    // rollback across a maintenance base would delete the only copy of
+    // the rounds folded into it — refused
+    val rbEx = intercept[IllegalArgumentException](store.rollbackTo(1))
+    assert(rbEx.getMessage.contains("maintenance base"))
     // full read BEFORE expiry: identical row set (the base subsumes 0..2,
     // which must not be double-counted)
     assert(store.readSeen(spark, 5).collect().map(_.getString(0)).toSet === before)
@@ -200,6 +207,32 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(store.readSeen(spark, 5, rounds = Some((1, 2)))
       .collect().map(_.getString(0)).toSet ===
       before.filter(u => u.contains("/1/") || u.contains("/2/")))
+
+    // ADD-COLUMN EVOLUTION ACROSS THE CARRY: v5 now mixes carried
+    // pre-evolution files (rounds 0-3) with the rewritten post-
+    // evolution tail (4-5) in one dir — footer merging must surface
+    // src_tag, null for the old rounds, instead of letting one
+    // arbitrary footer silently drop the column
+    val evolved = store.readSeen(spark, 5)
+    assert(evolved.columns.contains("src_tag"))
+    assert(evolved.filter(col("round_first_seen") <= 3 && col("src_tag").isNotNull)
+      .count() === 0)
+    assert(evolved.filter(col("src_tag").isNotNull).count() === 20)
+    assert(store.readSeen(spark, 5, rounds = Some((3, 4)))
+      .filter(col("src_tag").isNotNull).count() === 10)
+
+    // interrupted-maintenance debris blocks BOTH maintenance verbs
+    val debris = java.nio.file.Paths.get(store.snapshotDir(5), ".maint_url_seen_delta")
+    Files.writeString(debris, "url_seen_delta")
+    try {
+      val c = intercept[IllegalArgumentException](
+        store.compactDeltas(spark, baseId = 5, table = "url_seen_delta"))
+      assert(c.getMessage.contains("debris"))
+      val r = intercept[IllegalArgumentException](
+        store.relocateDeltas(baseId = 5, table = "url_seen_delta",
+          roundCol = "round_first_seen"))
+      assert(r.getMessage.contains("debris"))
+    } finally Files.delete(debris)
   }
 
   test("relocation: rename-only fold preserves rows and file identity; chains across bases") {
