@@ -1,0 +1,131 @@
+package graft.datatools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed graph primitives the crawl + dedup pipelines need at
+  * 100 TB: connected components over near-dup pair sets (the
+  * "keep one document per duplicate cluster" endgame of every dedup
+  * family in [[Dedup]]) and bounded BFS over the link graph (frontier
+  * prioritization by seed distance — the crawl-scheduling counterpart
+  * of the reference enumerating linked sub-resources per route,
+  * `pkg/modules/chromium/chromium.go` link/asset discovery).
+  *
+  * Scale design: both are iterative DataFrame jobs whose per-iteration
+  * work is one or two key-partitioned shuffles — no driver-side graph,
+  * no collect. Components uses min-label propagation WITH pointer
+  * jumping (label(v) ← min over {label(v)} ∪ {label(u): u~v} ∪
+  * {label(label(v))}), the Hash-to-Min family of Rastogi et al.
+  * (ICDE'13) — pointer jumping contracts label chains so convergence is
+  * O(log diameter) rounds, not O(diameter); near-dup clusters are
+  * almost-cliques, so in practice 2-3 rounds. Every iteration's result
+  * is persisted and materialized (the change count is the loop guard),
+  * and the previous iteration is unpersisted — lineage stays one round
+  * deep, which is what lets the loop run at 10¹⁰ edges without stack
+  * or DAG blowup.
+  *
+  * Determinism: the fixpoint is unique (every node labeled with its
+  * component's minimum id), so the answer is independent of iteration
+  * count, partitioning, and scheduling — oracle-safe.
+  */
+object GraphOps {
+
+  /** (id, cluster_id) for every node appearing in `pairs`;
+    * cluster_id = the component's minimum node id. Ids may be any
+    * orderable type (long doc ids here; string ids work — Spark and
+    * DuckDB agree on binary collation for min).
+    *
+    * @param pairs one row per undirected edge; self-loops and
+    *              duplicate/reversed edges are tolerated (normalized
+    *              away).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
+                          maxIter: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    // symmetric edge list (u ~ v both ways), self-loops dropped — the
+    // one shuffle key the whole loop re-uses is `v` (the join side)
+    val sym = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .filter(col("u") =!= col("v"))
+    val edges = sym.unionByName(sym.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (eager), not just persist: each loop round must
+    // TRUNCATE the logical plan, or analysis cost grows exponentially
+    // with iterations (the classic iterative-DataFrame trap — a persist
+    // caches rows but keeps the nested plan). On a real cluster swap in
+    // a reliable checkpoint dir if executor loss mid-loop matters; the
+    // loop is restartable from any round's labels either way.
+    var labels = edges.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0) {
+      iter += 1
+      require(iter <= maxIter,
+        s"connectedComponents did not converge in $maxIter iterations")
+      // 1. neighbor propagation: the best label among my neighbors
+      val nbrMin = edges.join(labels, edges("v") === labels("id"))
+        .groupBy(col("u")).agg(min(col("lbl")).as("nmin"))
+      val cand = labels.join(nbrMin, labels("id") === nbrMin("u"), "left")
+        .select(labels("id"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl1"),
+          col("lbl").as("old"))
+      // 2. pointer jumping: follow my (new) label to ITS label — chains
+      //    of stale labels collapse a level per round
+      val jump = labels.select(col("id").as("jid"), col("lbl").as("jlbl"))
+      val next = cand.join(jump, cand("lbl1") === jump("jid"), "left")
+        .select(col("id"), least(col("lbl1"), coalesce(col("jlbl"), col("lbl1"))).as("lbl"),
+          col("old"))
+        .localCheckpoint(true)
+      changed = next.filter(col("lbl") =!= col("old")).count()
+      labels = next.select("id", "lbl")
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("lbl").as("cluster_id"))
+  }
+
+  /** Cluster assignment + size for every document that near-dup-pairs
+    * with anything: (id, cluster_id, cluster_size). The canonical
+    * keeper of a cluster is the row with id = cluster_id — an exact
+    * anti-join of the corpus against `id != cluster_id` rows is the
+    * post-dedup sweep.
+    */
+  def neardupClusters(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol)
+    val sizes = comp.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, Seq("cluster_id"))
+      .select(col("id"), col("cluster_id"), col("cluster_size"))
+  }
+
+  /** Minimum seed-distance (bounded BFS) over a directed link graph:
+    * (id, depth) for every node reachable from `seeds` within
+    * `maxDepth` hops — depth 0 = the seeds themselves. Level-
+    * synchronous: each level is one join edges-on-src plus one
+    * anti-join against the visited set, the textbook frontier
+    * expansion a crawl scheduler runs to prioritize shallow URLs.
+    */
+  def bfsDepths(edges: DataFrame, seeds: DataFrame, maxDepth: Int,
+                srcCol: String = "src", dstCol: String = "dst",
+                idCol: String = "id"): DataFrame = {
+    // eager localCheckpoint per level: truncates the union-of-unions
+    // lineage (see the connectedComponents note)
+    var visited = seeds.select(col(idCol).as("id")).distinct()
+      .select(col("id"), lit(0).as("depth"))
+      .localCheckpoint(true)
+    var frontier = visited
+    var d = 0
+    while (d < maxDepth) {
+      d += 1
+      val next = frontier.join(edges, frontier("id") === edges(srcCol))
+        .select(col(dstCol).as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti") // left-anti ⇒ depth = MIN distance
+        .select(col("id"), lit(d).as("depth"))
+        .localCheckpoint(true)
+      if (next.isEmpty) return visited
+      visited = visited.unionByName(next).localCheckpoint(true)
+      frontier = next
+    }
+    visited
+  }
+}

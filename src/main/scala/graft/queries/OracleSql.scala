@@ -69,8 +69,7 @@ object OracleSql {
     * signature 0 and bands them like any other doc, so the oracle
     * synthesizes those signature-0 rows explicitly (UNION ALL branch).
     */
-  private def simhashSql(bands: Int, bitsPerBand: Int, maxDist: Int,
-                         probeHamming: Int = 0, extraWhere: String = ""): String = {
+  private def simhashCtes(bands: Int, bitsPerBand: Int, probeHamming: Int): String = {
     val mask = (1L << bitsPerBand) - 1
     // radius-R multi-probe admits a candidate iff some band's buckets
     // are within hamming R (each side probes every ≤R-bit flip of its
@@ -78,7 +77,7 @@ object OracleSql {
     val bucketCond =
       if (probeHamming == 0) "a.bucket = b.bucket"
       else s"bit_count(xor(a.bucket, b.bucket)) <= $probeHamming"
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id AS id, unnest(string_split($normText, ' ')) AS t FROM documents),
        |th AS (SELECT id, md5_number_lower(t) AS h FROM toks WHERE t <> ''),
        |bits AS (SELECT id, g.bit,
@@ -93,11 +92,55 @@ object OracleSql {
        |  FROM sig CROSS JOIN generate_series(0, ${bands - 1}) AS g(band)),
        |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
        |  FROM banded a JOIN banded b
-       |    ON a.band = b.band AND $bucketCond AND a.id < b.id)
+       |    ON a.band = b.band AND $bucketCond AND a.id < b.id)""".stripMargin
+  }
+
+  private def simhashSql(bands: Int, bitsPerBand: Int, maxDist: Int,
+                         probeHamming: Int = 0, extraWhere: String = ""): String =
+    s"""WITH ${simhashCtes(bands, bitsPerBand, probeHamming)}
        |SELECT id_a, id_b, bit_count(xor(sa, sb))::INT AS hamming
        |FROM pairs WHERE bit_count(xor(sa, sb)) <= $maxDist$extraWhere
        |ORDER BY id_a, id_b""".stripMargin
-  }
+
+  /** q46: the SimHash pair set (q26's exact constants) clustered into
+    * connected components — the oracle computes the transitive closure
+    * with a recursive CTE and labels each doc with its component's min
+    * id, the same unique fixpoint the Spark min-label-propagation loop
+    * converges to.
+    */
+  private def q46Sql: String =
+    s"""WITH RECURSIVE ${simhashCtes(bands = 4, bitsPerBand = 16, probeHamming = 0)},
+       |good AS (SELECT id_a, id_b FROM pairs WHERE bit_count(xor(sa, sb)) <= 6),
+       |e AS (SELECT id_a AS u, id_b AS v FROM good
+       |      UNION SELECT id_b, id_a FROM good),
+       |reach(id, lbl) AS (
+       |  SELECT u, u FROM e
+       |  UNION
+       |  SELECT e2.u, r.lbl FROM e e2 JOIN reach r ON r.id = e2.v),
+       |comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+       |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1)
+       |SELECT comp.id, comp.cluster_id, sz.cluster_size
+       |FROM comp JOIN sz USING (cluster_id) ORDER BY comp.id""".stripMargin
+
+  /** q47: bounded-BFS seed distance + in-degree over a deterministic
+    * synthetic link graph — min depth via a recursive CTE, the same
+    * integer fixpoint the Spark level-synchronous BFS computes.
+    */
+  private def q47Sql: String =
+    """WITH RECURSIVE mx AS (SELECT max(o_orderkey) AS m FROM orders),
+      |edges AS (SELECT l_orderkey AS src,
+      |    ((l_orderkey + l_partkey * 7) % m) + 1 AS dst FROM lineitem, mx),
+      |seeds AS (SELECT o_orderkey AS id FROM orders WHERE o_orderkey % 97 = 0),
+      |bfs(id, depth) AS (
+      |  SELECT id, 0 FROM seeds
+      |  UNION
+      |  SELECT e.dst, b.depth + 1 FROM bfs b JOIN edges e ON e.src = b.id
+      |  WHERE b.depth < 3),
+      |d AS (SELECT id, min(depth) AS depth FROM bfs GROUP BY id),
+      |indeg AS (SELECT dst AS id, count(*) AS in_deg FROM edges GROUP BY 1)
+      |SELECT d.id AS url_key, d.depth::INT AS depth, coalesce(i.in_deg, 0) AS in_deg
+      |FROM d LEFT JOIN indeg i USING (id)
+      |ORDER BY depth, in_deg DESC, url_key""".stripMargin
 
   val all: Map[String, String] = Map(
     "q01_agg_pushdown" ->
@@ -615,6 +658,10 @@ object OracleSql {
         |   + CASE WHEN c_custkey % 10 = 7 THEN 1 ELSE 0 END)::INT AS applied_headers
         |  FROM customer)
         |SELECT applied_cookies, applied_headers, count(*) AS n
-        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q46_neardup_clusters" -> q46Sql,
+
+    "q47_link_priority" -> q47Sql
   )
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.datatools.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.datatools.{Dedup, GraphOps, Multimodal, Similarity, TextAnalysis}
 import graft.functions.{IpFunctions, UrlFunctions}
 import graft.model.OptionColumns
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -606,6 +606,39 @@ object Queries {
       .orderBy("applied_cookies", "applied_headers")
   }
 
+  // q46 — near-dup CLUSTERING: the SimHash pair set (q26's exact
+  // constants) contracted into connected components with min-label
+  // propagation + pointer jumping (GraphOps) — the "keep one doc per
+  // duplicate cluster" endgame every dedup family feeds at 100 TB.
+  // cluster_id = the component's min doc_id (the canonical keeper);
+  // the oracle replays the closure with a recursive CTE.
+  def q46NeardupClusters(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.neardupClusters(
+      Dedup.simhashPairs(t(spark, dir, "documents"), maxDist = 6))
+      .orderBy("id")
+
+  // q47 — frontier prioritization over a link graph: min seed-distance
+  // (level-synchronous bounded BFS, GraphOps.bfsDepths) + in-degree —
+  // the crawl scheduler's "shallow and popular first" ordering. The
+  // graph is synthesized deterministically from lineitem keys; all
+  // arithmetic is integer, so the oracle's recursive-CTE BFS is exact.
+  def q47LinkPriority(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val mx = orders.agg(max("o_orderkey")).first().getLong(0)
+    val edges = t(spark, dir, "lineitem").select(
+        col("l_orderkey").as("src"),
+        (pmod(col("l_orderkey") + col("l_partkey") * 7, lit(mx)) + 1).as("dst"))
+      .persist() // reused by every BFS level + the in-degree agg
+    val seeds = orders.filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey").as("id"))
+    val depths = GraphOps.bfsDepths(edges, seeds, maxDepth = 3)
+    val indeg = edges.groupBy(col("dst").as("id")).agg(count(lit(1)).as("in_deg"))
+    depths.join(indeg, Seq("id"), "left")
+      .select(col("id").as("url_key"), col("depth"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+      .orderBy(col("depth"), col("in_deg").desc, col("url_key"))
+  }
+
   /** name → query, in SURVEY.md §2 coverage order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_agg_pushdown" -> (q01AggPushdown _),
@@ -652,6 +685,8 @@ object Queries {
     "q42_ann_ivf_sq8" -> (q42AnnIvfSq8 _),
     "q43_minhash_incremental" -> (q43MinhashIncremental _),
     "q44_simhash_incremental" -> (q44SimhashIncremental _),
-    "q45_ann_ivf_pq" -> (q45AnnIvfPq _)
+    "q45_ann_ivf_pq" -> (q45AnnIvfPq _),
+    "q46_neardup_clusters" -> (q46NeardupClusters _),
+    "q47_link_priority" -> (q47LinkPriority _)
   )
 }

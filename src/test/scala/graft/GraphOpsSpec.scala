@@ -1,0 +1,130 @@
+package graft
+
+import graft.datatools.{Dedup, GraphOps}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic sampling harness over a ScalaCheck Gen (the
+    * scalatestplus bridge is not in the offline cache) — the
+    * ScalarsSpec pattern, fewer samples since each spins Spark jobs.
+    */
+  private def sample[A](gen: Gen[A], n: Int)(f: A => Unit): Unit = {
+    var seed = org.scalacheck.rng.Seed(42L)
+    (0 until n).foreach { _ =>
+      gen.apply(org.scalacheck.Gen.Parameters.default, seed).foreach(f)
+      seed = seed.next
+    }
+  }
+
+  /** Brute-force union-find for the oracle side of the property. */
+  private def bruteComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      if (a != b) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("connectedComponents labels every node with its component min (two components + chain)") {
+    // component A: {1,2,3} clique-ish; component B: a 6-node chain
+    // (exercises pointer jumping: naive propagation needs 5 rounds)
+    val pairs = Seq((2L, 1L), (3L, 2L), (10L, 11L), (11L, 12L), (12L, 13L),
+      (13L, 14L), (14L, 15L)).toDF("id_a", "id_b")
+    val got = GraphOps.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L, 15L -> 10L))
+  }
+
+  test("connectedComponents tolerates duplicate, reversed and self edges") {
+    val pairs = Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val got = GraphOps.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    // a pure self-loop node has no real edge — it carries no pair
+    // obligation, so it simply labels itself if present at all
+    assert(got.getOrElse(1L, -1L) === 1L && got.getOrElse(2L, -1L) === 1L)
+    assert(got.getOrElse(4L, -1L) === 4L && got.getOrElse(5L, -1L) === 4L)
+    assert(!got.contains(3L))
+  }
+
+  test("property: components equal brute-force union-find on random graphs") {
+    val edgeGen = Gen.listOfN(40,
+      Gen.zip(Gen.choose(0L, 25L), Gen.choose(0L, 25L)))
+    sample(edgeGen, 8) { es =>
+      val real = es.filter { case (a, b) => a != b }
+      if (real.nonEmpty) {
+        val got = GraphOps.connectedComponents(real.toDF("id_a", "id_b"))
+          .as[(Long, Long)].collect().toMap
+        val want = bruteComponents(real)
+        assert(got === want, s"edges: $real")
+      }
+    }
+  }
+
+  test("neardupClusters sizes count members per component") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val got = GraphOps.neardupClusters(pairs).as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(got === Array((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (7L, 7L, 2L), (8L, 7L, 2L)))
+  }
+
+  test("neardupClusters over real SimHash pairs: every pair lands in one cluster, keeper is min") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val pairs = Dedup.simhashPairs(docs, maxDist = 6).persist()
+    val clusters = GraphOps.neardupClusters(pairs).persist()
+    val byId = clusters.select("id", "cluster_id").as[(Long, Long)].collect().toMap
+    val ps = pairs.select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(ps.nonEmpty)
+    ps.foreach { case (a, b) => assert(byId(a) === byId(b)) }
+    // cluster_id is a member and the minimum member
+    val members = byId.groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
+    members.foreach { case (cid, ms) => assert(ms.min === cid) }
+    pairs.unpersist(); clusters.unpersist()
+  }
+
+  private def bruteBfs(edges: Seq[(Long, Long)], seeds: Set[Long], maxDepth: Int): Map[Long, Int] = {
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val dist = scala.collection.mutable.Map(seeds.toSeq.map(_ -> 0): _*)
+    var frontier = seeds
+    var d = 0
+    while (d < maxDepth && frontier.nonEmpty) {
+      d += 1
+      val next = frontier.flatMap(u => adj.getOrElse(u, Nil))
+        .filterNot(dist.contains)
+      next.foreach(v => dist(v) = d)
+      frontier = next
+    }
+    dist.toMap
+  }
+
+  test("bfsDepths: min distance within the depth bound, early exit on exhausted frontier") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (9L, 3L)).toDF("src", "dst")
+    val seeds = Seq(1L, 9L).toDF("id")
+    // node 3 is depth 1 via seed 9, not depth 2 via seed 1
+    val got = GraphOps.bfsDepths(edges, seeds, maxDepth = 2).as[(Long, Int)].collect().toMap
+    assert(got === Map(1L -> 0, 9L -> 0, 2L -> 1, 3L -> 1, 4L -> 2))
+    // frontier exhausts before maxDepth: whole chain found, no extras
+    val all = GraphOps.bfsDepths(edges, seeds, maxDepth = 99).as[(Long, Int)].collect().toMap
+    assert(all === Map(1L -> 0, 9L -> 0, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 3))
+  }
+
+  test("property: bfsDepths equals brute-force BFS on random digraphs") {
+    val edgeGen = Gen.listOfN(30, Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L)))
+    sample(edgeGen, 6) { es =>
+      if (es.nonEmpty) {
+        val got = GraphOps.bfsDepths(es.toDF("src", "dst"), Seq(0L, 1L).toDF("id"), maxDepth = 3)
+          .as[(Long, Int)].collect().toMap
+        assert(got === bruteBfs(es, Set(0L, 1L), 3), s"edges: $es")
+      }
+    }
+  }
+}
