@@ -131,7 +131,12 @@ object Bench {
       "q35_ann_ivf", "q37_simhash_bands", "q39_simhash_probe",
       "q40_ann_ivf_f32", "q41_simhash_r2", "q42_ann_ivf_sq8",
       // round 4 (late): incremental near-dup — delta vs indexed corpus
-      "q43_minhash_incremental", "q44_simhash_incremental")
+      "q43_minhash_incremental", "q44_simhash_incremental",
+      // round 4 (graph tier): near-dup clustering (iterative connected
+      // components over the SimHash pair set) and link-graph frontier
+      // priority (bounded BFS + in-degree) — iterative jobs, so their
+      // per-round lineage-truncation cost is measured every round
+      "q46_neardup_clusters", "q47_link_priority", "q48_link_authority")
     val qmap = SparkEntry.queries
     val spark = newSession(cpus)
     def median(xs: Seq[Double]): Double = {

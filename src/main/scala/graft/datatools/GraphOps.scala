@@ -98,6 +98,60 @@ object GraphOps {
       .select(col("id"), col("cluster_id"), col("cluster_size"))
   }
 
+  /** Link-authority scores over a directed graph: PageRank with a
+    * fixed iteration count in FIXED-POINT INTEGER arithmetic, so the
+    * result is bit-exact across engines, partitionings and summation
+    * orders — float PageRank sums contributions in nondeterministic
+    * order and can never hash-match an oracle; integer addition is
+    * associative-commutative, and floor division is pinned identically
+    * in Spark (`DIV`) and ANSI SQL (`//`).
+    *
+    * rank₀(v) = scale; per iteration
+    * rank'(v) = (scale · (100 − d))/100 + (d · Σ_{u→v} rank(u)/outdeg(u))/100
+    * with all divisions floor (non-negative operands, so floor =
+    * truncate). Dangling-node mass is dropped (deterministic; the
+    * standard crawl-priority use ranks RELATIVE authority, where the
+    * uniform redistribution term only shifts all scores).
+    *
+    * Overflow bound: Σ ranks ≤ |V| · scale never grows (mass is only
+    * lost), so any node's contribution sum ≤ |V| · scale and the
+    * d·Σ multiply needs |V| · scale · d < 2⁶³ — at scale = 10⁶,
+    * d = 85 that is |V| < 10¹¹ nodes: safe past the 10¹⁰-frontier
+    * target with a 10× margin.
+    *
+    * Scale design: outdeg is joined onto the edge list ONCE (persisted,
+    * partitioned by src — the same key every iteration's rank join
+    * reuses); each iteration is one edges⋈ranks join + one dst-keyed
+    * partial-agg sum + one left join back to the node set, with eager
+    * localCheckpoint truncating lineage per iteration (see
+    * [[connectedComponents]]).
+    */
+  def linkAuthority(edges: DataFrame, iters: Int = 3, dampingPct: Int = 85,
+                    scale: Long = 1000000L,
+                    srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val eDeg = e.join(outdeg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    val base = scale * (100 - dampingPct) / 100
+    var ranks = nodes.select(col("id"), lit(scale).as("rank")).localCheckpoint(true)
+    (1 to iters).foreach { _ =>
+      val contrib = eDeg.join(ranks, eDeg("src") === ranks("id"))
+        .select(col("dst"), expr("rank DIV outdeg").as("share"))
+        .groupBy(col("dst")).agg(sum(col("share")).as("m"))
+      ranks = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+        .select(col("id"),
+          (lit(base) + expr(s"(bigint($dampingPct) * coalesce(m, bigint(0))) DIV 100"))
+            .as("rank"))
+        .localCheckpoint(true)
+    }
+    eDeg.unpersist()
+    ranks
+  }
+
   /** Minimum seed-distance (bounded BFS) over a directed link graph:
     * (id, depth) for every node reachable from `seeds` within
     * `maxDepth` hops — depth 0 = the seeds themselves. Level-

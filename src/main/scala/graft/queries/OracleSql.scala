@@ -142,6 +142,33 @@ object OracleSql {
       |FROM d LEFT JOIN indeg i USING (id)
       |ORDER BY depth, in_deg DESC, url_key""".stripMargin
 
+  /** q48: fixed-point integer PageRank, iterations unrolled into CTEs.
+    * DuckDB's `//` and Spark's `DIV` are the same floor division on
+    * non-negative BIGINTs, and integer addition is order-independent,
+    * so 3 unrolled rounds reproduce the Spark loop bit-exactly (DuckDB
+    * promotes sum(BIGINT) to HUGEINT — cast back after the damping
+    * multiply, which stays within int64 per the GraphOps overflow
+    * bound).
+    */
+  private def q48Sql(iters: Int = 3): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""s$i AS (SELECT e.dst AS id, sum(r.r // d.c) AS mm
+         |  FROM edges e JOIN deg d USING (src) JOIN r${i - 1} r ON r.id = e.src
+         |  GROUP BY 1),
+         |r$i AS (SELECT n.id, (150000 + (85 * coalesce(s.mm, 0)) // 100)::BIGINT AS r
+         |  FROM nodes n LEFT JOIN s$i s USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+       |edges AS (SELECT l_orderkey AS src,
+       |    ((l_orderkey + l_partkey * 7) % m) + 1 AS dst FROM lineitem, mx),
+       |deg AS (SELECT src, count(*) AS c FROM edges GROUP BY 1),
+       |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+       |r0 AS (SELECT id, 1000000::BIGINT AS r FROM nodes),
+       |$rounds
+       |SELECT id AS url_key, r AS authority FROM r$iters
+       |ORDER BY authority DESC, url_key""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "q01_agg_pushdown" ->
       """SELECT l_returnflag, l_linestatus,
@@ -662,6 +689,8 @@ object OracleSql {
 
     "q46_neardup_clusters" -> q46Sql,
 
-    "q47_link_priority" -> q47Sql
+    "q47_link_priority" -> q47Sql,
+
+    "q48_link_authority" -> q48Sql()
   )
 }

@@ -639,6 +639,23 @@ object Queries {
       .orderBy(col("depth"), col("in_deg").desc, col("url_key"))
   }
 
+  // q48 — link-authority scoring over the same synthetic link graph as
+  // q47: PageRank, 3 iterations, FIXED-POINT INTEGER arithmetic
+  // (scale 10⁶, damping 85/100, floor division) — integer sums are
+  // order-independent, so the oracle's unrolled-CTE replay is exact
+  // where float PageRank could never hash-match. The crawl scheduler's
+  // "popular hosts first" signal, companion to q47's "shallow first".
+  def q48LinkAuthority(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val mx = orders.agg(max("o_orderkey")).first().getLong(0)
+    val edges = t(spark, dir, "lineitem").select(
+      col("l_orderkey").as("src"),
+      (pmod(col("l_orderkey") + col("l_partkey") * 7, lit(mx)) + 1).as("dst"))
+    GraphOps.linkAuthority(edges, iters = 3)
+      .select(col("id").as("url_key"), col("rank").as("authority"))
+      .orderBy(col("authority").desc, col("url_key"))
+  }
+
   /** name → query, in SURVEY.md §2 coverage order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_agg_pushdown" -> (q01AggPushdown _),
@@ -687,6 +704,7 @@ object Queries {
     "q44_simhash_incremental" -> (q44SimhashIncremental _),
     "q45_ann_ivf_pq" -> (q45AnnIvfPq _),
     "q46_neardup_clusters" -> (q46NeardupClusters _),
-    "q47_link_priority" -> (q47LinkPriority _)
+    "q47_link_priority" -> (q47LinkPriority _),
+    "q48_link_authority" -> (q48LinkAuthority _)
   )
 }

@@ -91,6 +91,46 @@ class GraphOpsSpec extends SparkSpec {
     pairs.unpersist(); clusters.unpersist()
   }
 
+  /** Brute-force fixed-point integer PageRank — the same arithmetic
+    * contract (scale 10⁶, damping 85/100, floor division, dangling
+    * mass dropped) in straight-line Scala.
+    */
+  private def brutePagerank(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = nodes.map(_ -> 1000000L).toMap
+    (1 to iters).foreach { _ =>
+      val m = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case (u, v) => m(v) += r(u) / outdeg(u) }
+      r = nodes.map(n => n -> (150000L + 85L * m(n) / 100L)).toMap
+    }
+    r
+  }
+
+  test("linkAuthority: hub collects authority, dangling mass drops deterministically") {
+    // star into 1 plus a dangling sink 5: 1 has in-degree 3
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 1L), (1L, 5L)).toDF("src", "dst")
+    val got = GraphOps.linkAuthority(edges, iters = 3).as[(Long, Long)].collect().toMap
+    assert(got === brutePagerank(Seq((2L, 1L), (3L, 1L), (4L, 1L), (1L, 5L)), 3))
+    // hub and its downstream sink both outrank the source leaves (the
+    // sink lags the hub by one iteration, so after the hub's burst
+    // decays the sink can transiently exceed it — parity above is the
+    // real contract, this is just shape)
+    assert(got(1L) > got(2L) && got(5L) > got(2L))
+    assert(got(2L) === 150000L && got(2L) === got(3L) && got(3L) === got(4L))
+  }
+
+  test("property: linkAuthority equals brute-force integer PageRank on random multigraphs") {
+    val edgeGen = Gen.listOfN(30, Gen.zip(Gen.choose(0L, 12L), Gen.choose(0L, 12L)))
+    sample(edgeGen, 6) { es =>
+      if (es.nonEmpty) {
+        val got = GraphOps.linkAuthority(es.toDF("src", "dst"), iters = 3)
+          .as[(Long, Long)].collect().toMap
+        assert(got === brutePagerank(es, 3), s"edges: $es")
+      }
+    }
+  }
+
   private def bruteBfs(edges: Seq[(Long, Long)], seeds: Set[Long], maxDepth: Int): Map[Long, Int] = {
     val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val dist = scala.collection.mutable.Map(seeds.toSeq.map(_ -> 0): _*)
