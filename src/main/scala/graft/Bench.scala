@@ -136,7 +136,10 @@ object Bench {
       // components over the SimHash pair set) and link-graph frontier
       // priority (bounded BFS + in-degree) — iterative jobs, so their
       // per-round lineage-truncation cost is measured every round
-      "q46_neardup_clusters", "q47_link_priority", "q48_link_authority")
+      "q46_neardup_clusters", "q47_link_priority", "q48_link_authority",
+      // round 4 (curation tier): keeper selection rides the clustering
+      // plus a corpus-scoring join — the full post-dedup sweep cost
+      "q49_keeper_select")
     val qmap = SparkEntry.queries
     val spark = newSession(cpus)
     def median(xs: Seq[Double]): Double = {

@@ -1,0 +1,136 @@
+package graft.datatools
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators — the steps a training-data pipeline runs
+  * AFTER the dedup families in [[Dedup]]/[[GraphOps]] have spoken:
+  * pick one canonical document per duplicate cluster, and draw
+  * deterministic stratified samples for eval/holdout splits. (The
+  * reference's analog is route-level selection of the single output
+  * artifact per conversion group, e.g. the merge route collapsing N
+  * inputs into one canonical PDF, `pkg/gotenberg/pdf.go` merge
+  * provider contract; here the "group" is a near-dup cluster over the
+  * corpus.)
+  *
+  * Scale design notes (100 TB):
+  *  - keeper selection never windows: the per-cluster arg-max is a
+  *    `max_by` partial aggregation (map-side combine, no sort
+  *    exchange), and the quality score is evaluated only for CLUSTERED
+  *    docs — the inner join against the cluster set runs before the
+  *    scoring projection, so a corpus where 2% of docs cluster scores
+  *    2% of the text.
+  *  - stratified sampling never sorts the corpus: a bounded min-k
+  *    typed [[Aggregator]] (k·strata driver-side rows total) gets
+  *    ObjectHashAggregate partial merge — each map task ships at most
+  *    k rows per stratum, vs the row_number-window formulation that
+  *    shuffles and sorts every row of every stratum.
+  */
+object Curation {
+
+  /** Per-document keep/drop verdict given a near-dup cluster
+    * assignment: within each cluster the KEEPER is the doc with the
+    * highest `quality` (ties → smallest id, so the verdict is unique
+    * and engine-independent); docs in no cluster keep themselves.
+    *
+    * @param docs     the corpus; `quality` may reference any of its
+    *                 columns (it is evaluated only for clustered docs)
+    * @param clusters (id, cluster_id) rows from
+    *                 [[GraphOps.neardupClusters]] (or any dedup family)
+    * @param quality  scoring column over `docs` — must be
+    *                 deterministic for the verdict to be (e.g.
+    *                 [[TextAnalysis.qualityScoreFused]], round-6)
+    * @return one row per doc: (idCol, cluster_id, keeper_id, kept)
+    */
+  def keeperSelection(docs: DataFrame, clusters: DataFrame, quality: Column,
+                      idCol: String = "doc_id"): DataFrame = {
+    // inner join FIRST: the scoring projection runs on clustered docs
+    // only (Catalyst prunes the text column for the non-clustered rest)
+    val scored = docs.join(clusters, docs(idCol) === clusters("id"))
+      .select(col("id"), col("cluster_id"), quality.as("q"))
+    // arg-max by (q, -id): max quality, then min id — unique per
+    // cluster, so max_by is deterministic. Partial-agg, no window.
+    val keepers = scored.groupBy(col("cluster_id"))
+      .agg(max_by(col("id"), struct(col("q"), (-col("id")).as("nid"))).as("keeper_id"))
+    val verdicts = scored.select(col("id"), col("cluster_id"))
+      .join(keepers, Seq("cluster_id"))
+    docs.select(col(idCol).as("id"))
+      .join(verdicts, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("cluster_id"), col("id")).as("cluster_id"),
+        coalesce(col("keeper_id"), col("id")).as("keeper_id"),
+        (coalesce(col("keeper_id"), col("id")) === col("id")).as("kept"))
+  }
+
+  /** Typed-aggregation row: (stratum, md5-of-id, id). */
+  final case class KeyedHash(stratum: String, hash: String, id: Long)
+
+  /** Bounded buffer: the k smallest (hash, id) pairs seen so far, kept
+    * ascending in two parallel columns (Encoders.product-friendly).
+    */
+  final case class TopKBuf(hashes: Seq[String], ids: Seq[Long])
+
+  final case class SampledDoc(stratum: String, sample_rank: Long, doc_id: Long, hash: String)
+
+  /** Min-k by (hash, id): a partial-aggregating top-k. `reduce` is an
+    * O(k) sorted insert with an O(1) reject of rows past the current
+    * k-th; `merge` folds one buffer into the other. Both are
+    * insertion-order-independent (the k smallest of a multiset), so
+    * partial aggregation and shuffle order cannot change the answer.
+    */
+  final class MinKByHash(k: Int) extends Aggregator[KeyedHash, TopKBuf, TopKBuf] {
+    require(k >= 1, "k must be >= 1")
+
+    override def zero: TopKBuf = TopKBuf(Vector.empty, Vector.empty)
+
+    private def lt(h1: String, i1: Long, h2: String, i2: Long): Boolean = {
+      val c = h1.compareTo(h2)
+      c < 0 || (c == 0 && i1 < i2)
+    }
+
+    private def insert(b: TopKBuf, hash: String, id: Long): TopKBuf = {
+      val n = b.hashes.size
+      if (n == k && !lt(hash, id, b.hashes(n - 1), b.ids(n - 1))) return b
+      var i = 0
+      while (i < n && lt(b.hashes(i), b.ids(i), hash, id)) i += 1
+      TopKBuf(
+        ((b.hashes.take(i) :+ hash) ++ b.hashes.drop(i)).take(k),
+        ((b.ids.take(i) :+ id) ++ b.ids.drop(i)).take(k))
+    }
+
+    override def reduce(b: TopKBuf, e: KeyedHash): TopKBuf = insert(b, e.hash, e.id)
+
+    override def merge(a: TopKBuf, b: TopKBuf): TopKBuf =
+      b.hashes.indices.foldLeft(a)((acc, i) => insert(acc, b.hashes(i), b.ids(i)))
+
+    override def finish(b: TopKBuf): TopKBuf = b
+
+    override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+    override def outputEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+  }
+
+  /** Deterministic stratified sample: the k docs with the smallest
+    * md5(id) per stratum — a content-independent, engine-independent
+    * pick (any SQL engine replays it with a row_number window; Spark
+    * runs it as a partial top-k aggregation instead, shipping at most
+    * k rows per (map task, stratum)).
+    *
+    * @return (stratum, sample_rank 1..k ordered by hash, doc_id, hash)
+    */
+  def stratifiedSample(docs: DataFrame, stratumCol: String, k: Int,
+                       idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(stratumCol).cast("string").as("stratum"),
+        md5(col(idCol).cast("string")).as("hash"),
+        col(idCol).as("id"))
+      .as[KeyedHash]
+      .groupByKey(_.stratum)
+      .agg(new MinKByHash(k).toColumn.name("top"))
+      .flatMap { case (s, buf) =>
+        buf.hashes.indices.map(i => SampledDoc(s, (i + 1).toLong, buf.ids(i), buf.hashes(i)))
+      }
+      .toDF()
+  }
+}

@@ -169,6 +169,49 @@ object OracleSql {
        |ORDER BY authority DESC, url_key""".stripMargin
   }
 
+  /** q49: keeper selection — q46's SimHash components + q30's round-6
+    * quality score, keeper = max quality then min id per cluster
+    * (expressed as max(q) + min(id) over the q = max rows, which is
+    * exactly Spark's max_by(id, (q, -id)) since (q, -id) is unique per
+    * id). Unclustered docs keep themselves.
+    */
+  private def q49Sql: String =
+    s"""WITH RECURSIVE ${simhashCtes(bands = 4, bitsPerBand = 16, probeHamming = 0)},
+       |good AS (SELECT id_a, id_b FROM pairs WHERE bit_count(xor(sa, sb)) <= 6),
+       |e AS (SELECT id_a AS u, id_b AS v FROM good
+       |      UNION SELECT id_b, id_a FROM good),
+       |reach(id, lbl) AS (
+       |  SELECT u, u FROM e
+       |  UNION
+       |  SELECT e2.u, r.lbl FROM e e2 JOIN reach r ON r.id = e2.v),
+       |comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+       |qm AS (SELECT doc_id,
+       |  length(text)::DOUBLE AS len,
+       |  (CASE WHEN length(trim(text)) = 0 THEN 0
+       |    ELSE len(string_split_regex(trim(text), '\\s+')) END)::DOUBLE AS toks,
+       |  length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE AS punct,
+       |  length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS alpha,
+       |  (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5.0
+       |    + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' a ', ''))) / 3.0
+       |    + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' and ', ''))) / 5.0 AS stop
+       |  FROM documents),
+       |qq AS (SELECT doc_id, round(
+       |    least(len / 500.0, 1.0) * 0.3
+       |    + least(punct / greatest(toks, 1.0) * 5.0, 1.0) * 0.2
+       |    + alpha / greatest(len, 1.0) * 0.3
+       |    + least(stop / greatest(toks, 1.0) * 10.0, 1.0) * 0.2, 6) AS q FROM qm),
+       |scored AS (SELECT c.id, c.cluster_id, qq.q FROM comp c JOIN qq ON qq.doc_id = c.id),
+       |mx AS (SELECT cluster_id, max(q) AS mq FROM scored GROUP BY 1),
+       |keep AS (SELECT s.cluster_id, min(s.id) AS keeper_id
+       |  FROM scored s JOIN mx USING (cluster_id) WHERE s.q = mx.mq GROUP BY 1)
+       |SELECT d.doc_id,
+       |  coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+       |  coalesce(k.keeper_id, d.doc_id) AS keeper_id,
+       |  (coalesce(k.keeper_id, d.doc_id) = d.doc_id) AS kept
+       |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+       |LEFT JOIN keep k ON k.cluster_id = c.cluster_id
+       |ORDER BY d.doc_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_agg_pushdown" ->
       """SELECT l_returnflag, l_linestatus,
@@ -691,6 +734,19 @@ object OracleSql {
 
     "q47_link_priority" -> q47Sql,
 
-    "q48_link_authority" -> q48Sql()
+    "q48_link_authority" -> q48Sql(),
+
+    "q49_keeper_select" -> q49Sql,
+
+    // q50: the window formulation of the sampler — Spark runs the
+    // same pick as a partial top-k Aggregator (no corpus sort); both
+    // order by (md5(id::VARCHAR), id), which Spark's md5(cast(id as
+    // string)) reproduces byte-for-byte (lowercase hex, ASCII collation)
+    "q50_stratified_sample" ->
+      """WITH h AS (SELECT lang, doc_id, md5(doc_id::VARCHAR) AS hash FROM documents),
+        |r AS (SELECT lang, doc_id, hash,
+        |  row_number() OVER (PARTITION BY lang ORDER BY hash, doc_id) AS sample_rank FROM h)
+        |SELECT lang AS stratum, sample_rank, doc_id, hash FROM r
+        |WHERE sample_rank <= 5 ORDER BY stratum, sample_rank""".stripMargin
   )
 }

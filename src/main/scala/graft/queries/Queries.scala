@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.datatools.{Dedup, GraphOps, Multimodal, Similarity, TextAnalysis}
+import graft.datatools.{Curation, Dedup, GraphOps, Multimodal, Similarity, TextAnalysis}
 import graft.functions.{IpFunctions, UrlFunctions}
 import graft.model.OptionColumns
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -656,6 +656,30 @@ object Queries {
       .orderBy(col("authority").desc, col("url_key"))
   }
 
+  // q49 — keeper selection: the curation step after clustering — one
+  // canonical doc per near-dup cluster (max quality, ties → min id),
+  // everything else flagged for the drop sweep. Clusters = q46's
+  // SimHash components; quality = q30's round-6 fused score, evaluated
+  // only for clustered docs (inner join runs before the scoring
+  // projection). The keeper arg-max is a max_by partial aggregation —
+  // no window, no sort exchange.
+  def q49KeeperSelect(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val clusters = GraphOps.neardupClusters(
+      Dedup.simhashPairs(docs, maxDist = 6)).select("id", "cluster_id")
+    Curation.keeperSelection(docs, clusters,
+        TextAnalysis.qualityScoreFused(col("text")))
+      .orderBy("doc_id")
+  }
+
+  // q50 — deterministic stratified sampling: the k smallest-md5(id)
+  // docs per language — eval/holdout draws any engine can replay. Runs
+  // as a bounded min-k typed Aggregator (partial top-k, at most k rows
+  // shipped per map task per stratum), NOT a row_number window.
+  def q50StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Curation.stratifiedSample(t(spark, dir, "documents"), "lang", k = 5)
+      .orderBy("stratum", "sample_rank")
+
   /** name → query, in SURVEY.md §2 coverage order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_agg_pushdown" -> (q01AggPushdown _),
@@ -705,6 +729,8 @@ object Queries {
     "q45_ann_ivf_pq" -> (q45AnnIvfPq _),
     "q46_neardup_clusters" -> (q46NeardupClusters _),
     "q47_link_priority" -> (q47LinkPriority _),
-    "q48_link_authority" -> (q48LinkAuthority _)
+    "q48_link_authority" -> (q48LinkAuthority _),
+    "q49_keeper_select" -> (q49KeeperSelect _),
+    "q50_stratified_sample" -> (q50StratifiedSample _)
   )
 }

@@ -1,0 +1,128 @@
+package graft
+
+import graft.datatools.Curation
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](gen: Gen[A], n: Int)(f: A => Unit): Unit = {
+    var seed = org.scalacheck.rng.Seed(42L)
+    (0 until n).foreach { _ =>
+      gen.apply(org.scalacheck.Gen.Parameters.default, seed).foreach(f)
+      seed = seed.next
+    }
+  }
+
+  // ---- keeperSelection ----
+
+  /** Brute-force verdict: per cluster keep max quality, ties min id;
+    * unclustered docs keep themselves.
+    */
+  private def bruteKeepers(docs: Seq[(Long, Double)],
+                           clusters: Seq[(Long, Long)]): Map[Long, (Long, Long, Boolean)] = {
+    val q = docs.toMap
+    val byCluster = clusters.groupBy(_._2)
+    val keeper = byCluster.map { case (c, members) =>
+      c -> members.map(_._1).minBy(id => (-q(id), id))
+    }
+    val clusterOf = clusters.toMap
+    docs.map { case (id, _) =>
+      val c = clusterOf.getOrElse(id, id)
+      val k = keeper.getOrElse(c, id)
+      id -> (c, k, k == id)
+    }.toMap
+  }
+
+  private def runKeepers(docs: Seq[(Long, Double)], clusters: Seq[(Long, Long)]): Map[Long, (Long, Long, Boolean)] = {
+    val d = docs.toDF("doc_id", "qv")
+    val c = clusters.toDF("id", "cluster_id")
+    Curation.keeperSelection(d, c, col("qv"))
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map { case (id, cl, k, kept) => id -> (cl, k, kept) }.toMap
+  }
+
+  test("keeperSelection: highest quality keeps, rest drop, singletons keep themselves") {
+    val docs = Seq(1L -> 0.5, 2L -> 0.9, 3L -> 0.7, 4L -> 0.1, 9L -> 0.2)
+    val clusters = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L) // one cluster {1,2,3}
+    val got = runKeepers(docs, clusters)
+    assert(got(2L) === ((1L, 2L, true)))  // max quality wins
+    assert(got(1L) === ((1L, 2L, false)))
+    assert(got(3L) === ((1L, 2L, false)))
+    assert(got(4L) === ((4L, 4L, true)))  // unclustered: keeps itself
+    assert(got(9L) === ((9L, 9L, true)))
+  }
+
+  test("keeperSelection: quality ties break to the smallest id") {
+    val docs = Seq(7L -> 0.5, 3L -> 0.5, 5L -> 0.5)
+    val clusters = Seq(7L -> 3L, 3L -> 3L, 5L -> 3L)
+    val got = runKeepers(docs, clusters)
+    assert(got(3L)._3 && !got(5L)._3 && !got(7L)._3)
+  }
+
+  test("property: keeperSelection equals brute force on random clusterings") {
+    val gen = for {
+      n <- Gen.choose(1, 14)
+      qs <- Gen.listOfN(n, Gen.choose(0, 5).map(_ / 10.0)) // coarse → many ties
+      cl <- Gen.listOfN(n, Gen.choose(0L, 4L))
+    } yield {
+      val ids = (1L to n.toLong)
+      val docs = ids.zip(qs)
+      // cluster label c groups its members under min member id (the
+      // GraphOps contract); singleton "clusters" stay unclustered rows
+      val groups = ids.zip(cl).groupBy(_._2).values.filter(_.size >= 2)
+      val clusters = groups.flatMap { g =>
+        val root = g.map(_._1).min
+        g.map { case (id, _) => id -> root }
+      }.toSeq
+      (docs, clusters)
+    }
+    sample(gen, 8) { case (docs, clusters) =>
+      assert(runKeepers(docs.toSeq, clusters) === bruteKeepers(docs.toSeq, clusters),
+        s"docs=$docs clusters=$clusters")
+    }
+  }
+
+  // ---- stratifiedSample ----
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** Brute force: per stratum the k smallest (md5(id), id), ranked. */
+  private def bruteSample(rows: Seq[(String, Long)], k: Int): Set[(String, Long, Long, String)] =
+    rows.groupBy(_._1).flatMap { case (s, members) =>
+      members.map(_._2).distinct.map(id => (md5hex(id.toString), id)).sorted
+        .take(k).zipWithIndex
+        .map { case ((h, id), i) => (s, (i + 1).toLong, id, h) }
+    }.toSet
+
+  test("stratifiedSample: k smallest md5(id) per stratum, rank order, short strata kept whole") {
+    val rows = (1L to 40L).map(i => (if (i % 3 == 0) "en" else "de") -> i) ++ Seq("fr" -> 100L)
+    val df = rows.toDF("lang", "doc_id")
+    val got = Curation.stratifiedSample(df, "lang", k = 4)
+      .as[(String, Long, Long, String)].collect().toSet
+    assert(got === bruteSample(rows, 4))
+    assert(got.count(_._1 == "fr") === 1) // stratum smaller than k: all of it
+  }
+
+  test("property: stratifiedSample equals brute force and is partitioning-invariant") {
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      ids <- Gen.listOfN(n, Gen.choose(1L, 500L))
+      strata <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+      k <- Gen.choose(1, 6)
+    } yield (strata.zip(ids).distinct, k)
+    sample(gen, 6) { case (rows, k) =>
+      val expect = bruteSample(rows, k)
+      val df = rows.toDF("lang", "doc_id")
+      val got = Curation.stratifiedSample(df, "lang", k)
+        .as[(String, Long, Long, String)].collect().toSet
+      assert(got === expect, s"rows=$rows k=$k")
+      val got7 = Curation.stratifiedSample(df.repartition(7), "lang", k)
+        .as[(String, Long, Long, String)].collect().toSet
+      assert(got7 === expect)
+    }
+  }
+}
