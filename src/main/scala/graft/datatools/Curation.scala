@@ -63,6 +63,45 @@ object Curation {
         (coalesce(col("keeper_id"), col("id")) === col("id")).as("kept"))
   }
 
+  /** Corpus vocabulary heavy-hitters: the k most frequent whitespace
+    * tokens with deterministic tie-break (count desc, token asc) — the
+    * tokenizer-training precursor. The plan is the wordcount shape that
+    * scales: explode → hash aggregate (map-side partial combine, ONE
+    * shuffle on the token key) → `orderBy.limit(k)`, which Spark
+    * executes as TakeOrderedAndProject — each partition keeps its own
+    * top k and the driver merges partitions·k rows; the corpus-sized
+    * count frame is never globally sorted.
+    *
+    * Token definition = `\s+` split of the trimmed text (empty docs
+    * contribute nothing) — the same split the q30/q31 oracles pinned
+    * against DuckDB's `string_split_regex`.
+    */
+  def vocabTopK(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame =
+    docs.select(explode(split(trim(col(textCol)), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+
+  /** Deterministic train/val/test assignment: bucket =
+    * md5_number_lower(id) & 1023 (bitwise AND, not mod — the signed
+    * Spark long and DuckDB's UBIGINT agree on low bits but not on `%`),
+    * then train < 922, val < 973, test otherwise (≈ 90 / 5 / 5). The
+    * assignment is a pure projection — content-independent, stable
+    * under corpus growth (a doc never changes split when others are
+    * added), and replayable by any engine with md5.
+    */
+  def splitAssign(docs: DataFrame, idCol: String = "doc_id",
+                  trainUpper: Int = 922, valUpper: Int = 973): DataFrame = {
+    require(0 <= trainUpper && trainUpper <= valUpper && valUpper <= 1024)
+    val h = udf(TextAnalysis.md5Lower64 _)
+    docs.withColumn("bucket", h(col(idCol).cast("string")).bitwiseAND(lit(1023L)))
+      .withColumn("split_name",
+        when(col("bucket") < trainUpper, "train")
+          .when(col("bucket") < valUpper, "val")
+          .otherwise("test"))
+  }
+
   /** Typed-aggregation row: (stratum, md5-of-id, id). */
   final case class KeyedHash(stratum: String, hash: String, id: Long)
 

@@ -747,6 +747,25 @@ object OracleSql {
         |r AS (SELECT lang, doc_id, hash,
         |  row_number() OVER (PARTITION BY lang ORDER BY hash, doc_id) AS sample_rank FROM h)
         |SELECT lang AS stratum, sample_rank, doc_id, hash FROM r
-        |WHERE sample_rank <= 5 ORDER BY stratum, sample_rank""".stripMargin
+        |WHERE sample_rank <= 5 ORDER BY stratum, sample_rank""".stripMargin,
+
+    // q51: corpus vocabulary heavy-hitters — same \s+ tokenizer the
+    // q30/q31 oracles pinned; ties broken on the token so LIMIT is
+    // deterministic
+    "q51_vocab_topk" ->
+      """WITH toks AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents WHERE length(trim(text)) > 0)
+        |SELECT token, count(*) AS cnt FROM toks WHERE token <> ''
+        |GROUP BY 1 ORDER BY cnt DESC, token LIMIT 50""".stripMargin,
+
+    // q52: md5-bucket split assignment — bitwise AND (not %: DuckDB's
+    // UBIGINT and Spark's signed long disagree on mod, agree on bits)
+    "q52_split_assign" ->
+      """WITH b AS (SELECT lang,
+        |  (md5_number_lower(doc_id::VARCHAR) & 1023) AS bucket FROM documents),
+        |s AS (SELECT lang, CASE WHEN bucket < 922 THEN 'train'
+        |  WHEN bucket < 973 THEN 'val' ELSE 'test' END AS split_name FROM b)
+        |SELECT lang, split_name, count(*) AS n_docs FROM s
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

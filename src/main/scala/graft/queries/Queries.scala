@@ -680,6 +680,21 @@ object Queries {
     Curation.stratifiedSample(t(spark, dir, "documents"), "lang", k = 5)
       .orderBy("stratum", "sample_rank")
 
+  // q51 — corpus vocabulary heavy-hitters: top-50 tokens by frequency
+  // (ties → token asc). Wordcount-shaped: one shuffle on the token key
+  // with map-side combine, then TakeOrderedAndProject — never a global
+  // sort of the count frame.
+  def q51VocabTopk(spark: SparkSession, dir: String): DataFrame =
+    Curation.vocabTopK(t(spark, dir, "documents"), k = 50)
+
+  // q52 — deterministic train/val/test split: md5-bucket assignment
+  // (content-independent, growth-stable), summarized per (lang, split)
+  // to show stratification balance.
+  def q52SplitAssign(spark: SparkSession, dir: String): DataFrame =
+    Curation.splitAssign(t(spark, dir, "documents"))
+      .groupBy("lang", "split_name").agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "split_name")
+
   /** name → query, in SURVEY.md §2 coverage order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_agg_pushdown" -> (q01AggPushdown _),
@@ -731,6 +746,8 @@ object Queries {
     "q47_link_priority" -> (q47LinkPriority _),
     "q48_link_authority" -> (q48LinkAuthority _),
     "q49_keeper_select" -> (q49KeeperSelect _),
-    "q50_stratified_sample" -> (q50StratifiedSample _)
+    "q50_stratified_sample" -> (q50StratifiedSample _),
+    "q51_vocab_topk" -> (q51VocabTopk _),
+    "q52_split_assign" -> (q52SplitAssign _)
   )
 }

@@ -84,6 +84,52 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  // ---- vocabTopK ----
+
+  test("vocabTopK: counts, tie-break on token, empty and blank docs ignored") {
+    val docs = Seq("b a a", "  ", "", "c b\t\na", "c").toDF("text")
+    val got = Curation.vocabTopK(docs, k = 2).as[(String, Long)].collect().toSeq
+    assert(got === Seq("a" -> 3L, "b" -> 2L)) // b ties c at 2 → token asc wins
+    val all = Curation.vocabTopK(docs, k = 10).as[(String, Long)].collect().toSeq
+    assert(all === Seq("a" -> 3L, "b" -> 2L, "c" -> 2L))
+  }
+
+  test("property: vocabTopK equals brute force") {
+    val word = Gen.oneOf("x", "y", "zz", "w1", "v")
+    val gen = for {
+      n <- Gen.choose(0, 20)
+      docs <- Gen.listOfN(n, Gen.listOf(word).map(_.mkString(" ")))
+      k <- Gen.choose(1, 6)
+    } yield (docs, k)
+    sample(gen, 8) { case (docs, k) =>
+      val expect = docs.flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        .sortBy { case (t, c) => (-c, t) }.take(k)
+      val df = docs.toDF("text")
+      val got = Curation.vocabTopK(df, k).as[(String, Long)].collect().toSeq
+      assert(got === expect, s"docs=$docs k=$k")
+    }
+  }
+
+  // ---- splitAssign ----
+
+  test("splitAssign: md5-bucket assignment is exact, stable and exhaustive") {
+    val docs = (1L to 300L).toDF("doc_id")
+    val got = Curation.splitAssign(docs).select("doc_id", "bucket", "split_name")
+      .as[(Long, Long, String)].collect()
+    got.foreach { case (id, bucket, split) =>
+      val expect = graft.datatools.TextAnalysis.md5Lower64(id.toString) & 1023L
+      assert(bucket === expect)
+      val want = if (bucket < 922) "train" else if (bucket < 973) "val" else "test"
+      assert(split === want)
+    }
+    // all three splits materialize on 300 ids and partition the corpus
+    val bySplit = got.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(bySplit.keySet === Set("train", "val", "test"))
+    assert(bySplit.values.sum === 300)
+    assert(bySplit("train") > bySplit("val") + bySplit("test")) // ≈90/5/5
+  }
+
   // ---- stratifiedSample ----
 
   private def md5hex(s: String): String =
