@@ -102,6 +102,75 @@ object Curation {
           .otherwise("test"))
   }
 
+  /** One row per token n-gram occurrence: (id, g) — `g` is the
+    * space-joined n-token window. Built entirely from native
+    * higher-order functions (split → sequence → transform/slice →
+    * concat_ws → explode): no UDF, no serde. Docs with fewer than n
+    * tokens contribute nothing (`sequence` would count DOWN on a
+    * negative stop, so the size guard is correctness, not just cost).
+    */
+  private def tokenNgrams(df: DataFrame, n: Int, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), split(trim(col(textCol)), "\\s+").as("l"))
+      .filter(trim(col(textCol)) =!= "" && size(col("l")) >= n)
+      .select(col("id"), explode(expr(
+        s"transform(sequence(0, size(l) - $n), i -> concat_ws(' ', slice(l, i + 1, $n)))")).as("g"))
+
+  /** Benchmark decontamination: which corpus docs share at least one
+    * token n-gram with the eval/benchmark set — the leakage check run
+    * before training (n = 8 token windows; the published pipelines use
+    * 8–13). Returns (idCol, n_hits = distinct shared n-grams) for
+    * contaminated docs only.
+    *
+    * Scale shape: the eval side is SMALL by definition (benchmarks are
+    * MBs against a 100 TB corpus), so its distinct gram set is
+    * broadcast and the corpus side never shuffles on the gram key —
+    * one broadcast semi-join pass over the corpus grams, then a
+    * partial-agg distinct count per doc.
+    */
+  def decontaminate(corpus: DataFrame, evalDocs: DataFrame, n: Int = 8,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val evalGrams = tokenNgrams(evalDocs, n, idCol, textCol).select("g").distinct()
+    tokenNgrams(corpus, n, idCol, textCol)
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .groupBy(col("id"))
+      .agg(count_distinct(col("g")).as("n_hits"))
+      .select(col("id").as(idCol), col("n_hits"))
+  }
+
+  /** Cross-corpus duplicated-chunk removal (the C4 "dedupe repeated
+    * lines across the corpus, keep the first occurrence" rule, over
+    * fixed `chunkTokens`-token windows since the corpus has no line
+    * structure): a chunk instance is REMOVED iff the same chunk text
+    * occurs anywhere else in the corpus and this doc is not the
+    * smallest-id holder. Returns (idCol, n_chunks, n_removed) for docs
+    * that lose at least one chunk.
+    *
+    * Scale shape: chunk text is fingerprinted to 32-byte md5 BEFORE
+    * the shuffle, so the one exchange (on the fingerprint) moves
+    * 16+8 bytes per chunk, not text; the keeper is a partial-agg
+    * min/count (no window); the removal verdict is an equi-join back
+    * on the fingerprint.
+    */
+  def chunkDedup(corpus: DataFrame, chunkTokens: Int = 10,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val fp = corpus
+      .select(col(idCol).as("id"), split(trim(col(textCol)), "\\s+").as("l"))
+      .filter(trim(col(textCol)) =!= "")
+      .select(col("id"), explode(expr(
+        s"""transform(sequence(0, (size(l) - 1) div $chunkTokens),
+           |  j -> md5(concat_ws(' ', slice(l, j * $chunkTokens + 1, $chunkTokens))))""".stripMargin))
+        .as("f"))
+    val keepers = fp.groupBy(col("f"))
+      .agg(min(col("id")).as("kd"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+    val removed = fp.join(keepers, Seq("f"))
+      .filter(col("id") =!= col("kd"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_removed"))
+    val totals = fp.groupBy(col("id")).agg(count(lit(1)).as("n_chunks"))
+    removed.join(totals, Seq("id"))
+      .select(col("id").as(idCol), col("n_chunks"), col("n_removed"))
+  }
+
   /** Typed-aggregation row: (stratum, md5-of-id, id). */
   final case class KeyedHash(stratum: String, hash: String, id: Long)
 

@@ -766,6 +766,39 @@ object OracleSql {
         |s AS (SELECT lang, CASE WHEN bucket < 922 THEN 'train'
         |  WHEN bucket < 973 THEN 'val' ELSE 'test' END AS split_name FROM b)
         |SELECT lang, split_name, count(*) AS n_docs FROM s
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q53: benchmark decontamination — same \s+ tokenizer as
+    // q51; list_slice is 1-based inclusive, matching Spark's
+    // slice(l, i+1, 8); the len(l) >= 8 guard mirrors the Spark size
+    // filter (range() would be empty anyway, the guard documents it)
+    "q53_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |grams AS (SELECT doc_id,
+        |    unnest(list_transform(range(0, len(l) - 7),
+        |      i -> array_to_string(list_slice(l, i + 1, i + 8), ' '))) AS g
+        |  FROM toks WHERE len(l) >= 8),
+        |eval_g AS (SELECT DISTINCT g FROM grams WHERE doc_id % 7 = 0)
+        |SELECT doc_id, count(DISTINCT g) AS n_hits
+        |FROM grams JOIN eval_g USING (g)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q54: duplicated-chunk removal — 10-token windows, md5
+    // fingerprints, keep-first(min doc_id); the trailing short chunk
+    // is kept (both list_slice and Spark slice clamp at the end)
+    "q54_chunk_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |fp AS (SELECT doc_id,
+        |    unnest(list_transform(range(0, ((len(l) - 1) // 10) + 1),
+        |      j -> md5(array_to_string(list_slice(l, j * 10 + 1, j * 10 + 10), ' ')))) AS f
+        |  FROM toks),
+        |keep AS (SELECT f, min(doc_id) AS kd FROM fp GROUP BY 1 HAVING count(*) > 1),
+        |removed AS (SELECT doc_id, count(*) AS n_removed FROM fp JOIN keep USING (f)
+        |  WHERE doc_id <> kd GROUP BY 1),
+        |totals AS (SELECT doc_id, count(*) AS n_chunks FROM fp GROUP BY 1)
+        |SELECT doc_id, n_chunks, n_removed FROM removed JOIN totals USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
   )
 }

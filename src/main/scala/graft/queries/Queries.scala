@@ -695,6 +695,27 @@ object Queries {
       .groupBy("lang", "split_name").agg(count(lit(1)).as("n_docs"))
       .orderBy("lang", "split_name")
 
+  // q53 — benchmark decontamination: which corpus docs share at least
+  // one 8-token n-gram with the eval set (doc_id % 7 stands in for a
+  // benchmark draw; published pipelines use 8–13-gram windows). The
+  // eval gram set is tiny by definition (benchmarks are MBs against a
+  // 100 TB corpus) and is broadcast — the corpus side never shuffles
+  // on the gram key; the only exchange is the per-doc distinct-count.
+  def q53Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Curation.decontaminate(docs, docs.filter(col("doc_id") % 7 === 0), n = 8)
+      .orderBy("doc_id")
+  }
+
+  // q54 — cross-corpus duplicated-chunk removal (the C4 repeated-
+  // window rule over fixed 10-token chunks): per-doc chunk totals and
+  // how many instances a keep-first-occurrence sweep drops. Chunks are
+  // md5-fingerprinted BEFORE the shuffle, so the one exchange moves
+  // 16-byte keys, never text.
+  def q54ChunkDedup(spark: SparkSession, dir: String): DataFrame =
+    Curation.chunkDedup(t(spark, dir, "documents"), chunkTokens = 10)
+      .orderBy("doc_id")
+
   /** name → query, in SURVEY.md §2 coverage order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_agg_pushdown" -> (q01AggPushdown _),
@@ -748,6 +769,8 @@ object Queries {
     "q49_keeper_select" -> (q49KeeperSelect _),
     "q50_stratified_sample" -> (q50StratifiedSample _),
     "q51_vocab_topk" -> (q51VocabTopk _),
-    "q52_split_assign" -> (q52SplitAssign _)
+    "q52_split_assign" -> (q52SplitAssign _),
+    "q53_decontaminate" -> (q53Decontaminate _),
+    "q54_chunk_dedup" -> (q54ChunkDedup _)
   )
 }

@@ -130,6 +130,92 @@ class CurationSpec extends SparkSpec {
     assert(bySplit("train") > bySplit("val") + bySplit("test")) // ≈90/5/5
   }
 
+  // ---- decontaminate ----
+
+  private def toks(s: String): Seq[String] =
+    s.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+
+  private def bruteDecon(docs: Seq[(Long, String)], evalIds: Set[Long], n: Int): Map[Long, Long] = {
+    def grams(s: String): Set[String] = {
+      val t = toks(s)
+      if (t.size < n) Set.empty else t.sliding(n).map(_.mkString(" ")).toSet
+    }
+    val evalGrams = docs.filter(d => evalIds(d._1)).flatMap(d => grams(d._2)).toSet
+    docs.map { case (id, s) => id -> grams(s).count(evalGrams).toLong }
+      .filter(_._2 > 0).toMap
+  }
+
+  test("decontaminate: flags docs sharing an n-gram with the eval set, counts distinct hits") {
+    val docs = Seq(
+      1L -> "a b c d e f",          // eval doc: grams {a b c, b c d, c d e, d e f}
+      2L -> "x b c d y",            // shares "b c d" → 1 hit
+      3L -> "c d e f q a b c z",    // shares "c d e", "d e f", "a b c" → 3
+      4L -> "totally different words here", // clean
+      5L -> "a b")                  // too short for a 3-gram
+    val df = docs.toDF("doc_id", "text")
+    val got = Curation.decontaminate(df, df.filter(col("doc_id") === 1L), n = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 4L, 2L -> 1L, 3L -> 3L))
+  }
+
+  test("property: decontaminate equals brute force") {
+    val word = Gen.oneOf("a", "b", "c", "dd", "e")
+    val gen = for {
+      n <- Gen.choose(1, 15)
+      texts <- Gen.listOfN(n, Gen.listOf(word).map(_.mkString(" ")))
+      ng <- Gen.choose(2, 4)
+    } yield (texts.zipWithIndex.map { case (t, i) => (i + 1).toLong -> t }, ng)
+    sample(gen, 8) { case (docs, ng) =>
+      val evalIds = docs.map(_._1).filter(_ % 3 == 0).toSet
+      val df = docs.toDF("doc_id", "text")
+      val got = Curation.decontaminate(df, df.filter(col("doc_id") % 3 === 0), n = ng)
+        .as[(Long, Long)].collect().toMap
+      assert(got === bruteDecon(docs, evalIds, ng), s"docs=$docs n=$ng")
+    }
+  }
+
+  // ---- chunkDedup ----
+
+  private def bruteChunks(docs: Seq[(Long, String)], w: Int): Map[Long, (Long, Long)] = {
+    val inst = docs.flatMap { case (id, s) =>
+      toks(s).grouped(w).map(c => id -> c.mkString(" "))
+    }
+    val byChunk = inst.groupBy(_._2).view
+      .mapValues(g => (g.size, g.map(_._1).min)).toMap
+    val removed = inst.groupBy(_._1).view.mapValues { g =>
+      g.count { case (id, c) => val (cnt, kd) = byChunk(c); cnt > 1 && kd != id }.toLong
+    }.toMap
+    val totals = inst.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    removed.filter(_._2 > 0).map { case (id, r) => id -> (totals(id), r) }.toMap
+  }
+
+  test("chunkDedup: repeated chunks removed everywhere but the smallest-id doc") {
+    val docs = Seq(
+      1L -> "w1 w2 w3 w4 w5 w6",  // chunks (w=3): [w1 w2 w3][w4 w5 w6]
+      2L -> "w1 w2 w3 z1 z2",     // loses [w1 w2 w3] to doc 1; keeps [z1 z2]
+      3L -> "w4 w5 w6",           // loses its only chunk
+      4L -> "q r s")              // unique → absent from output
+    val df = docs.toDF("doc_id", "text")
+    val got = Curation.chunkDedup(df, chunkTokens = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got === Map(2L -> (2L, 1L), 3L -> (1L, 1L)))
+  }
+
+  test("property: chunkDedup equals brute force") {
+    val word = Gen.oneOf("a", "b", "c", "d")
+    val gen = for {
+      n <- Gen.choose(1, 12)
+      texts <- Gen.listOfN(n, Gen.listOf(word).map(_.mkString(" ")))
+      w <- Gen.choose(1, 3)
+    } yield (texts.zipWithIndex.map { case (t, i) => (i + 1).toLong -> t }, w)
+    sample(gen, 8) { case (docs, w) =>
+      val df = docs.toDF("doc_id", "text")
+      val got = Curation.chunkDedup(df, chunkTokens = w)
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      assert(got === bruteChunks(docs, w), s"docs=$docs w=$w")
+    }
+  }
+
   // ---- stratifiedSample ----
 
   private def md5hex(s: String): String =
