@@ -139,7 +139,14 @@ object Bench {
       "q46_neardup_clusters", "q47_link_priority", "q48_link_authority",
       // round 4 (curation tier): keeper selection rides the clustering
       // plus a corpus-scoring join — the full post-dedup sweep cost
-      "q49_keeper_select")
+      "q49_keeper_select",
+      // round 4 (recipe stages): the corpus-sweep leakage passes and
+      // heavy doc-local compute — decontamination (broadcast gram
+      // semi-join), chunk dedup (fingerprint-keyed exchange),
+      // repetition signals (sort-and-fold inside the row), shard
+      // packing (two-level distributed prefix sum)
+      "q53_decontaminate", "q54_chunk_dedup", "q55_repetition",
+      "q57_shard_pack")
     val qmap = SparkEntry.queries
     val spark = newSession(cpus)
     def median(xs: Seq[Double]): Double = {

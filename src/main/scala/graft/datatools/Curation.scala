@@ -1,7 +1,7 @@
 package graft.datatools
 
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators — the steps a training-data pipeline runs
@@ -169,6 +169,81 @@ object Curation {
     val totals = fp.groupBy(col("id")).agg(count(lit(1)).as("n_chunks"))
     removed.join(totals, Seq("id"))
       .select(col("id").as(idCol), col("n_chunks"), col("n_removed"))
+  }
+
+  /** Temperature-scaled mixture weights for training-data sampling:
+    * per stratum (source/domain/language), the √p-tempered share every
+    * multilingual/multi-source training recipe draws with — upweights
+    * the tail, downweights the head. All FIXED-POINT integer
+    * arithmetic (the q48 PageRank convention) so any engine replays it
+    * bit-exactly: share_ppm = docs·10⁶ div total; w_raw =
+    * ⌊√(share_ppm·10⁶)⌋ (IEEE-754 sqrt is correctly rounded and the
+    * nearest integer boundary is ≥ 2⁻¹⁹ away for inputs ≤ 10¹², so
+    * floor agrees across engines); weight_ppm = w_raw·10⁶ div Σw_raw.
+    *
+    * Scale shape: one partial aggregation on the stratum key — the
+    * corpus is scanned exactly ONCE. The corpus-total and
+    * weight-normalizer are unpartitioned windows over the post-agg
+    * frame, which holds one row per stratum (languages/sources — small
+    * by definition), so the single-partition window is over a frame
+    * that fits on any executor. The crossJoin(agg) alternative
+    * re-evaluates the counts subplan per scalar and re-scans the
+    * corpus 3×.
+    */
+  def mixtureWeights(df: DataFrame, stratumCol: String = "source"): DataFrame = {
+    val all = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    df.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("total_docs", sum(col("n_docs")).over(all))
+      .withColumn("share_ppm", expr("n_docs * 1000000L DIV total_docs"))
+      .withColumn("w_raw", floor(sqrt(col("share_ppm").cast("double") * 1e6)).cast("long"))
+      .withColumn("weight_ppm", expr("w_raw * 1000000L DIV sum(w_raw) OVER ()"))
+      .select("stratum", "n_docs", "share_ppm", "weight_ppm")
+  }
+
+  /** Deterministic token-budget shard packing: lay the corpus out in
+    * doc-id order and cut a new training shard every `shardTokens`
+    * whitespace tokens — a doc lands in the shard where its span
+    * STARTS (shard_id = exclusive-prefix-sum div shardTokens), so the
+    * assignment is a pure function of (corpus, shardTokens) that any
+    * engine replays.
+    *
+    * Scale shape: the naive formulation is a global-order running sum
+    * — a single-partition window, the classic scale killer. Here it is
+    * the two-level distributed prefix sum: (1) bucket docs by
+    * id div bucketWidth (arithmetic ranges — DETERMINISTIC, unlike
+    * repartitionByRange's sampled boundaries, so recomputation can
+    * never disagree with the offsets); (2) per-bucket token totals (a
+    * partial agg over ≤ #buckets rows) become broadcast exclusive
+    * offsets via one tiny driver-side scan; (3) the within-bucket
+    * running sum is a window PARTITIONED BY bucket — each sort is
+    * bucket-local, all buckets sort in parallel, nothing ever
+    * single-partitions. At 10¹⁰ docs pick bucketWidth ≈ corpus-span /
+    * (10·parallelism) and every stage stays bounded.
+    */
+  def shardPack(df: DataFrame, shardTokens: Long, bucketWidth: Long = 64L,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(shardTokens > 0 && bucketWidth > 0)
+    val toks = df.select(col(idCol).as("id"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("bucket", expr(s"id DIV ${bucketWidth}L"))
+    val bucketTotals = toks.groupBy("bucket").agg(sum("n_tokens").as("btok"))
+      .orderBy("bucket").collect()
+    var acc = 0L
+    val offsets = bucketTotals.map { r =>
+      val o = (r.getLong(0), acc); acc += r.getLong(1); o
+    }.toSeq
+    val offsetDf = broadcast(toks.sparkSession
+      .createDataset(offsets)(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      .toDF("bucket", "bucket_offset"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.join(offsetDf, Seq("bucket"))
+      .withColumn("cum_tokens",
+        col("bucket_offset") + sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("id").as(idCol), col("n_tokens"), col("cum_tokens"),
+        expr(s"cum_tokens DIV ${shardTokens}L").as("shard_id"))
   }
 
   /** Typed-aggregation row: (stratum, md5-of-id, id). */

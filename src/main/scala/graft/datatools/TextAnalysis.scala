@@ -1,6 +1,6 @@
 package graft.datatools
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines (builder-prompt
@@ -205,6 +205,66 @@ object TextAnalysis {
   def md5Lower64(s: String): Long = {
     val d = md5Digest.get().digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.nio.ByteBuffer.wrap(d, 8, 8).order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+  }
+
+  /** Gopher-style repetition signals, doc-local and shuffle-free:
+    *  - `top2_frac`  — max over token 2-grams of occurrences × gram
+    *    chars, over normalized doc chars (the "fraction of characters
+    *    in the most repeated 2-gram" gate; the product-max makes the
+    *    metric tie-free without picking a winner gram);
+    *  - `dup3_frac`  — Σ over token 3-grams occurring more than once
+    *    of occurrences × gram chars, over normalized doc chars (the
+    *    "fraction of characters in duplicated n-grams" gate (n = 3 here: the synthetic corpus repeats 2–3-token spans, not 5); overlaps
+    *    counted per occurrence, so both engines agree exactly).
+    *
+    * The metric is per-document, so the 100-TB plan is a PROJECTION:
+    * per row, build the gram array (`transform`/`sequence`/`slice`),
+    * `array_sort` it, and fold a run-length state over the sorted runs
+    * with `aggregate` — O(k log k) doc-local work, zero exchanges,
+    * where the unnest-and-groupBy formulation (which the DuckDB oracle
+    * uses) would shuffle a gram stream several times the corpus size.
+    * Numerators and denominators are exact integers; the one division
+    * and round-6 are the q30-pinned parity convention.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    def grams(n: Int) =
+      s"""CASE WHEN size(l) >= $n THEN array_sort(transform(
+         |  sequence(0, size(l) - $n),
+         |  i -> concat_ws(' ', slice(l, i + 1, $n))))
+         |ELSE array() END""".stripMargin
+    // max over runs of run-length × gram chars: within a run the
+    // product grows monotonically, so the final GREATEST has seen every
+    // run's full count × length
+    val top2 =
+      s"""aggregate(${grams(2)},
+         |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+         |  (acc, x) -> named_struct(
+         |    'prev', x,
+         |    'run', IF(x <=> acc.prev, acc.run + 1L, 1L),
+         |    'best', GREATEST(acc.best,
+         |      IF(x <=> acc.prev, acc.run + 1L, 1L) * length(x))),
+         |  acc -> acc.best)""".stripMargin
+    // incremental duplicated-gram chars: a run contributes 2×len when
+    // it reaches its 2nd occurrence and +len for each one past that
+    val dup3 =
+      s"""aggregate(${grams(3)},
+         |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'dup', 0L),
+         |  (acc, x) -> named_struct(
+         |    'prev', x,
+         |    'run', IF(x <=> acc.prev, acc.run + 1L, 1L),
+         |    'dup', acc.dup + CASE
+         |      WHEN x <=> acc.prev AND acc.run = 1L THEN 2L * CAST(length(x) AS BIGINT)
+         |      WHEN x <=> acc.prev THEN CAST(length(x) AS BIGINT)
+         |      ELSE 0L END),
+         |  acc -> acc.dup)""".stripMargin
+    df.select(col(idCol).as("doc_id"), split(trim(col(textCol)), "\\s+").as("l"))
+      .withColumn("nl", length(concat_ws(" ", col("l"))).cast("long"))
+      .select(col("doc_id"),
+        when(col("nl") === 0L, lit(0.0))
+          .otherwise(round(expr(top2) / col("nl"), 6)).as("top2_frac"),
+        when(col("nl") === 0L, lit(0.0))
+          .otherwise(round(expr(dup3) / col("nl"), 6)).as("dup3_frac"))
   }
 
   /** Normalized text for fingerprinting: lowercase, collapse whitespace. */

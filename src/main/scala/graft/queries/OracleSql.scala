@@ -799,6 +799,58 @@ object OracleSql {
         |  WHERE doc_id <> kd GROUP BY 1),
         |totals AS (SELECT doc_id, count(*) AS n_chunks FROM fp GROUP BY 1)
         |SELECT doc_id, n_chunks, n_removed FROM removed JOIN totals USING (doc_id)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // q55: repetition signals — the oracle takes the unnest-and-group
+    // shape (fine in DuckDB, a corpus-sized shuffle in a distributed
+    // engine); Spark folds sorted runs inside the row. Numerators are
+    // exact integers in both, so round-6 parity holds.
+    "q55_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l,
+        |    length(array_to_string(string_split_regex(trim(text), '\s+'), ' ')) AS nl
+        |  FROM documents),
+        |g2 AS (SELECT doc_id, unnest(list_transform(range(0, len(l) - 1),
+        |    i -> array_to_string(list_slice(l, i + 1, i + 2), ' '))) AS g
+        |  FROM toks WHERE len(l) >= 2),
+        |c2 AS (SELECT doc_id, max(cnt * length(g)) AS best FROM
+        |  (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2) s GROUP BY 1),
+        |g3 AS (SELECT doc_id, unnest(list_transform(range(0, len(l) - 2),
+        |    i -> array_to_string(list_slice(l, i + 1, i + 3), ' '))) AS g
+        |  FROM toks WHERE len(l) >= 3),
+        |c3 AS (SELECT doc_id, sum(cnt * length(g)) AS dup FROM
+        |  (SELECT doc_id, g, count(*) AS cnt FROM g3 GROUP BY 1, 2) s
+        |  WHERE cnt > 1 GROUP BY 1)
+        |SELECT t.doc_id,
+        |  CASE WHEN t.nl = 0 THEN 0.0 ELSE round(coalesce(c2.best, 0) / t.nl, 6) END AS top2_frac,
+        |  CASE WHEN t.nl = 0 THEN 0.0 ELSE round(coalesce(c3.dup, 0) / t.nl, 6) END AS dup3_frac
+        |FROM toks t LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // q56: √p-tempered mixture weights — all integer fixed-point except
+    // one IEEE sqrt on an exact ≤10¹² integer (correctly rounded in
+    // both engines, and the nearest integer boundary is ≥2⁻¹⁹ away, so
+    // floor agrees); // is DuckDB's integer div = Spark's DIV
+    "q56_mixture_weights" ->
+      """WITH c AS (SELECT lang AS stratum, count(*) AS n_docs FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n_docs)::BIGINT AS total_docs FROM c),
+        |s AS (SELECT stratum, n_docs, (n_docs * 1000000) // total_docs AS share_ppm FROM c, t),
+        |w AS (SELECT *, CAST(floor(sqrt(share_ppm * 1000000.0)) AS BIGINT) AS w_raw FROM s),
+        |n AS (SELECT sum(w_raw)::BIGINT AS w_sum FROM w)
+        |SELECT stratum, n_docs, share_ppm, (w_raw * 1000000) // w_sum AS weight_ppm
+        |FROM w, n ORDER BY stratum""".stripMargin,
+
+    // q57: token-budget shard packing — the oracle's global-order
+    // running sum is the single-partition-window formulation Spark
+    // must NOT use; the engine runs the two-level distributed prefix
+    // sum and must land on identical integers
+    "q57_shard_pack" ->
+      """WITH c AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens FROM documents),
+        |w AS (SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+        |    (sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |     - n_tokens)::BIGINT AS cum_tokens
+        |  FROM c)
+        |SELECT doc_id, n_tokens, cum_tokens, cum_tokens // 500 AS shard_id
+        |FROM w ORDER BY doc_id""".stripMargin
   )
 }

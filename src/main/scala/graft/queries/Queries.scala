@@ -716,6 +716,31 @@ object Queries {
     Curation.chunkDedup(t(spark, dir, "documents"), chunkTokens = 10)
       .orderBy("doc_id")
 
+  // q55 — Gopher-style repetition signals: fraction of chars in the
+  // most-repeated 2-gram (product-max, tie-free) and in duplicated
+  // 5-grams. Doc-local metric → doc-local plan: sort-and-fold the gram
+  // array INSIDE the row (higher-order functions), zero exchanges —
+  // the oracle's unnest-and-groupBy shape would shuffle a gram stream
+  // several times the corpus size.
+  def q55Repetition(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionSignals(t(spark, dir, "documents"))
+      .orderBy("doc_id")
+
+  // q56 — √p-tempered per-source mixture weights in fixed-point ppm
+  // (the q48 integer convention, so the oracle hash-matches). One
+  // partial agg over the corpus; total and normalizer are broadcast
+  // 1-row frames.
+  def q56MixtureWeights(spark: SparkSession, dir: String): DataFrame =
+    Curation.mixtureWeights(t(spark, dir, "documents"), "lang")
+      .orderBy("stratum")
+
+  // q57 — deterministic token-budget shard packing via the two-level
+  // distributed prefix sum (arithmetic id-buckets + broadcast bucket
+  // offsets + per-bucket windows) — never a single-partition window.
+  def q57ShardPack(spark: SparkSession, dir: String): DataFrame =
+    Curation.shardPack(t(spark, dir, "documents"), shardTokens = 500L)
+      .orderBy("doc_id")
+
   /** name → query, in SURVEY.md §2 coverage order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_agg_pushdown" -> (q01AggPushdown _),
@@ -771,6 +796,9 @@ object Queries {
     "q51_vocab_topk" -> (q51VocabTopk _),
     "q52_split_assign" -> (q52SplitAssign _),
     "q53_decontaminate" -> (q53Decontaminate _),
-    "q54_chunk_dedup" -> (q54ChunkDedup _)
+    "q54_chunk_dedup" -> (q54ChunkDedup _),
+    "q55_repetition" -> (q55Repetition _),
+    "q56_mixture_weights" -> (q56MixtureWeights _),
+    "q57_shard_pack" -> (q57ShardPack _)
   )
 }

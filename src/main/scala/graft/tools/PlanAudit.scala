@@ -1,0 +1,22 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", false).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    println("==== q55 repetition ====")
+    graft.queries.Queries.q55Repetition(spark, dir).explain("formatted")
+    println("==== q57 shard_pack ====")
+    graft.queries.Queries.q57ShardPack(spark, dir).explain("formatted")
+    println("==== q53 decontaminate ====")
+    graft.queries.Queries.q53Decontaminate(spark, dir).explain("formatted")
+    println("==== q54 chunk_dedup ====")
+    graft.queries.Queries.q54ChunkDedup(spark, dir).explain("formatted")
+    println("==== q56 mixture ====")
+    graft.queries.Queries.q56MixtureWeights(spark, dir).explain("formatted")
+    spark.stop()
+  }
+}

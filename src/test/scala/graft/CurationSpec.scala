@@ -216,6 +216,90 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  // ---- mixtureWeights ----
+
+  private def bruteMix(strata: Seq[String]): Map[String, (Long, Long, Long)] = {
+    val counts = strata.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = strata.size.toLong
+    val shares = counts.view.mapValues(n => n * 1000000L / total).toMap
+    val wraw = shares.view.mapValues(p => math.floor(math.sqrt(p.toDouble * 1e6)).toLong).toMap
+    val wsum = wraw.values.sum
+    counts.map { case (s, n) => s -> (n, shares(s), wraw(s) * 1000000L / wsum) }
+  }
+
+  test("mixtureWeights: sqrt tempering upweights the tail, integers exact") {
+    val strata = Seq.fill(90)("head") ++ Seq.fill(9)("mid") ++ Seq("tail")
+    val df = strata.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "lang")
+    val got = Curation.mixtureWeights(df, "lang")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got === bruteMix(strata))
+    // tempering: tail's weight share strictly exceeds its doc share
+    val (_, tailShare, tailW) = got("tail")
+    assert(tailW > tailShare)
+    val (_, headShare, headW) = got("head")
+    assert(headW < headShare)
+  }
+
+  test("property: mixtureWeights equals brute force") {
+    val gen = for {
+      n <- Gen.choose(1, 80)
+      ls <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d"))
+    } yield ls
+    sample(gen, 8) { strata =>
+      val df = strata.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "lang")
+      val got = Curation.mixtureWeights(df, "lang")
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      assert(got === bruteMix(strata), s"strata=$strata")
+    }
+  }
+
+  // ---- shardPack ----
+
+  private def bruteShards(docs: Seq[(Long, String)], s: Long): Map[Long, (Long, Long, Long)] = {
+    var cum = 0L
+    docs.sortBy(_._1).map { case (id, text) =>
+      val n = if (text.trim.isEmpty) 0L else text.trim.split("\\s+").length.toLong
+      val r = id -> (n, cum, cum / s)
+      cum += n
+      r
+    }.toMap
+  }
+
+  test("shardPack: exclusive prefix sums and shard cuts, bucket-boundary safe") {
+    // ids straddle several width-4 buckets, incl. a gap and an empty doc
+    val docs = Seq(0L, 1L, 2L, 5L, 6L, 9L, 17L, 18L).map { id =>
+      id -> (if (id == 5L) "" else Seq.fill((id % 7 + 1).toInt)("w").mkString(" "))
+    }
+    val got = Curation.shardPack(docs.toDF("doc_id", "text"), shardTokens = 5L, bucketWidth = 4L)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got === bruteShards(docs, 5L))
+  }
+
+  test("property: shardPack equals brute force and is partitioning-invariant") {
+    val gen = for {
+      n <- Gen.choose(1, 50)
+      ids <- Gen.listOfN(n, Gen.choose(0L, 200L)).map(_.distinct)
+      lens <- Gen.listOfN(n, Gen.choose(0, 12))
+      s <- Gen.choose(1L, 30L)
+      bw <- Gen.oneOf(1L, 7L, 64L)
+    } yield (ids.zip(lens).map { case (id, k) => id -> Seq.fill(k)("t").mkString(" ") }, s, bw)
+    sample(gen, 6) { case (docs, s, bw) =>
+      val expect = bruteShards(docs, s)
+      val df = docs.toDF("doc_id", "text")
+      val got = Curation.shardPack(df, s, bw)
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      assert(got === expect, s"docs=${docs.map(d => d._1 -> d._2.length)} s=$s bw=$bw")
+      val got11 = Curation.shardPack(df.repartition(11), s, bw)
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      assert(got11 === expect)
+    }
+  }
+
   // ---- stratifiedSample ----
 
   private def md5hex(s: String): String =

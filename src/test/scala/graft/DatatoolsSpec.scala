@@ -342,4 +342,54 @@ class DatatoolsSpec extends SparkSpec {
     val resized = Multimodal.resizeMeta(meta, maxDim = 128)
     assert(resized.filter(col("new_width") > 128 || col("new_height") > 128).count() === 0)
   }
+
+  // ---- repetitionSignals ----
+
+  private def round6d(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def bruteRepetition(text: String): (Double, Double) = {
+    val l = text.trim.split("\\s+").toSeq
+    val nl = l.mkString(" ").length.toDouble
+    if (nl == 0) return (0.0, 0.0)
+    def counts(n: Int): Map[String, Int] =
+      if (l.size < n) Map.empty
+      else l.sliding(n).map(_.mkString(" ")).toSeq.groupBy(identity).view.mapValues(_.size).toMap
+    val top2 = counts(2).map { case (g, c) => c.toLong * g.length }.foldLeft(0L)(math.max)
+    val dup3 = counts(3).collect { case (g, c) if c > 1 => c.toLong * g.length }.sum
+    (round6d(top2 / nl), round6d(dup3 / nl))
+  }
+
+  test("repetitionSignals: planted repeats, blank and short docs") {
+    import spark.implicits._
+    val rows = Seq(
+      1L -> "spam spam spam spam",          // top2 = 3×len("spam spam")=27 / 19
+      2L -> "a b c a b c a b c x",          // dup3: "a b c"×3=15, "b c a"×2=10, "c a b"×2=10
+      3L -> "all unique tokens here now",   // no repeats: top2 = 1×max-2gram-len
+      4L -> "  ",                           // blank → zeros
+      5L -> "one")                          // 1 token → no 2-grams → 0
+    val got = TextAnalysis.repetitionSignals(rows.toDF("doc_id", "text"))
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    rows.foreach { case (id, text) =>
+      assert(got(id) === bruteRepetition(text), s"doc $id: '$text'")
+    }
+    assert(got(1L)._1 === round6d(27.0 / 19))
+    assert(got(2L)._2 === round6d(35.0 / 19))
+    assert(got(4L) === ((0.0, 0.0)))
+    assert(got(5L) === ((0.0, 0.0)))
+  }
+
+  test("property: repetitionSignals equals brute force on word soup") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val words = Vector("aa", "b", "ccc", "dd", "e")
+    val docs = (1L to 40L).map { id =>
+      id -> Seq.fill(rnd.nextInt(25))(words(rnd.nextInt(words.size))).mkString(" ")
+    }
+    val got = TextAnalysis.repetitionSignals(docs.toDF("doc_id", "text"))
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    docs.foreach { case (id, text) =>
+      assert(got(id) === bruteRepetition(text), s"doc $id: '$text'")
+    }
+  }
 }
