@@ -146,7 +146,10 @@ object Bench {
       // repetition signals (sort-and-fold inside the row), shard
       // packing (two-level distributed prefix sum)
       "q53_decontaminate", "q54_chunk_dedup", "q55_repetition",
-      "q57_shard_pack")
+      "q57_shard_pack",
+      // PII scrub: regex redaction is the heaviest per-byte CPU pass
+      // in a real pipeline — measure it every round
+      "q58_pii_scrub")
     val qmap = SparkEntry.queries
     val spark = newSession(cpus)
     def median(xs: Seq[Double]): Double = {

@@ -267,6 +267,43 @@ object TextAnalysis {
           .otherwise(round(expr(dup3) / col("nl"), 6)).as("dup3_frac"))
   }
 
+  /** PII patterns shared by the scrubber and its oracle twin — kept to
+    * the regex subset where Java's engine (Spark) and RE2 (DuckDB)
+    * agree exactly: character classes, bounded repetition, `\b` word
+    * boundaries (both define `\w` = [A-Za-z0-9_]), non-capturing
+    * groups; no backrefs, no lookaround (RE2 has neither).
+    */
+  val piiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiIpv4 = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val piiCard = "\\b[0-9]{13,19}\\b"
+
+  /** PII scrubbing — the redaction pass every published corpus pipeline
+    * (CCNet/Dolma/FineWeb lineage) runs before training: emails, IPv4
+    * addresses, and long card-like digit runs are replaced with typed
+    * placeholder tokens, and the count of each kind is kept for
+    * downstream quality filters (a doc that is mostly PII gets
+    * dropped, not just masked).
+    *
+    * Counts are measured independently on the ORIGINAL text (the
+    * patterns cannot overlap: an IP's dot-separated runs are ≤ 3
+    * digits so never card-length; emails contain letters) and the
+    * replacement is sequential email → ip → card, so both engines
+    * produce byte-identical scrubbed text. Per-document projection —
+    * zero exchanges, whole-stage codegen; at 100 TB this is a pure
+    * map over the corpus.
+    */
+  def scrubPii(df: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol).as("doc_id"),
+      size(regexp_extract_all(t, lit(piiEmail), lit(0))).as("n_emails"),
+      size(regexp_extract_all(t, lit(piiIpv4), lit(0))).as("n_ips"),
+      size(regexp_extract_all(t, lit(piiCard), lit(0))).as("n_cards"),
+      regexp_replace(regexp_replace(regexp_replace(t,
+        piiEmail, "<EMAIL>"), piiIpv4, "<IP>"), piiCard, "<CARD>")
+        .as("scrubbed"))
+  }
+
   /** Normalized text for fingerprinting: lowercase, collapse whitespace. */
   def normalizedText(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))

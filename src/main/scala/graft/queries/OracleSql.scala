@@ -851,6 +851,31 @@ object OracleSql {
         |     - n_tokens)::BIGINT AS cum_tokens
         |  FROM c)
         |SELECT doc_id, n_tokens, cum_tokens, cum_tokens // 500 AS shard_id
-        |FROM w ORDER BY doc_id""".stripMargin
+        |FROM w ORDER BY doc_id""".stripMargin,
+
+    // q58: PII scrub — patterns kept to the Java-regex ∩ RE2 subset
+    // (classes, bounded reps, \b, non-capturing groups) so both
+    // engines match and replace identically; DuckDB needs the 'g'
+    // flag where Spark's regexp_replace is global by default
+    "q58_pii_scrub" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+      val card = "\\b[0-9]{13,19}\\b"
+      s"""WITH aug AS (SELECT doc_id, text
+        |  || CASE WHEN doc_id % 3 = 0 THEN ' reach me at user' || CAST(doc_id AS VARCHAR)
+        |       || '@mail-' || source || '.net' ELSE '' END
+        |  || CASE WHEN doc_id % 5 = 0 THEN ' from host 10.' || CAST(doc_id % 250 AS VARCHAR)
+        |       || '.0.' || CAST(doc_id % 254 + 1 AS VARCHAR) ELSE '' END
+        |  || CASE WHEN doc_id % 7 = 0 THEN ' card 4'
+        |       || lpad(CAST(doc_id % 1000000 AS VARCHAR), 14, '0') ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '$email')) AS n_emails,
+        |  len(regexp_extract_all(t, '$ip')) AS n_ips,
+        |  len(regexp_extract_all(t, '$card')) AS n_cards,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$card', '<CARD>', 'g')) AS scrub_md5
+        |FROM aug ORDER BY doc_id""".stripMargin
+    }
   )
 }

@@ -741,6 +741,28 @@ object Queries {
     Curation.shardPack(t(spark, dir, "documents"), shardTokens = 500L)
       .orderBy("doc_id")
 
+  // q58 — PII scrubbing: emails / IPv4 / card-like digit runs replaced
+  // with typed placeholders + per-kind counts (the CCNet/Dolma-style
+  // redaction pass). The synthetic corpus carries no natural PII, so
+  // the query plants it deterministically from (doc_id, source) with
+  // the same expression the oracle uses (the q47 synthetic-graph
+  // convention), then scrubs. Pure projection — zero exchanges.
+  def q58PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val aug = t(spark, dir, "documents").select(d, concat(col("text"),
+      when(d % 3 === 0, concat(lit(" reach me at user"), d.cast("string"),
+        lit("@mail-"), col("source"), lit(".net"))).otherwise(lit("")),
+      when(d % 5 === 0, concat(lit(" from host 10."), (d % 250).cast("string"),
+        lit(".0."), (d % 254 + 1).cast("string"))).otherwise(lit("")),
+      when(d % 7 === 0, concat(lit(" card 4"),
+        lpad((d % 1000000).cast("string"), 14, "0"))).otherwise(lit("")))
+      .as("text"))
+    TextAnalysis.scrubPii(aug)
+      .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_cards"),
+        md5(col("scrubbed")).as("scrub_md5"))
+      .orderBy("doc_id")
+  }
+
   /** name → query, in SURVEY.md §2 coverage order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_agg_pushdown" -> (q01AggPushdown _),
@@ -799,6 +821,7 @@ object Queries {
     "q54_chunk_dedup" -> (q54ChunkDedup _),
     "q55_repetition" -> (q55Repetition _),
     "q56_mixture_weights" -> (q56MixtureWeights _),
-    "q57_shard_pack" -> (q57ShardPack _)
+    "q57_shard_pack" -> (q57ShardPack _),
+    "q58_pii_scrub" -> (q58PiiScrub _)
   )
 }
