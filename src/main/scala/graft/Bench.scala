@@ -149,7 +149,10 @@ object Bench {
       "q57_shard_pack",
       // PII scrub: regex redaction is the heaviest per-byte CPU pass
       // in a real pipeline — measure it every round
-      "q58_pii_scrub")
+      "q58_pii_scrub",
+      // vocab encode: train (one token shuffle) + apply (map-literal
+      // projection) in one measured op
+      "q59_vocab_encode")
     val qmap = SparkEntry.queries
     val spark = newSession(cpus)
     def median(xs: Seq[Double]): Double = {

@@ -83,6 +83,41 @@ object Curation {
       .orderBy(col("cnt").desc, col("token"))
       .limit(k)
 
+  /** Vocabulary encoding — apply a trained top-k vocabulary to the
+    * corpus: token → id (1..k by count desc, token asc; OOV → 0),
+    * emitting per doc the token count, OOV count, and a hash of the
+    * exact id sequence. This is the tokenizer-application step that
+    * turns curated text into model input.
+    *
+    * Scale shape: the vocabulary is k rows — collected once and
+    * inlined as a map LITERAL, so the corpus side is a pure projection
+    * (`transform` + `element_at` over the split array, whole-stage
+    * codegen, ZERO exchanges and zero joins). The exploded
+    * tokens-join-vocab formulation (which the DuckDB oracle uses)
+    * shuffles a token stream larger than the corpus; broadcasting the
+    * map costs k strings per executor. At k beyond literal-friendly
+    * size (say 10⁵+), the same shape survives as a broadcast variable
+    * consulted from a static-invoke expression — never a join.
+    */
+  def vocabEncode(docs: DataFrame, k: Int, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val vocab = vocabTopK(docs, k, textCol).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (tok, cnt) => (-cnt, tok) }
+      .zipWithIndex.map { case ((tok, _), i) => tok -> (i + 1) }
+    val m = map(vocab.toSeq.flatMap { case (tok, id) => Seq(lit(tok), lit(id)) }: _*)
+    docs
+      .select(col(idCol).as("doc_id"),
+        when(length(trim(col(textCol))) === 0, array().cast("array<int>"))
+          .otherwise(transform(split(trim(col(textCol)), "\\s+"),
+            t => coalesce(element_at(m, t), lit(0)))).as("ids"))
+      .select(col("doc_id"),
+        size(col("ids")).as("n_tokens"),
+        aggregate(col("ids"), lit(0),
+          (acc, x) => acc + when(x === 0, lit(1)).otherwise(lit(0))).as("n_oov"),
+        md5(concat_ws(" ", transform(col("ids"), _.cast("string")))).as("ids_md5"))
+  }
+
   /** Deterministic train/val/test assignment: bucket =
     * md5_number_lower(id) & 1023 (bitwise AND, not mod — the signed
     * Spark long and DuckDB's UBIGINT agree on low bits but not on `%`),

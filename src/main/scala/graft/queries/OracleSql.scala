@@ -876,6 +876,30 @@ object OracleSql {
         |  md5(regexp_replace(regexp_replace(regexp_replace(t,
         |    '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$card', '<CARD>', 'g')) AS scrub_md5
         |FROM aug ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    // q59: vocabulary encoding — the oracle takes the explode-join
+    // shape (unnest zipped with range() for token order, LEFT JOIN the
+    // vocab, string_agg ORDER BY position); Spark inlines the vocab as
+    // a map literal and never shuffles. Sums cast to BIGINT (DuckDB's
+    // HUGEINT lands in pandas as float and would string-mismatch).
+    "q59_vocab_encode" ->
+      """WITH toks AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |vocab AS (SELECT token, row_number() OVER (ORDER BY cnt DESC, token) AS id
+        |  FROM (SELECT token, count(*) AS cnt FROM toks WHERE token <> '' GROUP BY 1) c
+        |  ORDER BY cnt DESC, token LIMIT 50),
+        |d AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+        |    ELSE string_split_regex(trim(text), '\s+') END AS l FROM documents),
+        |pos AS (SELECT doc_id, unnest(l) AS token, unnest(range(1, len(l) + 1)) AS i FROM d),
+        |enc AS (SELECT p.doc_id, p.i, coalesce(v.id, 0) AS tid
+        |  FROM pos p LEFT JOIN vocab v USING (token)),
+        |agg AS (SELECT doc_id, count(*) AS n_tokens,
+        |    CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |    md5(string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY i)) AS ids_md5
+        |  FROM enc GROUP BY 1)
+        |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+        |  coalesce(a.n_oov, 0) AS n_oov, coalesce(a.ids_md5, md5('')) AS ids_md5
+        |FROM d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin
   )
 }

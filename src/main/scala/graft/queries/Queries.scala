@@ -763,6 +763,16 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // q59 — vocabulary encoding: the q51 top-50 vocabulary applied to
+  // the corpus (token → id, OOV → 0), per-doc token/OOV counts and a
+  // hash of the exact id sequence. The vocab is inlined as a map
+  // literal so the corpus side is a zero-exchange projection; the
+  // oracle's explode-join shape shuffles a token stream bigger than
+  // the corpus.
+  def q59VocabEncode(spark: SparkSession, dir: String): DataFrame =
+    Curation.vocabEncode(t(spark, dir, "documents"), k = 50)
+      .orderBy("doc_id")
+
   /** name → query, in SURVEY.md §2 coverage order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_agg_pushdown" -> (q01AggPushdown _),
@@ -822,6 +832,7 @@ object Queries {
     "q55_repetition" -> (q55Repetition _),
     "q56_mixture_weights" -> (q56MixtureWeights _),
     "q57_shard_pack" -> (q57ShardPack _),
-    "q58_pii_scrub" -> (q58PiiScrub _)
+    "q58_pii_scrub" -> (q58PiiScrub _),
+    "q59_vocab_encode" -> (q59VocabEncode _)
   )
 }

@@ -17,6 +17,10 @@ object PlanAudit {
     graft.queries.Queries.q54ChunkDedup(spark, dir).explain("formatted")
     println("==== q56 mixture ====")
     graft.queries.Queries.q56MixtureWeights(spark, dir).explain("formatted")
+    println("==== q58 pii_scrub ====")
+    graft.queries.Queries.q58PiiScrub(spark, dir).explain("formatted")
+    println("==== q59 vocab_encode ====")
+    graft.queries.Queries.q59VocabEncode(spark, dir).explain("formatted")
     spark.stop()
   }
 }

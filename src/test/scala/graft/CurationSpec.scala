@@ -300,6 +300,53 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  // ---- vocabEncode ----
+
+  private def bruteEncode(docs: Seq[(Long, String)], k: Int): Map[Long, (Int, Int, String)] = {
+    val counts = docs.flatMap(d => if (d._2.trim.isEmpty) Nil else d._2.trim.split("\\s+").toSeq)
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    val vocab = counts.sortBy { case (t, c) => (-c, t) }.take(k)
+      .zipWithIndex.map { case ((t, _), i) => t -> (i + 1) }.toMap
+    docs.map { case (id, text) =>
+      val ids = if (text.trim.isEmpty) Seq.empty[Int]
+                else text.trim.split("\\s+").toSeq.map(t => vocab.getOrElse(t, 0))
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(ids.mkString(" ").getBytes("UTF-8")).map("%02x".format(_)).mkString
+      id -> (ids.size, ids.count(_ == 0), h)
+    }.toMap
+  }
+
+  test("vocabEncode: ids by (count desc, token asc), OOV=0, empty docs") {
+    val docs = Seq(
+      1L -> "b b b a a c",   // counts: b=3(+1 below)=4? no — per-corpus
+      2L -> "b rare a",
+      3L -> "   ",
+      4L -> "zz zz unseen")
+    // corpus counts: b=4, a=3, zz=2, c=1, rare=1, unseen=1
+    val got = Curation.vocabEncode(docs.toDF("doc_id", "text"), k = 3)
+      .as[(Long, Int, Int, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got === bruteEncode(docs, 3))
+    // vocab = b->1, a->2, zz->3; doc2 = [1, 0, 2] → one OOV
+    assert(got(2L)._2 === 1)
+    assert(got(3L) === ((0, 0, bruteEncode(docs, 3)(3L)._3)))
+  }
+
+  test("property: vocabEncode equals brute force") {
+    val gen = for {
+      n <- Gen.choose(1, 40)
+      k <- Gen.choose(1, 6)
+      texts <- Gen.listOfN(n, Gen.listOf(Gen.oneOf("a", "bb", "c", "dd", "e", "f"))
+        .map(_.mkString(" ")))
+    } yield (texts.zipWithIndex.map { case (t, i) => i.toLong -> t }, k)
+    sample(gen, 6) { case (docs, k) =>
+      val got = Curation.vocabEncode(docs.toDF("doc_id", "text"), k)
+        .as[(Long, Int, Int, String)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      assert(got === bruteEncode(docs, k), s"docs=$docs k=$k")
+    }
+  }
+
   // ---- stratifiedSample ----
 
   private def md5hex(s: String): String =
