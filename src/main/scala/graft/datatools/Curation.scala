@@ -105,12 +105,19 @@ object Curation {
       .map(r => (r.getString(0), r.getLong(1)))
       .sortBy { case (tok, cnt) => (-cnt, tok) }
       .zipWithIndex.map { case ((tok, _), i) => tok -> (i + 1) }
-    val m = map(vocab.toSeq.flatMap { case (tok, id) => Seq(lit(tok), lit(id)) }: _*)
+    // empty corpus → empty vocab: a zero-arg map() coerces to
+    // map<string,string> and poisons the coalesce type, so every
+    // token is OOV directly
+    val enc: Column => Column =
+      if (vocab.isEmpty) _ => lit(0)
+      else {
+        val m = map(vocab.toSeq.flatMap { case (tok, id) => Seq(lit(tok), lit(id)) }: _*)
+        t => coalesce(element_at(m, t), lit(0))
+      }
     docs
       .select(col(idCol).as("doc_id"),
         when(length(trim(col(textCol))) === 0, array().cast("array<int>"))
-          .otherwise(transform(split(trim(col(textCol)), "\\s+"),
-            t => coalesce(element_at(m, t), lit(0)))).as("ids"))
+          .otherwise(transform(split(trim(col(textCol)), "\\s+"), enc)).as("ids"))
       .select(col("doc_id"),
         size(col("ids")).as("n_tokens"),
         aggregate(col("ids"), lit(0),

@@ -332,6 +332,15 @@ class CurationSpec extends SparkSpec {
     assert(got(3L) === ((0, 0, bruteEncode(docs, 3)(3L)._3)))
   }
 
+  test("vocabEncode: all-blank corpus (empty vocab) stays well-typed") {
+    val docs = Seq(1L -> "   ", 2L -> "")
+    val got = Curation.vocabEncode(docs.toDF("doc_id", "text"), k = 5)
+      .as[(Long, Int, Int, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got === bruteEncode(docs, 5))
+    assert(got(1L)._1 === 0)
+  }
+
   test("property: vocabEncode equals brute force") {
     val gen = for {
       n <- Gen.choose(1, 40)

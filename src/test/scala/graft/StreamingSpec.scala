@@ -15,6 +15,30 @@ class StreamingSpec extends SparkSpec {
 
   private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
 
+  test("datatools projections run unchanged over a document stream (PII scrub)") {
+    // scrubPii is a pure per-row projection, so the SAME operator that
+    // runs over the batch corpus runs over readStream with no
+    // watermark and Append mode — the streaming-ingest shape of the
+    // redaction pass
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val out = graft.datatools.TextAnalysis.scrubPii(input.toDS().toDF("doc_id", "text"))
+    val query = out.writeStream.format("memory").queryName("scrub_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(1L -> "mail a@b.io from 10.0.0.1", 2L -> "clean")
+      query.processAllAvailable()
+      input.addData(3L -> "card 4111222233334444")
+      query.processAllAvailable()
+      val rows = spark.table("scrub_stream").as[(Long, Int, Int, Int, String)]
+        .collect().map(r => r._1 -> ((r._2, r._3, r._4), r._5)).toMap
+      assert(rows(1L) === (((1, 1, 0), "mail <EMAIL> from <IP>")))
+      assert(rows(2L) === (((0, 0, 0), "clean")))
+      assert(rows(3L) === (((0, 0, 1), "card <CARD>")))
+    } finally query.stop()
+  }
+
   test("stateful politeness stream admits at most budget per host per window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
