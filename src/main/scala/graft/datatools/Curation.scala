@@ -125,6 +125,53 @@ object Curation {
         md5(concat_ws(" ", transform(col("ids"), _.cast("string")))).as("ids_md5"))
   }
 
+  /** Unigram rarity scoring — the fixed-point stand-in for the
+    * perplexity quality filter (CCNet scores docs with a KenLM model;
+    * the unigram version of that signal is Σ surprisal(token), and
+    * 1/p(token) = total/cnt is a monotone surprisal proxy that needs
+    * no float log). Per token: rarity_milli = (total · 10³) DIV cnt
+    * (OOV → cnt = 1, the maximum). Per doc: the sum and the
+    * integer-mean. ALL integer arithmetic — sums are
+    * order-independent, so any engine, partitioning, or summation
+    * order lands on identical bits (the q48 PageRank convention),
+    * where a float Σ log p never hash-matches across engines.
+    *
+    * Overflow bound: rarity_sum ≤ n_tokens · total · 10³ needs
+    * corpus total < 3·10¹⁵ tokens (≈ 10 PB of text) for the worst
+    * all-OOV doc at 10⁴ tokens — safe at the 100-TB target.
+    *
+    * Scale shape: the frequency table is the q51 wordcount (one
+    * token-keyed shuffle with map-side combine), truncated to top-k
+    * and inlined as a map literal like [[vocabEncode]]; the corpus
+    * total is one scalar aggregate. The scoring pass is then a
+    * zero-exchange projection.
+    */
+  def rarityScore(docs: DataFrame, k: Int, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val total = docs
+      .select(sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("t"))
+      .collect()(0) match { case r if r.isNullAt(0) => 0L; case r => r.getLong(0) }
+    val oov = total * 1000L
+    val vocab = vocabTopK(docs, k, textCol).collect()
+      .map(r => r.getString(0) -> total * 1000L / r.getLong(1))
+    val sp: Column => Column =
+      if (vocab.isEmpty) _ => lit(oov)
+      else {
+        val m = map(vocab.toSeq.flatMap { case (t, s) => Seq(lit(t), lit(s)) }: _*)
+        t => coalesce(element_at(m, t), lit(oov))
+      }
+    docs
+      .select(col(idCol).as("doc_id"),
+        when(length(trim(col(textCol))) === 0, array().cast("array<long>"))
+          .otherwise(transform(split(trim(col(textCol)), "\\s+"), sp)).as("sps"))
+      .select(col("doc_id"),
+        size(col("sps")).as("n_tokens"),
+        aggregate(col("sps"), lit(0L), (acc, x) => acc + x).as("rarity_sum"))
+      .withColumn("rarity_mean",
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(expr("rarity_sum DIV n_tokens")))
+  }
+
   /** Deterministic train/val/test assignment: bucket =
     * md5_number_lower(id) & 1023 (bitwise AND, not mod — the signed
     * Spark long and DuckDB's UBIGINT agree on low bits but not on `%`),

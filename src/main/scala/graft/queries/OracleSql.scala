@@ -900,6 +900,30 @@ object OracleSql {
         |  FROM enc GROUP BY 1)
         |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
         |  coalesce(a.n_oov, 0) AS n_oov, coalesce(a.ids_md5, md5('')) AS ids_md5
+        |FROM d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // q60: unigram rarity — all integer fixed-point (total·10³ // cnt
+    // per token, OOV = total·10³), so the explode-join-sum here and
+    // Spark's in-row fold land on identical bits regardless of
+    // summation order
+    "q60_rarity_score" ->
+      """WITH toks AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tot AS (SELECT count(*)::BIGINT AS total FROM toks),
+        |v AS (SELECT token, count(*) AS cnt FROM toks WHERE token <> ''
+        |  GROUP BY 1 ORDER BY cnt DESC, token LIMIT 50),
+        |s AS (SELECT token, (total * 1000) // cnt AS sp FROM v, tot),
+        |d AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+        |    ELSE string_split_regex(trim(text), '\s+') END AS l FROM documents),
+        |p AS (SELECT doc_id, unnest(l) AS token FROM d),
+        |j AS (SELECT p.doc_id, coalesce(s.sp, (SELECT total * 1000 FROM tot)) AS sp
+        |  FROM p LEFT JOIN s USING (token)),
+        |agg AS (SELECT doc_id, count(*) AS n_tokens,
+        |    CAST(sum(sp) AS BIGINT) AS rarity_sum FROM j GROUP BY 1)
+        |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+        |  coalesce(a.rarity_sum, 0) AS rarity_sum,
+        |  CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0
+        |    ELSE a.rarity_sum // a.n_tokens END AS rarity_mean
         |FROM d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin
   )
 }

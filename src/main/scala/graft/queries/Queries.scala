@@ -773,6 +773,14 @@ object Queries {
     Curation.vocabEncode(t(spark, dir, "documents"), k = 50)
       .orderBy("doc_id")
 
+  // q60 — unigram rarity scoring: the fixed-point perplexity-filter
+  // proxy (Σ (total·10³ DIV cnt) per doc, OOV = max surprisal). All
+  // integer, so sums are order-independent and the oracle hash-exact;
+  // the scoring pass is a zero-exchange map-literal projection.
+  def q60RarityScore(spark: SparkSession, dir: String): DataFrame =
+    Curation.rarityScore(t(spark, dir, "documents"), k = 50)
+      .orderBy("doc_id")
+
   /** name → query, in SURVEY.md §2 coverage order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_agg_pushdown" -> (q01AggPushdown _),
@@ -833,6 +841,7 @@ object Queries {
     "q56_mixture_weights" -> (q56MixtureWeights _),
     "q57_shard_pack" -> (q57ShardPack _),
     "q58_pii_scrub" -> (q58PiiScrub _),
-    "q59_vocab_encode" -> (q59VocabEncode _)
+    "q59_vocab_encode" -> (q59VocabEncode _),
+    "q60_rarity_score" -> (q60RarityScore _)
   )
 }

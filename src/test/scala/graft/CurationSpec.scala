@@ -356,6 +356,55 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  // ---- rarityScore ----
+
+  private def bruteRarity(docs: Seq[(Long, String)], k: Int): Map[Long, (Int, Long, Long)] = {
+    val all = docs.flatMap(d => if (d._2.trim.isEmpty) Nil else d._2.trim.split("\\s+").toSeq)
+    val total = all.size.toLong
+    val sp = all.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(k)
+      .map { case (t, c) => t -> total * 1000L / c }.toMap
+    val oov = total * 1000L
+    docs.map { case (id, text) =>
+      val sps = if (text.trim.isEmpty) Seq.empty[Long]
+                else text.trim.split("\\s+").toSeq.map(sp.getOrElse(_, oov))
+      val s = sps.sum
+      id -> (sps.size, s, if (sps.isEmpty) 0L else s / sps.size)
+    }.toMap
+  }
+
+  test("rarityScore: rare tokens score higher, OOV maximal, empty docs zero") {
+    val docs = Seq(
+      1L -> "common common common common rare",
+      2L -> "common common",
+      3L -> " ",
+      4L -> "oovword")
+    // total=8; with k=2 vocab={common:5, rare... ties} -> common,oovword? counts: common=6? no:
+    // common appears 6x, rare 1x, oovword 1x; k=2 vocab = common(6), oovword(1) (tie rare/oovword -> alpha)
+    val got = Curation.rarityScore(docs.toDF("doc_id", "text"), k = 2)
+      .as[(Long, Int, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got === bruteRarity(docs, 2))
+    // the rare-token doc's mean rarity strictly exceeds the common-only doc's
+    assert(got(1L)._3 > got(2L)._3)
+    assert(got(3L) === ((0, 0L, 0L)))
+  }
+
+  test("property: rarityScore equals brute force") {
+    val gen = for {
+      n <- Gen.choose(1, 40)
+      k <- Gen.choose(1, 6)
+      texts <- Gen.listOfN(n, Gen.listOf(Gen.oneOf("a", "bb", "c", "dd", "e", "f", "g"))
+        .map(_.mkString(" ")))
+    } yield (texts.zipWithIndex.map { case (t, i) => i.toLong -> t }, k)
+    sample(gen, 6) { case (docs, k) =>
+      val got = Curation.rarityScore(docs.toDF("doc_id", "text"), k)
+        .as[(Long, Int, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      assert(got === bruteRarity(docs, k), s"docs=$docs k=$k")
+    }
+  }
+
   // ---- stratifiedSample ----
 
   private def md5hex(s: String): String =
