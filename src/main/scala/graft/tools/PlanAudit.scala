@@ -21,6 +21,8 @@ object PlanAudit {
     graft.queries.Queries.q58PiiScrub(spark, dir).explain("formatted")
     println("==== q59 vocab_encode ====")
     graft.queries.Queries.q59VocabEncode(spark, dir).explain("formatted")
+    println("==== q60 rarity_score ====")
+    graft.queries.Queries.q60RarityScore(spark, dir).explain("formatted")
     spark.stop()
   }
 }
