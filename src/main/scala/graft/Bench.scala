@@ -152,7 +152,14 @@ object Bench {
       "q58_pii_scrub",
       // vocab encode: train (one token shuffle) + apply (map-literal
       // projection) in one measured op
-      "q59_vocab_encode")
+      "q59_vocab_encode",
+      // round 4 (late): fuzzy benchmark decontamination (corpus-as-
+      // index LSH), aggregate-first quantiles, fused classifier
+      // scoring, 3-round BPE-style merge induction (iterative:
+      // pair-count exchange + argmax + replace per round), and
+      // df-capped containment near-dup — measured every round
+      "q61_fuzzy_decontaminate", "q62_group_quantiles",
+      "q63_classifier_score", "q64_merge_induction", "q65_containment")
     val qmap = SparkEntry.queries
     val spark = newSession(cpus)
     def median(xs: Seq[Double]): Double = {

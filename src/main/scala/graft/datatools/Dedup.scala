@@ -116,6 +116,49 @@ object Dedup {
     verifyJaccard(candidates, withSh.select(col("id"), col("sh")), threshold)
   }
 
+  /** CONTAINMENT near-dup pairs — Broder's other similarity: c(A,B) =
+    * |A∩B| / min(|A|,|B|). Resemblance (Jaccard, [[ngramJaccardPairs]])
+    * misses the quote-inclusion case — a long doc that swallows a short
+    * doc whole scores low Jaccard but containment ≈ 1 — which is
+    * exactly the duplication mode of aggregator/boilerplate pages.
+    * Gram universe: distinct md5 fingerprints of `n`-token sliding
+    * windows, RESTRICTED to grams appearing in ≤ `maxDf` docs — the cap
+    * is part of the operator's definition (boilerplate n-grams carried
+    * by thousands of docs should not drive containment) and what bounds
+    * the candidate join's fanout at ≤ maxDf²/2 pairs per gram.
+    *
+    * Scale shape: grams are md5-fingerprinted BEFORE any shuffle (the
+    * q54 convention — 32 hex chars move, never text); the df filter and
+    * the self-join share one exchange on the gram key; pair counts are
+    * a partial agg on (id_a, id_b); set sizes join back as two ints.
+    * Text is read exactly once, in the gram projection.
+    */
+  def containmentPairs(docs: DataFrame, n: Int = 4, threshold: Double = 0.8,
+                       maxDf: Int = 50, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    require(n >= 1 && maxDf >= 2 && threshold > 0.0)
+    val grams = docs
+      .select(col(idCol).as("id"), split(trim(col(textCol)), "\\s+").as("l"))
+      .filter(trim(col(textCol)) =!= "" && size(col("l")) >= n)
+      .select(col("id"), explode(array_distinct(expr(
+        s"transform(sequence(0, size(l) - $n), i -> md5(concat_ws(' ', slice(l, i + 1, $n))))"))).as("f"))
+    val rare = grams.groupBy("f").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("f")
+    val g = grams.join(rare, Seq("f")).persist()
+    val sizes = g.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = g.as("a").join(g.as("b"),
+        col("a.f") === col("b.f") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("containment", round(col("inter").cast("double") /
+        least(col("sz_a"), col("sz_b")).cast("double"), 6))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+  }
+
   /** Exact-Jaccard verification of candidate pairs, with a SIZE
     * prefilter so the heavy shingle arrays only ship for pairs that can
     * possibly qualify: J(A,B) ≤ min/max, so `min ≥ t·max` is necessary.

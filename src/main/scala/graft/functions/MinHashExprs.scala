@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -195,6 +196,44 @@ object MinHashExprs {
 
   def simhashCol(text: Column): Column =
     GraftBridge.column(SimHashExpr(GraftBridge.expression(text)))
+
+  /** Fixed-point hashed-feature linear classifier score — the fastText-
+    * style quality-filter shape with a deterministic weight table:
+    * per token (maximal non-`\s` byte run of the RAW text — the q51
+    * `\s+` tokenizer, no lowercasing), feature id f = md5_number_lower
+    * (token) & 0xFFFF (bitwise AND, not mod — signed Long and UBIGINT
+    * agree on low bits), weight w(f) = ((f · 2654435761) >> 13) mod 17
+    * − 8 ∈ [−8, 8] (Knuth multiplicative scramble; products stay under
+    * 2⁴⁸ so no engine overflows). Returns (n_terms, Σw). The weights
+    * are a documented stand-in for a trained model: production swaps
+    * the arithmetic w(f) for a broadcast weight array lookup — same
+    * expression shape, same zero-exchange plan.
+    */
+  def classifierScore(text: UTF8String): InternalRow = {
+    val bytes = text.getBytes
+    val (spans, n) = tokenSpans(bytes)
+    val md = md5Digest.get()
+    var terms = 0L
+    var score = 0L
+    var t = 0
+    while (t < n) {
+      val s = spans(2 * t); val e = spans(2 * t + 1)
+      if (e > s) {
+        terms += 1L
+        md.update(bytes, s, e - s)
+        val d = md.digest()
+        val h = java.nio.ByteBuffer.wrap(d, 8, 8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+        val f = h & 0xffffL
+        score += ((f * 2654435761L) >> 13) % 17L - 8L
+      }
+      t += 1
+    }
+    new GenericInternalRow(Array[Any](terms, score))
+  }
+
+  def classifierScoreCol(text: Column): Column =
+    GraftBridge.column(ClassifierScoreExpr(GraftBridge.expression(text)))
 }
 
 /** text → array<long> MinHash signature (fused shingle+hash loop inside
@@ -241,4 +280,22 @@ case class ShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "word_shingles"
+}
+
+/** text → struct(n_terms, score): fixed-point hashed-feature linear
+  * classifier score (fused tokenize+md5+weight loop inside
+  * WholeStageCodegen) — see [[MinHashExprs.classifierScore]].
+  */
+case class ClassifierScoreExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_terms", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("score", LongType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    MinHashExprs.classifierScore(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashExprs.classifierScore($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "classifier_score"
 }

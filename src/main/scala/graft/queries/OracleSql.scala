@@ -1,6 +1,6 @@
 package graft.queries
 
-/** DuckDB oracle twins for [[Queries]] — ALL 45 queries have one.
+/** DuckDB oracle twins for [[Queries]] — ALL 65 queries have one.
   * Column names and rounding match the Spark side exactly (driver
   * compare sorts columns by name and hashes values). Sketch-parameter
   * queries (q26 simhash, q27 hyperplane LSH, q35 IVF) share their hash
@@ -924,6 +924,119 @@ object OracleSql {
         |  coalesce(a.rarity_sum, 0) AS rarity_sum,
         |  CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0
         |    ELSE a.rarity_sum // a.n_tokens END AS rarity_mean
-        |FROM d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin
+        |FROM d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // q61: fuzzy decontamination — brute-force exact best bench match
+    // per corpus doc (corpus = doc_id % 11 <> 3, bench = % 11 = 3).
+    // Spark runs the LSH incremental-index path; the recall argument is
+    // q25's (planted near-dups ≥ 0.96, P(16×4-band miss) ≈ 1e-13).
+    "q61_fuzzy_decontaminate" ->
+      s"""$bigramSets,
+         |sel AS (SELECT
+         |    CASE WHEN id_a % 11 = 3 THEN id_b ELSE id_a END AS doc_id,
+         |    CASE WHEN id_a % 11 = 3 THEN id_a ELSE id_b END AS bench_id,
+         |    round(CAST(inter AS DOUBLE) / (sa + sb - inter), 6) AS jaccard
+         |  FROM pairs
+         |  WHERE round(CAST(inter AS DOUBLE) / (sa + sb - inter), 6) >= 0.8
+         |    AND ((id_a % 11 = 3) <> (id_b % 11 = 3))),
+         |r AS (SELECT doc_id, bench_id, jaccard,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, bench_id) AS rn,
+         |    count(*) OVER (PARTITION BY doc_id) AS n_matches FROM sel)
+         |SELECT doc_id, bench_id, jaccard, n_matches FROM r WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin,
+
+    // q62: exact per-stratum quantiles, k = ceil(q·n) in pure integer
+    // arithmetic. The oracle sorts raw rows inside each stratum
+    // (row_number window) — the formulation Spark's aggregate-first
+    // plan exists to avoid at corpus scale.
+    "q62_group_quantiles" ->
+      """WITH v AS (SELECT lang AS stratum, doc_id,
+        |    (CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT AS value
+        |  FROM documents),
+        |r AS (SELECT stratum, value,
+        |    row_number() OVER (PARTITION BY stratum ORDER BY value, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY stratum) AS n_docs
+        |  FROM v),
+        |q AS (SELECT unnest([500000, 900000, 990000]::BIGINT[]) AS q_ppm)
+        |SELECT stratum, q_ppm, n_docs,
+        |  (q_ppm * n_docs + 999999) // 1000000 AS k, value
+        |FROM r CROSS JOIN q
+        |WHERE rn = (q_ppm * n_docs + 999999) // 1000000
+        |ORDER BY stratum, q_ppm""".stripMargin,
+
+    // q63: hashed-feature linear classifier — feature id = low 16 bits
+    // of md5_number_lower (bitwise AND, sign-safe), weight =
+    // Knuth-scrambled ((f·2654435761) >> 13) mod 17 − 8; products stay
+    // under 2⁴⁸ so neither engine overflows. Spark runs the whole
+    // per-doc fold as one fused codegen expression.
+    "q63_classifier_score" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tk
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |w AS (SELECT doc_id,
+        |    ((((md5_number_lower(tk) & 65535)::BIGINT * 2654435761) >> 13) % 17) - 8 AS w
+        |  FROM toks WHERE tk <> '')
+        |SELECT doc_id, count(*) AS n_terms, sum(w)::BIGINT AS score,
+        |  sum(w) > 0 AS keep
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q64_merge_induction" -> q64Sql(rounds = 3),
+
+    // q65: containment near-dup — same df-capped 4-gram md5 universe as
+    // the Spark operator (the cap is part of the definition), exact
+    // |A∩B| / min over distinct gram fingerprints.
+    "q65_containment" ->
+      """WITH base AS (SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS l
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |g0 AS (SELECT id, unnest(list_distinct(list_transform(generate_series(1, len(l) - 3),
+        |    i -> md5(array_to_string(l[i:i+3], ' '))))) AS f
+        |  FROM base WHERE len(l) >= 4),
+        |rare AS (SELECT f FROM g0 GROUP BY f HAVING count(*) <= 50),
+        |g AS (SELECT g0.id, g0.f FROM g0 JOIN rare USING (f)),
+        |sz AS (SELECT id, count(*) AS n FROM g GROUP BY 1),
+        |it AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+        |  FROM g a JOIN g b ON a.f = b.f AND a.id < b.id GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(CAST(inter AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
+        |FROM it JOIN sz sa ON sa.id = it.id_a JOIN sz sb ON sb.id = it.id_b
+        |WHERE round(CAST(inter AS DOUBLE) / least(sa.n, sb.n), 6) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin
   )
+
+  /** q64: BPE-style merge induction, `rounds` rounds unrolled as CTEs.
+    * Round r: enumerate every adjacent (overlapping) token pair of the
+    * sentinel-form corpus, pick the argmax (count desc, pair asc), and
+    * merge it everywhere with `replace` (left-to-right non-overlapping
+    * in both engines). Sentinel form: each token wrapped in chr(1), so
+    * a pair pattern can never straddle token boundaries.
+    */
+  private def q64Sql(rounds: Int): String = {
+    val S = "chr(1)"
+    val SS = s"$S || $S"
+    def body(s: String) = s"substring($s, 2, length($s) - 2)"
+    val head =
+      s"""WITH d0 AS (SELECT doc_id,
+         |    $S || array_to_string(string_split_regex(trim(text), '\\s+'), $SS) || $S AS s
+         |  FROM documents WHERE length(trim(text)) > 0)""".stripMargin
+    val roundCtes = (0 until rounds).map { r =>
+      s"""t$r AS (SELECT doc_id, string_split(${body("s")}, $SS) AS l FROM d$r),
+         |p$r AS (SELECT l[u] AS a, l[u + 1] AS b
+         |  FROM (SELECT l, unnest(generate_series(1, len(l) - 1)) AS u FROM t$r)),
+         |m$r AS (SELECT a, b FROM (SELECT a, b, count(*) AS cnt FROM p$r GROUP BY 1, 2)
+         |  ORDER BY cnt DESC, a, b LIMIT 1),
+         |d${r + 1} AS (SELECT doc_id,
+         |  replace(s, $S || m$r.a || $SS || m$r.b || $S,
+         |    $S || m$r.a || ' ' || m$r.b || $S) AS s
+         |  FROM d$r CROSS JOIN m$r)""".stripMargin
+    }
+    val fin = s"d$rounds"
+    s"""$head,
+       |${roundCtes.mkString(",\n")},
+       |n0 AS (SELECT doc_id, len(l)::BIGINT AS n_orig FROM t0)
+       |SELECT $fin.doc_id,
+       |  len(string_split(${body(s"$fin.s")}, $SS))::BIGINT AS n_tokens,
+       |  n0.n_orig - len(string_split(${body(s"$fin.s")}, $SS))::BIGINT AS n_merged,
+       |  md5($fin.s) AS seq_md5
+       |FROM $fin JOIN n0 USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
 }

@@ -781,6 +781,62 @@ object Queries {
     Curation.rarityScore(t(spark, dir, "documents"), k = 50)
       .orderBy("doc_id")
 
+  // q61 — FUZZY benchmark decontamination: corpus docs near-dup (bigram
+  // Jaccard ≥ 0.8) with any eval doc (doc_id % 11 = 3 stands in for a
+  // benchmark draw), via the incremental-index path — the corpus enters
+  // as its persisted MinHash index, the benchmark is the small delta.
+  // Oracle: brute-force exact best match per corpus doc (same recall
+  // argument as q25: planted near-dups sit ≥ 0.96, P(LSH miss) ≈ 1e-13).
+  def q61FuzzyDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Curation.fuzzyDecontaminate(
+      docs.filter(col("doc_id") % 11 =!= 3),
+      docs.filter(col("doc_id") % 11 === 3),
+      k = 2, threshold = 0.8)
+      .orderBy("doc_id")
+  }
+
+  // q62 — exact per-language token-count quantiles (p50/p90/p99 by the
+  // integer rule k = ceil(q·n)) computed aggregate-first: the corpus
+  // collapses to (stratum, value) counts before any window runs — the
+  // oracle's row_number-over-raw-rows formulation is the full-corpus
+  // sort this operator exists to avoid.
+  def q62GroupQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Curation.groupQuantiles(t(spark, dir, "documents"), "lang",
+      TextAnalysis.tokenCount(col("text")))
+      .orderBy("stratum", "q_ppm")
+
+  // q63 — fixed-point hashed-feature linear classifier (the fastText-
+  // style quality-filter shape): one fused codegen expression per doc,
+  // zero exchanges. Weights are a deterministic md5-derived stand-in —
+  // production swaps in a broadcast trained-weight array, same plan.
+  def q63ClassifierScore(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .withColumn("cf", graft.functions.MinHashExprs.classifierScoreCol(col("text")))
+      .select(col("doc_id"), col("cf.n_terms").as("n_terms"),
+        col("cf.score").as("score"), (col("cf.score") > 0).as("keep"))
+      .orderBy("doc_id")
+
+  // q64 — BPE-style merge induction: 3 rounds of count-all-adjacent-
+  // pairs → merge the argmax pair corpus-wide (count desc, pair asc).
+  // Per round: one pair-keyed exchange + a TakeOrdered(1) argmax + a
+  // zero-exchange sentinel-string `replace`. The oracle unrolls the
+  // same 3 rounds as CTEs — counting enumerates overlapping pairs,
+  // merging is left-to-right non-overlapping `replace` in both engines.
+  def q64MergeInduction(spark: SparkSession, dir: String): DataFrame =
+    Curation.mergeInduction(t(spark, dir, "documents"), rounds = 3)
+      .orderBy("doc_id")
+
+  // q65 — CONTAINMENT near-dup pairs (|A∩B| / min|A|,|B| ≥ 0.8 over
+  // df≤50 4-gram md5 fingerprints): catches the quote-inclusion
+  // duplication mode Jaccard misses. Candidates from one gram-keyed exchange;
+  // fanout bounded by the df cap, which is part of the definition.
+  def q65Containment(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(t(spark, dir, "documents"), n = 4,
+      threshold = 0.8, maxDf = 50)
+      .orderBy("id_a", "id_b")
+
   /** name → query, in SURVEY.md §2 coverage order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_agg_pushdown" -> (q01AggPushdown _),
@@ -842,6 +898,11 @@ object Queries {
     "q57_shard_pack" -> (q57ShardPack _),
     "q58_pii_scrub" -> (q58PiiScrub _),
     "q59_vocab_encode" -> (q59VocabEncode _),
-    "q60_rarity_score" -> (q60RarityScore _)
+    "q60_rarity_score" -> (q60RarityScore _),
+    "q61_fuzzy_decontaminate" -> (q61FuzzyDecontaminate _),
+    "q62_group_quantiles" -> (q62GroupQuantiles _),
+    "q63_classifier_score" -> (q63ClassifierScore _),
+    "q64_merge_induction" -> (q64MergeInduction _),
+    "q65_containment" -> (q65Containment _)
   )
 }

@@ -23,6 +23,16 @@ object PlanAudit {
     graft.queries.Queries.q59VocabEncode(spark, dir).explain("formatted")
     println("==== q60 rarity_score ====")
     graft.queries.Queries.q60RarityScore(spark, dir).explain("formatted")
+    println("==== q61 fuzzy_decontaminate ====")
+    graft.queries.Queries.q61FuzzyDecontaminate(spark, dir).explain("formatted")
+    println("==== q62 group_quantiles ====")
+    graft.queries.Queries.q62GroupQuantiles(spark, dir).explain("formatted")
+    println("==== q63 classifier_score ====")
+    graft.queries.Queries.q63ClassifierScore(spark, dir).explain("formatted")
+    println("==== q64 merge_induction (final round's plan) ====")
+    graft.queries.Queries.q64MergeInduction(spark, dir).explain("formatted")
+    println("==== q65 containment ====")
+    graft.queries.Queries.q65Containment(spark, dir).explain("formatted")
     spark.stop()
   }
 }

@@ -446,4 +446,189 @@ class CurationSpec extends SparkSpec {
       assert(got7 === expect)
     }
   }
+
+  // ---- groupQuantiles ----
+
+  test("groupQuantiles: ceil-rule k-th smallest, duplicates counted, per-stratum") {
+    import spark.implicits._
+    val df = Seq(("en", 1L), ("en", 2L), ("en", 2L), ("en", 10L), ("de", 5L))
+      .toDF("lang", "v")
+    val out = Curation.groupQuantiles(df, "lang", col("v"), Seq(500000L, 1000000L))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map { case (s0, q, n, k, v) => (s0, q) -> ((n, k, v)) }.toMap
+    assert(out(("en", 500000L)) === ((4L, 2L, 2L)))   // k=ceil(.5*4)=2 -> dup value 2
+    assert(out(("en", 1000000L)) === ((4L, 4L, 10L))) // max
+    assert(out(("de", 500000L)) === ((1L, 1L, 5L)))
+    assert(out.size === 4)
+  }
+
+  private def bruteQuantiles(rows: Seq[(String, Long)], qs: Seq[Long]): Map[(String, Long), (Long, Long, Long)] =
+    rows.groupBy(_._1).flatMap { case (s0, g) =>
+      val vs = g.map(_._2).sorted
+      val n = vs.size.toLong
+      qs.map { q =>
+        val k = (q * n + 999999L) / 1000000L
+        (s0, q) -> ((n, k, vs((k - 1).toInt)))
+      }
+    }
+
+  test("property: groupQuantiles equals brute force and is partitioning-invariant") {
+    import spark.implicits._
+    val qs = Seq(250000L, 500000L, 900000L, 1000000L)
+    val gen = for {
+      n <- Gen.choose(1, 40)
+      rows <- Gen.listOfN(n, for {
+        s0 <- Gen.oneOf("en", "de", "zh")
+        v <- Gen.choose(0L, 12L) // narrow range -> heavy duplicates
+      } yield (s0, v))
+    } yield rows
+    sample(gen, 25) { rows =>
+      val expect = bruteQuantiles(rows, qs)
+      Seq(1, 7).foreach { parts =>
+        val got = Curation.groupQuantiles(rows.toDF("lang", "v").repartition(parts), "lang", col("v"), qs)
+          .as[(String, Long, Long, Long, Long)].collect()
+          .map { case (s0, q, n, k, v) => (s0, q) -> ((n, k, v)) }.toMap
+        assert(got === expect, s"rows=$rows parts=$parts")
+      }
+    }
+  }
+
+  // ---- mergeInduction ----
+
+  /** Straight-line reference: count overlapping adjacent pairs, merge
+    * the (count desc, pair asc) argmax left-to-right non-overlapping.
+    */
+  private def bruteMerge(docs: Seq[(Long, String)], rounds: Int): Map[Long, (Long, Long, String)] = {
+    var seqs = docs.filter(_._2.trim.nonEmpty)
+      .map { case (id, t) => id -> t.trim.split("\\s+").toVector }
+    val orig = seqs.map { case (id, l) => id -> l.size.toLong }.toMap
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      seqs.foreach { case (_, l) =>
+        l.zip(l.drop(1)).foreach(p => counts(p) = counts.getOrElse(p, 0L) + 1) }
+      if (counts.isEmpty) done = true
+      else {
+        val (a, b) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }._1
+        seqs = seqs.map { case (id, l) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < l.size) {
+            if (i + 1 < l.size && l(i) == a && l(i + 1) == b) { out += a + " " + b; i += 2 }
+            else { out += l(i); i += 1 }
+          }
+          id -> out.result()
+        }
+        r += 1
+      }
+    }
+    seqs.map { case (id, l) =>
+      val s = "\u0001" + l.mkString("\u0001\u0001") + "\u0001"
+      id -> ((l.size.toLong, orig(id) - l.size, md5hex(s)))
+    }.toMap
+  }
+
+  test("mergeInduction: argmax pair merged corpus-wide, ties lexicographic, re-merge across rounds") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b c"), (2L, "a b x"), (3L, "  "))
+    val got = Curation.mergeInduction(docs.toDF("doc_id", "text"), rounds = 3)
+      .as[(Long, Long, Long, String)].collect()
+      .map { case (id, n, m, h) => id -> ((n, m, h)) }.toMap
+    // r1 merges (a,b) everywhere; r2 merges ("a b","a b") (tie broken
+    // lexicographically); r3 merges ("a b", x). Blank doc excluded.
+    assert(got(1L)._1 === 2L && got(1L)._2 === 3L)
+    assert(got(2L)._1 === 1L && got(2L)._2 === 2L)
+    assert(!got.contains(3L))
+    assert(got === bruteMerge(docs, 3))
+  }
+
+  test("property: mergeInduction equals brute force and is partitioning-invariant") {
+    import spark.implicits._
+    val gen = for {
+      nDocs <- Gen.choose(1, 8)
+      docs <- Gen.listOfN(nDocs, Gen.choose(0, 12).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" "))))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    sample(gen, 12) { docs =>
+      val expect = bruteMerge(docs, 3)
+      Seq(1, 5).foreach { parts =>
+        val got = Curation.mergeInduction(docs.toDF("doc_id", "text").repartition(parts), rounds = 3)
+          .as[(Long, Long, Long, String)].collect()
+          .map { case (id, n, m, h) => id -> ((n, m, h)) }.toMap
+        assert(got === expect, s"docs=$docs parts=$parts")
+      }
+    }
+  }
+
+  // ---- fuzzyDecontaminate ----
+
+  test("fuzzyDecontaminate: best bench match per corpus doc, exact beats near, ties to min bench id") {
+    import spark.implicits._
+    def words(p: String, n: Int) = (0 until n).map(j => s"$p$j").mkString(" ")
+    val c1 = words("a", 30); val c2 = words("b", 30); val c3 = words("c", 30)
+    val near1 = { val t = c1.split(" "); t(15) = "CHANGED"; t.mkString(" ") }
+    val near2 = { val t = c2.split(" "); t(3) = "CHANGED"; t.mkString(" ") }
+    val corpus = Seq((1L, c1), (2L, c2), (3L, c3)).toDF("doc_id", "text")
+    val bench = Seq((101L, near1), (103L, c2), (102L, near2)).toDF("doc_id", "text")
+    val got = Curation.fuzzyDecontaminate(corpus, bench, k = 2, threshold = 0.8)
+      .as[(Long, Long, Double, Long)].collect()
+      .map { case (id, b, j, n) => id -> ((b, j, n)) }.toMap
+    assert(got.keySet === Set(1L, 2L))
+    assert(got(1L)._1 === 101L && got(1L)._3 === 1L)
+    assert(got(2L)._1 === 103L && got(2L)._2 === 1.0 && got(2L)._3 === 2L) // exact copy wins
+  }
+
+  test("property: fuzzyDecontaminate equals brute force over exact shingle Jaccard") {
+    import graft.datatools.Dedup
+    import spark.implicits._
+    // corpora of 20-token docs; bench docs are copies of corpus docs
+    // with 0-2 tokens swapped (jaccard 1.0 / ~0.86 / ~0.74) or unrelated
+    val gen = for {
+      nc <- Gen.choose(2, 5)
+      picks <- Gen.listOfN(3, for {
+        src <- Gen.choose(0, nc - 1)
+        swaps <- Gen.oneOf(0, 0, 1, 2, 9) // 9 = unrelated doc
+      } yield (src, swaps))
+    } yield {
+      val corpus = (0 until nc).map(i => (i.toLong, (0 until 20).map(j => s"d${i}t$j").mkString(" ")))
+      val bench = picks.zipWithIndex.map { case ((src, swaps), bi) =>
+        val id = 100L + bi
+        if (swaps == 9) (id, (0 until 20).map(j => s"x${bi}t$j").mkString(" "))
+        else {
+          val t = corpus(src)._2.split(" ")
+          (0 until swaps).foreach(s0 => t(2 + 3 * s0) = s"SWAP$s0")
+          (id, t.mkString(" "))
+        }
+      }
+      (corpus, bench)
+    }
+    sample(gen, 10) { case (corpus, bench) =>
+      val all = corpus ++ bench
+      val sets = all.toDF("doc_id", "text")
+        .select(col("doc_id"), Dedup.shingles(col("text"), 2).as("sh"))
+        .as[(Long, Seq[String])].collect().map { case (id, sh) => id -> sh.toSet }.toMap
+      val expect = corpus.flatMap { case (cid, _) =>
+        val matches = bench.flatMap { case (bid, _) =>
+          val (a, b) = (sets(cid), sets(bid))
+          if (a.isEmpty || b.isEmpty) None
+          else {
+            val j = BigDecimal(a.intersect(b).size.toDouble / a.union(b).size)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            if (j >= 0.8) Some((bid, j)) else None
+          }
+        }
+        if (matches.isEmpty) None
+        else {
+          val best = matches.minBy { case (bid, j) => (-j, bid) }
+          Some(cid -> ((best._1, best._2, matches.size.toLong)))
+        }
+      }.toMap
+      val got = Curation.fuzzyDecontaminate(
+        corpus.toDF("doc_id", "text"), bench.toDF("doc_id", "text"), k = 2, threshold = 0.8)
+        .as[(Long, Long, Double, Long)].collect()
+        .map { case (id, b, j, n) => id -> ((b, j, n)) }.toMap
+      assert(got === expect, s"corpus=$corpus bench=$bench")
+    }
+  }
 }

@@ -420,4 +420,88 @@ class DatatoolsSpec extends SparkSpec {
       assert(got(id) === bruteRepetition(text), s"doc $id: '$text'")
     }
   }
+
+  test("containment: full inclusion found where same-threshold Jaccard misses") {
+    import spark.implicits._
+    val short = (0 until 8).map(j => s"s$j").mkString(" ")
+    val long = ((0 until 40).map(j => s"l$j") ++ (0 until 8).map(j => s"s$j")).mkString(" ")
+    val other = (0 until 30).map(j => s"o$j").mkString(" ")
+    val df = Seq((1L, short), (2L, long), (3L, other)).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(df, n = 4, threshold = 0.8, maxDf = 50).collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(0) === 1L && out(0).getLong(1) === 2L)
+    assert(out(0).getDouble(2) === 1.0) // every 4-gram of the short doc is in the long one
+    // resemblance at the same threshold misses the inclusion entirely
+    assert(Dedup.ngramJaccardPairs(df, k = 4, threshold = 0.8).count() === 0L)
+  }
+
+  /** Brute force with the operator's exact definition: distinct 4-gram
+    * strings, drop grams in > maxDf docs, containment over what's left.
+    */
+  private def bruteContainment(docs: Seq[(Long, String)], n: Int, maxDf: Int,
+                               threshold: Double): Set[(Long, Long, Double)] = {
+    val gramSets = docs.flatMap { case (id, t) =>
+      val toks = t.trim.split("\\s+").toSeq
+      if (t.trim.isEmpty || toks.size < n) None
+      else Some(id -> toks.sliding(n).map(_.mkString(" ")).toSet)
+    }.toMap
+    val df = gramSets.values.flatten.groupBy(identity).map { case (g, o) => g -> o.size }
+    val rare = gramSets.map { case (id, gs) => id -> gs.filter(g => df(g) <= maxDf) }
+      .filter(_._2.nonEmpty)
+    (for {
+      (a, ga) <- rare.toSeq; (b, gb) <- rare.toSeq if a < b
+      inter = ga.intersect(gb).size
+      c = BigDecimal(inter.toDouble / math.min(ga.size, gb.size))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if inter > 0 && c >= threshold
+    } yield (a, b, c)).toSet
+  }
+
+  test("property: containmentPairs equals brute force, df cap exercised") {
+    import spark.implicits._
+    val gen = for {
+      nDocs <- org.scalacheck.Gen.choose(2, 7)
+      docs <- org.scalacheck.Gen.listOfN(nDocs, org.scalacheck.Gen.choose(0, 14).flatMap(len =>
+        org.scalacheck.Gen.listOfN(len, org.scalacheck.Gen.oneOf("a", "b", "c")).map(_.mkString(" "))))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    var seed = org.scalacheck.rng.Seed(7L)
+    (0 until 20).foreach { _ =>
+      gen.apply(org.scalacheck.Gen.Parameters.default, seed).foreach { docs =>
+        // tiny alphabet: shared grams everywhere, and maxDf = 3 actually bites
+        val expect = bruteContainment(docs, n = 2, maxDf = 3, threshold = 0.5)
+        val got = Dedup.containmentPairs(docs.toDF("doc_id", "text"),
+            n = 2, threshold = 0.5, maxDf = 3)
+          .as[(Long, Long, Double)].collect().toSet
+        assert(got === expect, s"docs=$docs")
+      }
+      seed = seed.next
+    }
+  }
+
+  test("classifier score expression: parity with per-token reference, edge tokens") {
+    import spark.implicits._
+    val texts = Seq(
+      "hello world", "  padded  both  ", "", "   ",
+      "\u0001ctrl glued", "\u00a0nbsp stays glued", "a a a b",
+      "tabs\tand\nnewlines\u000bvt\ffeed\rcr", "\u00dcn\u00efc\u00f8de t\u00f8kens")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = df.withColumn("cf", graft.functions.MinHashExprs.classifierScoreCol(col("text")))
+      .select(col("doc_id"), col("cf.n_terms"), col("cf.score"))
+      .as[(Long, Long, Long)].collect().map { case (id, n, sc) => id -> ((n, sc)) }.toMap
+    def ref(t: String): (Long, Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val toks = t.split("[ \\t\\n\\u000B\\f\\r]+").filter(_.nonEmpty)
+      val score = toks.map { tok =>
+        val d = md.digest(tok.getBytes("UTF-8"))
+        val h = java.nio.ByteBuffer.wrap(d, 8, 8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+        val f = h & 0xffffL
+        ((f * 2654435761L) >> 13) % 17L - 8L
+      }.sum
+      (toks.length.toLong, score)
+    }
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) === ref(t), s"text='$t'")
+    }
+  }
 }
