@@ -159,7 +159,9 @@ object Bench {
       // pair-count exchange + argmax + replace per round), and
       // df-capped containment near-dup — measured every round
       "q61_fuzzy_decontaminate", "q62_group_quantiles",
-      "q63_classifier_score", "q64_merge_induction", "q65_containment")
+      "q63_classifier_score", "q64_merge_induction", "q65_containment",
+      // snapshot versioning + training-window packing
+      "q66_snapshot_diff", "q67_chunk_windows")
     val qmap = SparkEntry.queries
     val spark = newSession(cpus)
     def median(xs: Seq[Double]): Double = {

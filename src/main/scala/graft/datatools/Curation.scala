@@ -484,6 +484,63 @@ object Curation {
     out
   }
 
+  /** Corpus SNAPSHOT DIFF — which docs were added, removed, or changed
+    * between two corpus versions, by content fingerprint (the dataset-
+    * versioning read every incremental pipeline runs before deciding
+    * what to re-process). `change ∈ {added, removed, changed}`;
+    * unchanged docs are not emitted.
+    *
+    * Scale shape: each side collapses to (id, md5-of-normalized-text)
+    * BEFORE the join — 16-byte fingerprints move, never text — and the
+    * diff is one full-outer equi-join on the id (one exchange per
+    * side; on Iceberg the same answer falls out of manifest-level file
+    * diffs for the unchanged partitions, so the join only has to cover
+    * files the snapshot metadata can't prove equal).
+    */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def fp(df: DataFrame, as: String) =
+      df.select(col(idCol).as("doc_id"),
+        TextAnalysis.fingerprintMd5(col(textCol)).as(as))
+    fp(oldDocs, "fp_old").join(fp(newDocs, "fp_new"), Seq("doc_id"), "full_outer")
+      .withColumn("change",
+        when(col("fp_old").isNull, "added")
+          .when(col("fp_new").isNull, "removed")
+          .when(col("fp_old") =!= col("fp_new"), "changed")
+          .otherwise("unchanged"))
+      .filter(col("change") =!= "unchanged")
+      .select("doc_id", "change")
+  }
+
+  /** Sliding CONTEXT-WINDOW chunking — the packing step that turns
+    * curated documents into fixed-size training windows with overlap:
+    * chunk j covers tokens [j·stride, j·stride + window), clipped at
+    * the document end; starts run while j·stride < n, i.e.
+    * j = 0 .. (n−1) div stride. Emits per chunk the index, start
+    * offset, actual length, and an md5 of the exact token window.
+    *
+    * Scale shape: a pure per-document projection — split → `transform`
+    * over an arithmetic `sequence` → explode, all inside whole-stage
+    * codegen, ZERO exchanges. The chunk fingerprint is computed in-row
+    * so downstream chunk-level dedup ([[chunkDedup]]) starts from
+    * 16-byte keys.
+    */
+  def chunkWindows(docs: DataFrame, window: Int, stride: Int,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window >= 1 && stride >= 1)
+    docs.select(col(idCol).as("doc_id"), split(trim(col(textCol)), "\\s+").as("l"))
+      .filter(trim(col(textCol)) =!= "")
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, (size(l) - 1) div $stride),
+           |  j -> struct(j AS chunk_idx, j * $stride AS start_token,
+           |    slice(l, j * $stride + 1, $window) AS toks))""".stripMargin)).as("c"))
+      .select(col("doc_id"),
+        col("c.chunk_idx").cast("long").as("chunk_idx"),
+        col("c.start_token").cast("long").as("start_token"),
+        size(col("c.toks")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("c.toks"))).as("chunk_md5"))
+  }
+
   /** Typed-aggregation row: (stratum, md5-of-id, id). */
   final case class KeyedHash(stratum: String, hash: String, id: Long)
 

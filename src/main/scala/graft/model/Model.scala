@@ -73,7 +73,9 @@ final case class FetchResult(
     error: String, // "" on success; classified per events.go:376-433 otherwise
     cookies_applied: Int = 0, // request-context cookies matching domain/path (events.go:123-180)
     headers_applied: Int = 0, // scoped extra headers matching the request URL
-    duration_ms: Long = 0L    // simulated fetch duration (deadline budget input)
+    duration_ms: Long = 0L,   // simulated fetch duration (deadline budget input)
+    redirects: Int = 0,       // 3xx hops followed before the terminal response
+    final_url: String = ""    // terminal URL of the redirect chain ("" = no redirect)
 )
 
 /** Per-partition lineage + fetch/convert metrics (FIXTURES.md §1

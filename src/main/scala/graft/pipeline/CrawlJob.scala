@@ -45,7 +45,8 @@ object CrawlJob {
       url_canon: String, url_hash: Long, host: String, round: Int,
       partition_id: Int, status: Int, bytes: Long, error: String,
       outlinks: Seq[String], doc_id: String, spans: Seq[DocSpan],
-      cookies_applied: Int = 0, headers_applied: Int = 0, duration_ms: Long = 0L)
+      cookies_applied: Int = 0, headers_applied: Int = 0, duration_ms: Long = 0L,
+      redirects: Int = 0, final_url: String = "")
 
   final case class RoundStats(
       round: Int, candidates: Long, robotsDenied: Long, newUrls: Long,
@@ -249,7 +250,8 @@ object CrawlJob {
       // not persisted: the chain below it is materialized by exactly one
       // action (the frontier write; everything downstream reads the
       // admissions cache), so caching 10^6+ rows here is a pure write
-      val decided = RobotsFilter.decide(spark, withCanon, "url_canon", robots, hostMap, assumeNormalized = true)
+      val decidedRaw = RobotsFilter.decide(spark, withCanon, "url_canon", robots, hostMap, assumeNormalized = true)
+      val decided = decidedRaw
         .observe(robotsObs,
           count(lit(1)).as("total"),
           sum(when(col("robots_verdict") =!= "ok", 1L).otherwise(0L)).as("denied"))
@@ -308,10 +310,24 @@ object CrawlJob {
         .sortWithinPartitions(col("priority").desc, col("seq"), col("url_canon")),
         round, "frontier"))
       val robotsMetrics = robotsObs.get
-      val candidateCount = robotsMetrics("total").asInstanceOf[Long]
-      val deniedCount = robotsMetrics("denied") match {
-        case null => 0L; case l: java.lang.Long => l.longValue(); case other => other.toString.toLong
-      }
+      val (candidateCount, deniedCount) =
+        if (robotsMetrics.contains("total"))
+          (robotsMetrics("total").asInstanceOf[Long], robotsMetrics("denied") match {
+            case null => 0L; case l: java.lang.Long => l.longValue(); case other => other.toString.toLong
+          })
+        else {
+          // AQE's empty-relation propagation can excise the
+          // CollectMetrics node when EVERY row of the round is filtered
+          // out downstream (an all-denied or all-seen round): once a
+          // shuffle stage materializes empty, the re-optimized final
+          // plan carries no observed metrics and the Observation
+          // resolves to an empty map. Re-derive the two counters with
+          // one tiny job over the pre-observe frame — a round that
+          // trips this is by construction near-empty.
+          val r = decidedRaw.agg(count(lit(1)),
+            sum(when(col("robots_verdict") =!= "ok", 1L).otherwise(0L))).head()
+          (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+        }
       val admittedCount = admAcc.value.longValue()
       val deferredCount = defAcc.value.longValue()
 
@@ -325,7 +341,8 @@ object CrawlJob {
           val f = uni.fetch(e)
           if (f.error.nonEmpty)
             FetchedRow(f.url_canon, f.url_hash, f.host, round, pid, f.status,
-              f.bytes, f.error, Nil, f.url_canon, Nil)
+              f.bytes, f.error, Nil, f.url_canon, Nil,
+              duration_ms = f.duration_ms, redirects = f.redirects, final_url = f.final_url)
           else if (f.duration_ms > hardTimeoutMs)
             // per-row deadline budget: a hung fetch routes to the error
             // channel (ErrFiltered-style classification) instead of
@@ -334,19 +351,31 @@ object CrawlJob {
             FetchedRow(f.url_canon, f.url_hash, f.host, round, pid, f.status,
               f.bytes, s"deadline: fetch exceeded hard timeout (${hardTimeoutMs}ms)",
               Nil, f.url_canon, Nil,
-              f.cookies_applied, f.headers_applied, f.duration_ms)
+              f.cookies_applied, f.headers_applied, f.duration_ms,
+              f.redirects, f.final_url)
+          else if (f.status == 301 || f.status == 302)
+            // redirect: no content to convert; the Location target rides
+            // outlinks so next round's FULL admission stack re-validates
+            // the hop (robots/IP-class — the outbound.go:356-392 posture)
+            // and the seen layer extinguishes cycles
+            FetchedRow(f.url_canon, f.url_hash, f.host, round, pid, f.status,
+              f.bytes, "", f.outlinks, f.url_canon, Nil,
+              f.cookies_applied, f.headers_applied, f.duration_ms,
+              f.redirects, f.final_url)
           else {
             val conv = ConvertPipeline(f.doc, opts)
             if (conv.isError)
               FetchedRow(f.url_canon, f.url_hash, f.host, round, pid, f.status,
                 f.bytes, conv.error, f.outlinks, f.url_canon, Nil,
-                f.cookies_applied, f.headers_applied, f.duration_ms)
+                f.cookies_applied, f.headers_applied, f.duration_ms,
+                f.redirects, f.final_url)
             else {
               val out = if (conv.docs.length == 1) conv.docs.head
                 else SpanOps.merge(conv.docs, f.url_canon)
               FetchedRow(f.url_canon, f.url_hash, f.host, round, pid, f.status,
                 f.bytes, "", f.outlinks, out.doc_id, out.spans,
-                f.cookies_applied, f.headers_applied, f.duration_ms)
+                f.cookies_applied, f.headers_applied, f.duration_ms,
+                f.redirects, f.final_url)
             }
           }
         }
@@ -356,7 +385,8 @@ object CrawlJob {
       //    the heavy payload) + per-partition lineage metrics
       spark.sparkContext.setJobDescription("spans-write")
       timed("fetch+convert+spans-write")(store.write(
-        fetched.filter(_.error.isEmpty).select($"doc_id", $"spans", $"round")
+        fetched.filter(r => r.error.isEmpty && r.status == 200)
+          .select($"doc_id", $"spans", $"round")
           .sortWithinPartitions("doc_id"),
         round, "output_spans"))
 
@@ -368,13 +398,17 @@ object CrawlJob {
       // the metrics table is written from the collected rows
       val metricsDf = fetched.toDF().groupBy("partition_id", "round").agg(
         count(lit(1)).as("urls_fetched"),
-        sum(when(col("error") === "", 1L).otherwise(0L)).as("urls_converted"),
+        sum(when(col("error") === "" && col("status") === 200, 1L).otherwise(0L))
+          .as("urls_converted"),
         sum("bytes").as("bytes_total"),
         sum(when(col("error") =!= "", 1L).otherwise(0L)).as("failed_count"),
         approx_count_distinct("host").as("unique_origins"),
         max_by(col("url_canon"), col("bytes")).as("heaviest_url"),
         max("bytes").as("heaviest_bytes"),
-        sum(size(col("outlinks"))).as("outlinks_total"))
+        sum(size(col("outlinks"))).as("outlinks_total"),
+        // appended LAST: the positional reads below (urls_fetched at 2,
+        // failed_count at 5, outlinks_total at 9) must stay stable
+        sum(col("redirects").cast("long")).as("redirects_total"))
       val metricsFut = job("metrics") {
         val rows = metricsDf.collect()
         store.write(spark.createDataFrame(java.util.Arrays.asList(rows: _*), metricsDf.schema)
@@ -387,7 +421,8 @@ object CrawlJob {
       val fetchLogFut = job("fetch-log-write")(store.write(
         fetched.toDF().select("url_canon", "url_hash", "host", "round",
           "partition_id", "status", "bytes", "error",
-          "cookies_applied", "headers_applied", "duration_ms"),
+          "cookies_applied", "headers_applied", "duration_ms",
+          "redirects", "final_url"),
         round, "fetch_log"))
 
       // 9b. OPT-IN incremental doc near-dup: this round's converted
@@ -404,7 +439,8 @@ object CrawlJob {
         else job("doc-dedup") {
           def docText(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
             expr("array_join(transform(spans, s -> s.text), ' ')").as("text"))
-          val docsRound = docText(fetched.toDF().filter(col("error") === ""))
+          val docsRound = docText(fetched.toDF()
+            .filter(col("error") === "" && col("status") === 200))
           val havePrior = (0 until round).exists(store.hasTable(_, "minhash_index"))
           val (corpus, index) =
             if (havePrior)

@@ -1,6 +1,6 @@
 package graft.queries
 
-/** DuckDB oracle twins for [[Queries]] — ALL 65 queries have one.
+/** DuckDB oracle twins for [[Queries]] — ALL 67 queries have one.
   * Column names and rounding match the Spark side exactly (driver
   * compare sorts columns by name and hashes values). Sketch-parameter
   * queries (q26 simhash, q27 hyperplane LSH, q35 IVF) share their hash
@@ -1000,7 +1000,36 @@ object OracleSql {
         |  round(CAST(inter AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
         |FROM it JOIN sz sa ON sa.id = it.id_a JOIN sz sb ON sb.id = it.id_b
         |WHERE round(CAST(inter AS DOUBLE) / least(sa.n, sb.n), 6) >= 0.8
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // q66: snapshot diff — full outer join on the id over md5 content
+    // fingerprints (old = %17≠5, new = %13≠3 with %7==2 docs revised)
+    "q66_snapshot_diff" ->
+      s"""WITH o AS (SELECT doc_id, md5($normText) AS fp
+         |  FROM documents WHERE doc_id % 17 <> 5),
+         |n AS (SELECT doc_id, md5(trim(regexp_replace(lower(
+         |    CASE WHEN doc_id % 7 = 2 THEN text || ' rev2' ELSE text END),
+         |    '\\s+', ' ', 'g'))) AS fp
+         |  FROM documents WHERE doc_id % 13 <> 3)
+         |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         |  CASE WHEN o.doc_id IS NULL THEN 'added'
+         |    WHEN n.doc_id IS NULL THEN 'removed'
+         |    ELSE 'changed' END AS change
+         |FROM o FULL JOIN n ON o.doc_id = n.doc_id
+         |WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.fp <> n.fp
+         |ORDER BY doc_id""".stripMargin,
+
+    // q67: sliding context-window chunking — starts j·stride while
+    // j·stride < n (j = 0 .. (n−1) // stride), windows clipped at the
+    // doc end; both engines' list slicing clips identically
+    "q67_chunk_windows" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |c AS (SELECT doc_id, unnest(generate_series(0, (len(l) - 1) // 6)) AS j, l FROM d)
+        |SELECT doc_id, j::BIGINT AS chunk_idx, (j * 6)::BIGINT AS start_token,
+        |  len(l[j*6+1 : j*6+12])::BIGINT AS n_tokens,
+        |  md5(array_to_string(l[j*6+1 : j*6+12], ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
   )
 
   /** q64: BPE-style merge induction, `rounds` rounds unrolled as CTEs.

@@ -837,6 +837,27 @@ object Queries {
       threshold = 0.8, maxDf = 50)
       .orderBy("id_a", "id_b")
 
+  // q66 — corpus snapshot diff: added/removed/changed docs between two
+  // versions by content fingerprint (old = doc_id % 17 ≠ 5; new =
+  // doc_id % 13 ≠ 3 with every %7==2 doc revised). Fingerprints are
+  // md5 BEFORE the one full-outer equi-join — 16 bytes move, not text.
+  def q66SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val oldSnap = docs.filter(col("doc_id") % 17 =!= 5)
+    val newSnap = docs.filter(col("doc_id") % 13 =!= 3)
+      .withColumn("text", when(col("doc_id") % 7 === 2,
+        concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+    Curation.snapshotDiff(oldSnap, newSnap).orderBy("doc_id")
+  }
+
+  // q67 — sliding context-window chunking (window 12, stride 6): the
+  // packing step from curated docs to fixed training windows. A pure
+  // per-doc projection (transform over an arithmetic sequence +
+  // explode) — zero exchanges; chunk md5 computed in-row.
+  def q67ChunkWindows(spark: SparkSession, dir: String): DataFrame =
+    Curation.chunkWindows(t(spark, dir, "documents"), window = 12, stride = 6)
+      .orderBy("doc_id", "chunk_idx")
+
   /** name → query, in SURVEY.md §2 coverage order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_agg_pushdown" -> (q01AggPushdown _),
@@ -903,6 +924,8 @@ object Queries {
     "q62_group_quantiles" -> (q62GroupQuantiles _),
     "q63_classifier_score" -> (q63ClassifierScore _),
     "q64_merge_induction" -> (q64MergeInduction _),
-    "q65_containment" -> (q65Containment _)
+    "q65_containment" -> (q65Containment _),
+    "q66_snapshot_diff" -> (q66SnapshotDiff _),
+    "q67_chunk_windows" -> (q67ChunkWindows _)
   )
 }

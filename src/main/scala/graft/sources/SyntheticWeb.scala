@@ -62,11 +62,23 @@ object SyntheticWeb {
     }
 
     /** HTTP status: deterministic sprinkle of failures (~3% 404, ~1% 500,
-      * ~0.5% 503) keyed by url hash — enough to exercise F6/F7 routing.
+      * ~0.5% 503) plus ~2% redirects (301/302) keyed by url hash —
+      * enough to exercise F6/F7 routing and the redirect-follow path.
       */
     def statusOf(urlHash: Long): Int = {
       val r = Math.floorMod(mix(urlHash ^ seed), 1000L)
-      if (r < 30) 404 else if (r < 40) 500 else if (r < 45) 503 else 200
+      if (r < 30) 404 else if (r < 40) 500 else if (r < 45) 503
+      else if (r < 65) { if (r % 2 == 0) 301 else 302 }
+      else 200
+    }
+
+    /** Location target of a redirecting URL: a deterministic hop to
+      * another page of the closed graph (chains arise naturally when
+      * the target itself redirects).
+      */
+    def redirectTargetOf(urlCanon: String): String = {
+      val r = mix(UrlFunctions.urlHash(urlCanon) ^ seed ^ 0x3e7dL)
+      pageUrl(pickHost(r), Math.floorMod(mix(r), pagesPerHost.toLong).toInt)
     }
 
     /** Synthesize the document behind a canonical URL: interleaved
@@ -127,12 +139,30 @@ object SyntheticWeb {
       else 10L + Math.floorMod(mix(urlHash), 2000L)
     }
 
-    /** Full synthetic fetch. */
+    /** Full synthetic fetch — ONE round trip, never a followed chain.
+      * A 3xx response carries no content; its Location target is
+      * emitted as the response's single outlink so the crawler
+      * re-enqueues it through the FULL admission stack — canonicalize →
+      * robots/allow-deny/IP-class → seen layer → politeness. That is
+      * the reference's posture made frontier-shaped: Gotenberg's
+      * outbound client re-validates EVERY redirect hop because the
+      * round tripper runs per hop (`gotenberg/outbound.go:356-392`,
+      * closing the redirect SSRF bypass); here each hop is literally
+      * one more round trip through the filter stack. Redirect cycles
+      * need no hop cap — the seen set extinguishes any chain that
+      * revisits a URL, and a hop to a fresh URL is honest crawl work.
+      */
     def fetch(e: FrontierEntry): FetchResult = {
       val status = statusOf(e.url_hash)
-      if (status != 200)
+      if (status == 301 || status == 302) {
+        val target = redirectTargetOf(e.url_canon)
         FetchResult(e.url_canon, e.url_hash, e.host, e.round, status, 0L,
-          Doc(e.url_canon, Nil), Nil, error = s"$status: fetch failed")
+          Doc(e.url_canon, Nil), Seq(target), error = "",
+          duration_ms = durationMs(e.url_hash), redirects = 1, final_url = target)
+      } else if (status != 200)
+        FetchResult(e.url_canon, e.url_hash, e.host, e.round, status, 0L,
+          Doc(e.url_canon, Nil), Nil, error = s"$status: fetch failed",
+          duration_ms = durationMs(e.url_hash))
       else {
         val ck = graft.operators.RouteOps.cookiesFor(e.url_canon, cookies).size
         val hd = graft.operators.RouteOps.headersFor(e.url_canon, scopedHeaders).size

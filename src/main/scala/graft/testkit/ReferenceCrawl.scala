@@ -116,11 +116,16 @@ object ReferenceCrawl {
         // per-row deadline budget mirror (api/api.go:511 soft+5s): a
         // timed-out fetch yields no doc and no outlinks, but is seen
         if (f.error.isEmpty && f.duration_ms <= cfg.softTimeoutMs + 5000L) {
-          val conv = ConvertPipeline(f.doc, convertOptions)
-          if (!conv.isError) {
-            val out = if (conv.docs.length == 1) conv.docs.head
-              else SpanOps.merge(conv.docs, f.url_canon)
-            docs(out.doc_id) = out
+          // 3xx: no content to convert; the Location target is the
+          // response's one outlink and re-enters through the full
+          // admission stack next round (the engine's redirect branch)
+          if (f.status == 200) {
+            val conv = ConvertPipeline(f.doc, convertOptions)
+            if (!conv.isError) {
+              val out = if (conv.docs.length == 1) conv.docs.head
+                else SpanOps.merge(conv.docs, f.url_canon)
+              docs(out.doc_id) = out
+            }
           }
           f.outlinks.zipWithIndex.foreach { case (u, i) =>
             outlinks += ((u, 1.0 / (round + 2),

@@ -631,4 +631,84 @@ class CurationSpec extends SparkSpec {
       assert(got === expect, s"corpus=$corpus bench=$bench")
     }
   }
+
+  // ---- snapshotDiff ----
+
+  test("snapshotDiff: added/removed/changed by normalized fingerprint, unchanged silent") {
+    import spark.implicits._
+    val oldSnap = Seq((1L, "a b"), (2L, "keep me"), (3L, "will change"), (4L, "ws   norm"))
+    val newSnap = Seq((2L, "keep me"), (3L, "has changed"), (4L, "ws norm"), (5L, "brand new"))
+    val got = Curation.snapshotDiff(oldSnap.toDF("doc_id", "text"), newSnap.toDF("doc_id", "text"))
+      .as[(Long, String)].collect().toMap
+    // doc 4 differs only in whitespace -> normalized-equal -> silent
+    assert(got === Map(1L -> "removed", 3L -> "changed", 5L -> "added"))
+  }
+
+  test("property: snapshotDiff equals brute force and is partitioning-invariant") {
+    import spark.implicits._
+    def norm(t: String) = t.toLowerCase.replaceAll("\\s+", " ").trim
+    val gen = for {
+      nOld <- Gen.choose(0, 10)
+      nNew <- Gen.choose(0, 10)
+      oldDocs <- Gen.listOfN(nOld, Gen.zip(Gen.choose(0L, 7L), Gen.oneOf("x", "y y", "z")))
+      newDocs <- Gen.listOfN(nNew, Gen.zip(Gen.choose(0L, 7L), Gen.oneOf("x", "y  y", "w")))
+    } yield (oldDocs.distinctBy(_._1), newDocs.distinctBy(_._1))
+    sample(gen, 20) { case (oldDocs, newDocs) =>
+      val om = oldDocs.toMap; val nm = newDocs.toMap
+      val expect = (om.keySet ++ nm.keySet).flatMap { id =>
+        (om.get(id), nm.get(id)) match {
+          case (None, Some(_)) => Some(id -> "added")
+          case (Some(_), None) => Some(id -> "removed")
+          case (Some(a), Some(b)) if norm(a) != norm(b) => Some(id -> "changed")
+          case _ => None
+        }
+      }.toMap
+      Seq(1, 5).foreach { parts =>
+        val got = Curation.snapshotDiff(
+          oldDocs.toDF("doc_id", "text").repartition(parts),
+          newDocs.toDF("doc_id", "text").repartition(parts))
+          .as[(Long, String)].collect().toMap
+        assert(got === expect, s"old=$oldDocs new=$newDocs parts=$parts")
+      }
+    }
+  }
+
+  // ---- chunkWindows ----
+
+  test("chunkWindows: stride starts, end clipping, per-chunk hash") {
+    import spark.implicits._
+    val toks = (0 until 14).map(i => s"t$i")
+    val df = Seq((1L, toks.mkString(" ")), (2L, "solo"), (3L, " ")).toDF("doc_id", "text")
+    val got = Curation.chunkWindows(df, window = 12, stride = 6)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // 14 tokens: starts 0, 6, 12 -> lengths 12, 8, 2
+    assert(got(1L).map(c => (c._2, c._3, c._4)).toSeq ===
+      Seq((0L, 0L, 12L), (1L, 6L, 8L), (2L, 12L, 2L)))
+    assert(got(1L).head._5 === md5hex(toks.take(12).mkString(" ")))
+    assert(got(2L).map(c => (c._2, c._3, c._4)).toSeq === Seq((0L, 0L, 1L)))
+    assert(!got.contains(3L)) // blank doc contributes nothing
+  }
+
+  test("property: chunkWindows equals brute force") {
+    import spark.implicits._
+    val gen = for {
+      w <- Gen.choose(1, 8)
+      st <- Gen.choose(1, 8)
+      docs <- Gen.listOfN(4, Gen.choose(0, 20).map(n => (0 until n).map(i => s"k$i").mkString(" ")))
+    } yield (w, st, docs.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    sample(gen, 20) { case (w, st, docs) =>
+      val expect = docs.flatMap { case (id, t) =>
+        val toks = t.trim.split("\\s+").filter(_.nonEmpty)
+        if (t.trim.isEmpty) Nil
+        else (0 to (toks.length - 1) / st).map { j =>
+          val c = toks.slice(j * st, j * st + w)
+          (id, j.toLong, (j * st).toLong, c.length.toLong, md5hex(c.mkString(" ")))
+        }
+      }.toSet
+      val got = Curation.chunkWindows(docs.toDF("doc_id", "text"), window = w, stride = st)
+        .as[(Long, Long, Long, Long, String)].collect().toSet
+      assert(got === expect, s"w=$w st=$st docs=$docs")
+    }
+  }
 }
