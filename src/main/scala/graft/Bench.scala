@@ -161,7 +161,9 @@ object Bench {
       "q61_fuzzy_decontaminate", "q62_group_quantiles",
       "q63_classifier_score", "q64_merge_induction", "q65_containment",
       // snapshot versioning + training-window packing
-      "q66_snapshot_diff", "q67_chunk_windows")
+      "q66_snapshot_diff", "q67_chunk_windows",
+      // temporal/interval joins (union-window as-of, bucketed range)
+      "q68_asof_join", "q69_range_join")
     val qmap = SparkEntry.queries
     val spark = newSession(cpus)
     def median(xs: Seq[Double]): Double = {

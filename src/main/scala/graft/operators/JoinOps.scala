@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal / interval join operators Spark lacks natively — the two
+  * custom-operator families the task brief names (as-of join, range
+  * join), built as compositions of existing operators rather than a
+  * custom SparkPlan: both reduce to ONE equi-shuffle plus narrow work,
+  * which is the shape that survives 100×.
+  *
+  * (Reference analog: Gotenberg pairs each request with the LATEST
+  * matching context — cookie expiry vs request deadline,
+  * `chromium/tasks.go:309-313` — and scope-matches headers over URL
+  * ranges, `chromium/chromium.go:412-426`; these are the same
+  * latest-before and point-in-interval semantics over rows.)
+  */
+object JoinOps {
+
+  /** AS-OF JOIN: for every left row, the single right row with the
+    * greatest `ts` ≤ left.`ts` within the same `key` (ties on right
+    * `ts` broken by greatest `ridCol` so the match is deterministic —
+    * callers with unique (key, ts) right sides are unaffected).
+    * Left rows without a match survive with a null payload (LEFT
+    * semantics).
+    *
+    * Scale shape — the UNION-WINDOW form, not a range join: tag both
+    * sides, union, and per key take the running `last` non-null right
+    * payload over (ts, side, rid) order. ONE shuffle on the key (the
+    * window partition), a per-partition sort, zero row expansion —
+    * where the naive `l JOIN r ON l.key = r.key AND r.ts <= l.ts` +
+    * argmax explodes to |matches| rows per left row before pruning.
+    * Skewed keys share the sort cost of their own partition only.
+    *
+    * @param right payload columns `rightCols` are carried through as a
+    *              struct and re-exposed with a `matched_` prefix
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               ridCol: String, rightCols: Seq[String]): DataFrame = {
+    val rCols = (ridCol +: rightCols).distinct
+    val payload = struct(rCols.map(col): _*)
+    val leftCols = left.columns.toSeq
+    val lStruct = struct(leftCols.map(col): _*)
+    // both side-specific payloads ride as TYPED structs (one column
+    // each), nulled out on the other side — never serialized (a JSON
+    // carry would truncate microsecond timestamps)
+    val pType = right.select(payload.as("p")).schema("p").dataType
+    val lType = left.select(lStruct.as("l")).schema("l").dataType
+    val r = right.select(col(key).as("__k"), col(ts).as("__t"),
+      lit(0).as("__side"), col(ridCol).cast("long").as("__rid"),
+      payload.as("__p"), lit(null).cast(lType).as("__l"))
+    val l = left.select(col(key).as("__k"), col(ts).as("__t"),
+      lit(1).as("__side"), lit(Long.MaxValue).as("__rid"),
+      lit(null).cast(pType).as("__p"), lStruct.as("__l"))
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t"), col("__side"), col("__rid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.unionByName(l)
+      .withColumn("__match", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(c => col(s"__l.$c").as(c)) ++
+        rCols.map(c => col(s"__match.$c").as(s"matched_$c")): _*)
+  }
+
+  /** RANGE JOIN (points-in-intervals): pairs (range row, point row)
+    * with same `key` and lo ≤ p < hi, WITHOUT the cartesian blowup of
+    * the naive theta join. Both sides are bucketed by
+    * `floor(value / bucketWidth)`: a range explodes to the few buckets
+    * it spans (⌈width/bucketWidth⌉ + 1 rows), a point to exactly one,
+    * and the join becomes an EQUI-join on (key, bucket) + a residual
+    * interval filter. A point meets a range only in the point's own
+    * bucket, so no pair is produced twice and no dedup pass is needed.
+    *
+    * Scale shape: one exchange per side on (key, bucket) — hash
+    * partitionable, AQE-skew-splittable — where the theta join is a
+    * per-key cartesian. Pick `bucketWidth` near the typical range
+    * width: fanout stays ≤ 2 rows per range while buckets stay
+    * selective.
+    */
+  def rangeJoin(ranges: DataFrame, points: DataFrame, key: String,
+                rangeId: String, lo: String, hi: String,
+                pointCol: String, bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0)
+    val rb = ranges.select(col(rangeId), col(key).as("__k"), col(lo), col(hi))
+      .withColumn("__b", explode(sequence(
+        floor(col(lo) / bucketWidth).cast("long"),
+        floor(col(hi) / bucketWidth).cast("long"))))
+    val pb = points.select(col(key).as("__k"), col(pointCol))
+      .withColumn("__b", floor(col(pointCol) / bucketWidth).cast("long"))
+    rb.join(pb, Seq("__k", "__b"))
+      .filter(col(pointCol) >= col(lo) && col(pointCol) < col(hi))
+      .select(col(rangeId), col("__k").as(key), col(lo), col(hi), col(pointCol))
+  }
+}

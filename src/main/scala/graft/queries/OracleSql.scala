@@ -1,6 +1,6 @@
 package graft.queries
 
-/** DuckDB oracle twins for [[Queries]] — ALL 67 queries have one.
+/** DuckDB oracle twins for [[Queries]] — ALL 69 queries have one.
   * Column names and rounding match the Spark side exactly (driver
   * compare sorts columns by name and hashes values). Sketch-parameter
   * queries (q26 simhash, q27 hyperplane LSH, q35 IVF) share their hash
@@ -1029,7 +1029,37 @@ object OracleSql {
         |SELECT doc_id, j::BIGINT AS chunk_idx, (j * 6)::BIGINT AS start_token,
         |  len(l[j*6+1 : j*6+12])::BIGINT AS n_tokens,
         |  md5(array_to_string(l[j*6+1 : j*6+12], ' ')) AS chunk_md5
-        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // q68: as-of join — DuckDB's NATIVE ASOF LEFT JOIN is the oracle,
+    // so the union-window formulation is verified against an
+    // independent engine implementation of the semantics. The right
+    // side is deduped per (user, ts) first (max event_id), which makes
+    // the ≤-tie deterministic in both engines.
+    "q68_asof_join" ->
+      """WITH r0 AS (SELECT user_id, ts, max(event_id) AS m_id
+        |  FROM events WHERE event_type <> 'error' GROUP BY 1, 2),
+        |r AS (SELECT r0.user_id, r0.ts, r0.m_id, e.value AS m_value
+        |  FROM r0 JOIN events e ON e.event_id = r0.m_id),
+        |l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
+        |SELECT l.event_id, r.m_id AS matched_id, r.m_value AS matched_value,
+        |  epoch_us(l.ts) - epoch_us(r.ts) AS lag_us
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    // q69: range join — the oracle runs the plain theta join the
+    // bucketed equi-join replaces; min/max/count are
+    // summation-order-free so doubles hash-match.
+    "q69_range_join" ->
+      """WITH ranges AS (SELECT event_id AS range_id, event_type,
+        |    value AS lo, value + 5.0 AS hi
+        |  FROM events WHERE event_id % 10 = 0),
+        |pts AS (SELECT event_type, value AS p FROM events WHERE event_id % 10 <> 0)
+        |SELECT r.range_id, count(p.p) AS n_points,
+        |  min(p.p) AS min_point, max(p.p) AS max_point
+        |FROM ranges r LEFT JOIN pts p
+        |  ON p.event_type = r.event_type AND p.p >= r.lo AND p.p < r.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** q64: BPE-style merge induction, `rounds` rounds unrolled as CTEs.

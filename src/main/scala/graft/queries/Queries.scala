@@ -858,6 +858,55 @@ object Queries {
     Curation.chunkWindows(t(spark, dir, "documents"), window = 12, stride = 6)
       .orderBy("doc_id", "chunk_idx")
 
+  // q68 — AS-OF JOIN: each error event paired with the user's latest
+  // prior non-error event (ts ≤ error.ts). The union-window form: ONE
+  // shuffle on the key, no per-key row expansion — where the naive
+  // theta-join + argmax explodes per-key history. The right side is
+  // deduped to one row per (user, ts) (max event_id) so the match is
+  // engine-independent; oracle = DuckDB's native ASOF LEFT JOIN.
+  def q68AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val right = e.filter(col("event_type") =!= "error")
+      .groupBy("user_id", "ts")
+      .agg(max_by(struct(col("event_id"), col("value")), col("event_id")).as("m"))
+      .select(col("user_id"), col("ts"),
+        col("m.event_id").as("m_id"), col("m.value").as("m_value"))
+    val left = e.filter(col("event_type") === "error")
+      .select("event_id", "user_id", "ts")
+    graft.operators.JoinOps.asofJoin(left, right, key = "user_id", ts = "ts",
+      ridCol = "m_id", rightCols = Seq("m_value", "ts"))
+      .select(col("event_id"),
+        col("matched_m_id").as("matched_id"),
+        col("matched_m_value").as("matched_value"),
+        // timestampdiff (not unix_micros) — the parquet column is
+        // TIMESTAMP_NTZ and the difference must not consult a timezone
+        expr("timestampdiff(MICROSECOND, matched_ts, ts)").as("lag_us"))
+      .orderBy("event_id")
+  }
+
+  // q69 — RANGE JOIN (points-in-intervals): value intervals [v, v+5)
+  // from every 10th event vs the other events' values, same event_type.
+  // Bucketed equi-join (width 4.0 ≠ interval width, so ranges span 2-3
+  // buckets — the explode path is exercised) + residual filter; never
+  // the per-key cartesian the oracle's theta join runs.
+  def q69RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val ranges = e.filter(col("event_id") % 10 === 0)
+      .select(col("event_id").as("range_id"), col("event_type"),
+        col("value").as("lo"), (col("value") + lit(5.0)).as("hi"))
+    val points = e.filter(col("event_id") % 10 =!= 0)
+      .select(col("event_type"), col("value").as("p"))
+    val pairs = graft.operators.JoinOps.rangeJoin(ranges, points,
+      key = "event_type", rangeId = "range_id", lo = "lo", hi = "hi",
+      pointCol = "p", bucketWidth = 4.0)
+    val agg = pairs.groupBy("range_id").agg(count(lit(1)).as("n"),
+      min(col("p")).as("min_point"), max(col("p")).as("max_point"))
+    ranges.select("range_id").join(agg, Seq("range_id"), "left")
+      .select(col("range_id"), coalesce(col("n"), lit(0L)).as("n_points"),
+        col("min_point"), col("max_point"))
+      .orderBy("range_id")
+  }
+
   /** name → query, in SURVEY.md §2 coverage order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_agg_pushdown" -> (q01AggPushdown _),
@@ -926,6 +975,8 @@ object Queries {
     "q64_merge_induction" -> (q64MergeInduction _),
     "q65_containment" -> (q65Containment _),
     "q66_snapshot_diff" -> (q66SnapshotDiff _),
-    "q67_chunk_windows" -> (q67ChunkWindows _)
+    "q67_chunk_windows" -> (q67ChunkWindows _),
+    "q68_asof_join" -> (q68AsofJoin _),
+    "q69_range_join" -> (q69RangeJoin _)
   )
 }
