@@ -163,7 +163,10 @@ object Bench {
       // snapshot versioning + training-window packing
       "q66_snapshot_diff", "q67_chunk_windows",
       // temporal/interval joins (union-window as-of, bucketed range)
-      "q68_asof_join", "q69_range_join")
+      "q68_asof_join", "q69_range_join",
+      // aggregation-maintenance tier: incremental state merge, salted
+      // hot-key aggregation, bloom-pruned join (explicit runtime filter)
+      "q70_agg_maintain", "q71_salted_agg", "q72_bloom_join")
     val qmap = SparkEntry.queries
     val spark = newSession(cpus)
     def median(xs: Seq[Double]): Double = {

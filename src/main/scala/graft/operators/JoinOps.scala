@@ -92,4 +92,32 @@ object JoinOps {
       .filter(col(pointCol) >= col(lo) && col(pointCol) < col(hi))
       .select(col(rangeId), col("__k").as(key), col(lo), col(hi), col(pointCol))
   }
+
+  /** BLOOM-PRUNED JOIN (semi-join reduction): inner equi-join where
+    * the fact side is pre-filtered by a bloom filter of the dim side's
+    * join keys BEFORE the join's exchange. The answer is exactly the
+    * plain join — bloom false positives survive the filter but die in
+    * the real join — only the bytes moved change: at 100 TB a 1%-
+    * selective dim key set shrinks the fact side's shuffle ~99% for
+    * the cost of one broadcast-sized bitset (~1.2 MB per million keys
+    * at 1% fpp). This is Spark's own runtime-filter optimization made
+    * explicit and predictable — the built-in one
+    * (`spark.sql.optimizer.runtime.bloomFilter.enabled`) only fires
+    * under creation-cost heuristics; a pipeline that KNOWS its dim is
+    * selective pins the plan instead.
+    *
+    * The dim side is aggregated into the bloom distributedly
+    * (per-partition partials, merged) and broadcast once; the fact
+    * filter is a long-probe per row, no shuffle of its own.
+    */
+  def bloomPrunedJoin(fact: DataFrame, dim: DataFrame,
+                      factKey: String, dimKey: String,
+                      expectedDimRows: Long, fpp: Double = 0.01): DataFrame = {
+    val spark = fact.sparkSession
+    val bf = dim.stat.bloomFilter(col(dimKey), expectedDimRows, fpp)
+    val bc = spark.sparkContext.broadcast(bf)
+    val mightContain = udf { (k: Long) => bc.value.mightContainLong(k) }
+    fact.filter(mightContain(col(factKey).cast("long")))
+      .join(dim, col(factKey) === col(dimKey))
+  }
 }

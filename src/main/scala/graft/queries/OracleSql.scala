@@ -1059,6 +1059,32 @@ object OracleSql {
         |  min(p.p) AS min_point, max(p.p) AS max_point
         |FROM ranges r LEFT JOIN pts p
         |  ON p.event_type = r.event_type AND p.p >= r.lo AND p.p < r.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q70: incremental aggregate maintenance — the contract is
+    // equality with the full recompute over base ∪ delta, so the
+    // oracle IS the full recompute. round(,4) absorbs the different
+    // summation association of merged partials vs a single scan.
+    "q70_agg_maintain" ->
+      """SELECT user_id, count(*) AS n, round(sum(value), 4) AS sum_value,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q71: salted two-phase aggregation — answers must equal the plain
+    // GROUP BY; the salt is physical only.
+    "q71_salted_agg" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value,
+        |  min(value) AS min_value, max(value) AS max_value,
+        |  round(sum(value) / count(*), 6) AS avg_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q72: bloom-pruned join — bloom false positives die in the real
+    // equi-join, so the oracle is the plain join + aggregate.
+    "q72_bloom_join" ->
+      """SELECT o.o_orderpriority, count(*) AS n_items,
+        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_totalprice > 450000.0
         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 

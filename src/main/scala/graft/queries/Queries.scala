@@ -907,6 +907,56 @@ object Queries {
       .orderBy("range_id")
   }
 
+  // q70 — INCREMENTAL AGGREGATE MAINTENANCE: per-user stats kept as a
+  // mergeable state table; a delta batch (every 7th event) folds in
+  // without re-scanning the base — cost ∝ |delta| + |keys|. Oracle =
+  // the full recompute over base ∪ delta, which is the contract.
+  def q70AggMaintain(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val base = e.filter(col("event_id") % 7 =!= 0)
+    val delta = e.filter(col("event_id") % 7 === 0)
+    val state = graft.operators.AggOps.buildAggState(base, Seq("user_id"), "value")
+    graft.operators.AggOps.mergeAggState(state, delta, Seq("user_id"), "value")
+      .select(col("user_id"), col("cnt").as("n"),
+        round(col("sum_v"), 4).as("sum_value"),
+        col("min_v").as("min_value"), col("max_v").as("max_value"))
+      .orderBy("user_id")
+  }
+
+  // q71 — SALTED SKEW AGGREGATION: event_type has 5 values over 10k
+  // rows (2k rows/key — the hot-key shape); the two-phase salted form
+  // spreads each key over 32 reducers in phase 1 and merges ≤32
+  // partials per key in phase 2. Oracle = the plain GROUP BY.
+  def q71SaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.AggOps.saltedAgg(t(spark, dir, "events"),
+      Seq("event_type"), v = "value", saltFrom = "event_id", numSalts = 32)
+      .select(col("event_type"), col("cnt").as("n"),
+        round(col("sum_v"), 4).as("sum_value"),
+        col("min_v").as("min_value"), col("max_v").as("max_value"),
+        round(col("sum_v") / col("cnt"), 6).as("avg_value"))
+      .orderBy("event_type")
+
+  // q72 — BLOOM-PRUNED JOIN: lineitem joined to the ~5% of orders
+  // above 450k total price; a bloom of the dim keys prunes the fact
+  // side BEFORE the join exchange (the explicit runtime-filter
+  // pattern). Result is exactly the plain join — fpp survivors die in
+  // the real equi-join — so the oracle is the plain join + agg.
+  def q72BloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val fact = t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val dim = t(spark, dir, "orders")
+      .filter(col("o_totalprice") > 450000.0)
+      .select("o_orderkey", "o_orderpriority")
+    graft.operators.JoinOps.bloomPrunedJoin(fact, dim,
+      factKey = "l_orderkey", dimKey = "o_orderkey",
+      expectedDimRows = 2000L)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   /** name → query, in SURVEY.md §2 coverage order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_agg_pushdown" -> (q01AggPushdown _),
@@ -977,6 +1027,9 @@ object Queries {
     "q66_snapshot_diff" -> (q66SnapshotDiff _),
     "q67_chunk_windows" -> (q67ChunkWindows _),
     "q68_asof_join" -> (q68AsofJoin _),
-    "q69_range_join" -> (q69RangeJoin _)
+    "q69_range_join" -> (q69RangeJoin _),
+    "q70_agg_maintain" -> (q70AggMaintain _),
+    "q71_salted_agg" -> (q71SaltedAgg _),
+    "q72_bloom_join" -> (q72BloomJoin _)
   )
 }
