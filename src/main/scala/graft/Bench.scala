@@ -166,7 +166,8 @@ object Bench {
       "q68_asof_join", "q69_range_join",
       // aggregation-maintenance tier: incremental state merge, salted
       // hot-key aggregation, bloom-pruned join (explicit runtime filter)
-      "q70_agg_maintain", "q71_salted_agg", "q72_bloom_join")
+      "q70_agg_maintain", "q71_salted_agg", "q72_bloom_join",
+      "q73_salted_join", "q74_rollup_stats")
     val qmap = SparkEntry.queries
     val spark = newSession(cpus)
     def median(xs: Seq[Double]): Double = {

@@ -120,4 +120,37 @@ object JoinOps {
     fact.filter(mightContain(col(factKey).cast("long")))
       .join(dim, col(factKey) === col(dimKey))
   }
+
+  /** SALTED SKEW JOIN: shuffle equi-join where the fact side's join
+    * key is hot (one key holding 30% of a 100-TB table serializes one
+    * reducer) and the dim side is too large to broadcast. The fact
+    * side gets a deterministic per-row salt in [0, numSalts); the dim
+    * side replicates each row to ALL numSalts salt values; the join
+    * runs on (key, salt), spreading every hot key over numSalts
+    * reducers. The answer is exactly the plain join — each fact row
+    * meets each matching dim row exactly once, at the fact row's own
+    * salt — at the cost of shipping the dim side numSalts times.
+    * Worth it exactly when |dim| × numSalts ≪ the hot key's fact rows,
+    * the regime AQE's skew-join splitting also targets; this form is
+    * the static variant a pipeline pins when it KNOWS the skew (AQE
+    * only splits post-shuffle partitions it happens to observe, and
+    * cannot split a hash-aggregated or bucketed exchange).
+    *
+    * The salt is `pmod(hash(saltFrom), numSalts)`: deterministic per
+    * row (replayable plans), uniform, never part of the answer. The
+    * dim replication is an arithmetic `explode(sequence(...))` —
+    * generated, not shuffled. `shuffle_hash` is hinted on the dim side
+    * so the demonstration plan stays a shuffled join even at test
+    * scale where AQE would broadcast the dim (at the target scale the
+    * dim doesn't fit a broadcast by assumption).
+    */
+  def saltedSkewJoin(fact: DataFrame, dim: DataFrame, key: String,
+                     saltFrom: String, numSalts: Int): DataFrame = {
+    val saltedFact = fact.withColumn(
+      "_salt", pmod(hash(col(saltFrom)), lit(numSalts)))
+    val repDim = dim.withColumn(
+      "_salt", explode(sequence(lit(0), lit(numSalts - 1))))
+    saltedFact.join(repDim.hint("shuffle_hash"), Seq(key, "_salt"))
+      .drop("_salt")
+  }
 }

@@ -1085,7 +1085,31 @@ object OracleSql {
         |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE o.o_totalprice > 450000.0
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q73: salted skew join — the salt is physical only, so the
+    // oracle is the plain enrichment join. type_avg rounds to 6
+    // before the delta so both engines subtract the same double.
+    "q73_salted_join" ->
+      """WITH dim AS (
+        |  SELECT event_type, avg(value) AS type_avg FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  round(d.type_avg, 6) AS type_avg,
+        |  round(e.value - round(d.type_avg, 6), 6) AS value_delta
+        |FROM events e JOIN dim d USING (event_type)
+        |ORDER BY e.event_id""".stripMargin,
+
+    // q74: rollup — DuckDB's GROUPING(lang, source) carries the same
+    // bitmask as Spark's grouping_id() (first arg = high bit); null
+    // grouping keys coalesce to 'ALL' on both sides.
+    "q74_rollup_stats" ->
+      """SELECT coalesce(lang, 'ALL') AS lang,
+        |  coalesce(source, 'ALL') AS source,
+        |  GROUPING(lang, source) AS gid, count(*) AS n_docs,
+        |  sum(n_chars)::BIGINT AS total_chars,
+        |  round(avg(n_chars), 4) AS avg_chars
+        |FROM documents GROUP BY ROLLUP(lang, source)
+        |ORDER BY gid, lang, source""".stripMargin
   )
 
   /** q64: BPE-style merge induction, `rounds` rounds unrolled as CTEs.

@@ -957,6 +957,41 @@ object Queries {
       .orderBy("o_orderpriority")
   }
 
+  // q73 — SALTED SKEW JOIN: events enriched with per-type stats via a
+  // shuffle join on event_type — a 5-value key over the whole table,
+  // the maximal-skew shape. The dim (5 rows here, huge-by-assumption
+  // at scale) replicates ×16; every hot key spreads over 16 reducers.
+  // Oracle = the plain join, which is what the salted form must equal.
+  def q73SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val dim = e.groupBy("event_type").agg(avg(col("value")).as("type_avg"))
+    graft.operators.JoinOps.saltedSkewJoin(
+      e.select("event_id", "event_type", "value"), dim,
+      key = "event_type", saltFrom = "event_id", numSalts = 16)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("type_avg"), 6).as("type_avg"),
+        round(col("value") - round(col("type_avg"), 6), 6).as("value_delta"))
+      .orderBy("event_id")
+  }
+
+  // q74 — ROLLUP / GROUPING SETS: multi-level aggregates (detail,
+  // per-lang subtotal, grand total) in ONE pass — Spark expands each
+  // row to its 3 grouping levels and runs a single partial-agg'd
+  // hash aggregate, so bytes through the exchange ∝ groups × levels,
+  // never rows × levels (the UNION-of-3-GROUP-BYs form re-scans the
+  // corpus per level). Null grouping keys coalesce to 'ALL' and the
+  // level rides along as grouping_id, matching DuckDB's GROUPING().
+  def q74RollupStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .rollup(col("lang"), col("source"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        round(avg(col("n_chars")), 4).as("avg_chars"))
+      .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+        coalesce(col("source"), lit("ALL")).as("source"),
+        col("gid"), col("n_docs"), col("total_chars"), col("avg_chars"))
+      .orderBy("gid", "lang", "source")
+
   /** name → query, in SURVEY.md §2 coverage order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_agg_pushdown" -> (q01AggPushdown _),
@@ -1030,6 +1065,8 @@ object Queries {
     "q69_range_join" -> (q69RangeJoin _),
     "q70_agg_maintain" -> (q70AggMaintain _),
     "q71_salted_agg" -> (q71SaltedAgg _),
-    "q72_bloom_join" -> (q72BloomJoin _)
+    "q72_bloom_join" -> (q72BloomJoin _),
+    "q73_salted_join" -> (q73SaltedJoin _),
+    "q74_rollup_stats" -> (q74RollupStats _)
   )
 }

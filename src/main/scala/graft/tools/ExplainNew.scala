@@ -6,9 +6,8 @@ object ExplainNew {
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", false).getOrCreate()
     val dir = "/root/testdata/sf0.001"
-    println("==== q70 ===="); graft.queries.Queries.q70AggMaintain(spark, dir).explain("formatted")
-    println("==== q71 ===="); graft.queries.Queries.q71SaltedAgg(spark, dir).explain("formatted")
-    println("==== q72 ===="); graft.queries.Queries.q72BloomJoin(spark, dir).explain("formatted")
+    println("==== q73 ===="); graft.queries.Queries.q73SaltedJoin(spark, dir).explain("formatted")
+    println("==== q74 ===="); graft.queries.Queries.q74RollupStats(spark, dir).explain("formatted")
     spark.stop()
   }
 }

@@ -108,4 +108,46 @@ class JoinOpsSpec extends SparkSpec {
       assert(got === expect, s"ranges=$ranges points=$points w=$w")
     }
   }
+
+  // ---- saltedSkewJoin ----
+
+  test("saltedSkewJoin: equals the plain join on a hot key, at several salt counts") {
+    // one key holds 90% of the fact side — the shape salting exists for
+    val fact = ((1 to 90).map(i => (i.toLong, "hot", i * 1.5)) ++
+      (91 to 100).map(i => (i.toLong, s"cold${i % 3}", i * 1.5)))
+      .toDF("rid", "k", "v")
+    val dim = Seq(("hot", 10.0), ("cold0", 20.0), ("cold1", 30.0),
+      ("missing", 99.0)).toDF("k", "w")
+    val plain = fact.join(dim, Seq("k")).select("rid", "k", "v", "w")
+      .as[(Long, String, Double, Double)].collect().sorted.toSeq
+    for (n <- Seq(1, 2, 16, 64)) {
+      val got = JoinOps.saltedSkewJoin(fact, dim, "k", "rid", n)
+        .select("rid", "k", "v", "w")
+        .as[(Long, String, Double, Double)].collect().sorted.toSeq
+      assert(got === plain, s"numSalts=$n")
+    }
+  }
+
+  test("property: saltedSkewJoin equals the plain join, duplicate dim keys included") {
+    // dim rows replicate ×numSalts; a fact row must still meet each
+    // matching dim ROW exactly once (multiplicity preserved)
+    val gen = for {
+      nf <- Gen.choose(0, 40)
+      nd <- Gen.choose(0, 10)
+      n <- Gen.oneOf(1, 3, 8, 32)
+      fact <- Gen.listOfN(nf, Gen.zip(Gen.choose(0L, 500L), Gen.oneOf("a", "b", "c")))
+      dim <- Gen.listOfN(nd, Gen.zip(Gen.oneOf("a", "b", "c", "d"), Gen.choose(0, 9)))
+    } yield (fact, dim, n)
+    sample(gen, 12) { case (fact, dim, n) =>
+      val expect = (for {
+        (rid, k) <- fact
+        (dk, w) <- dim if dk == k
+      } yield (rid, k, w)).groupBy(identity).view.mapValues(_.size).toMap
+      val got = JoinOps.saltedSkewJoin(
+          fact.toDF("rid", "k"), dim.toDF("k", "w"), "k", "rid", n)
+        .select("rid", "k", "w").as[(Long, String, Int)].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(got === expect, s"fact=$fact dim=$dim n=$n")
+    }
+  }
 }
