@@ -200,6 +200,14 @@ object Bench {
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       runsByQuery(name) += (System.nanoTime() - t0) / 1e9
+      // isolate passes: operators that persist internal frames (q25/
+      // q43/q61/q64-style indexes) would otherwise plan-match a LATER
+      // pass of the same query into the earlier pass's cache — the
+      // median would measure warm-cache reads, not the operator — and
+      // leftover localCheckpoint blocks (graph-tier rounds) accumulate
+      // across the 3 × 48-query sweep, skewing medians via LRU churn
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     val results = headline.map(name => name -> median(runsByQuery(name).toSeq))
     // spark.stop() releases the query half's internal caches (q25/q43-

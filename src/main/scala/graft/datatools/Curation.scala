@@ -354,6 +354,13 @@ object Curation {
     *
     * `corpus` and `bench` must have disjoint id spaces (an eval doc is
     * not a corpus doc — mirror of the delta/index contract).
+    *
+    * The signature index is `persist()`ed for the band joins; the
+    * returned (lazy) frame rides on it, so the blocks outlive this
+    * call. Long-lived sessions release them after consuming the
+    * result (`spark.catalog.clearCache()`, as Verify/Bench do per
+    * query) — or read the index from its SnapshotStore table, which
+    * is the production shape.
     */
   def fuzzyDecontaminate(corpus: DataFrame, bench: DataFrame, k: Int = 2,
                          threshold: Double = 0.8, bands: Int = 16, rowsPerBand: Int = 4,
@@ -442,6 +449,11 @@ object Curation {
     * each partition ships only its own best) + a zero-exchange
     * `replace` projection. R rounds = R small jobs; production BPE runs
     * the counting on a corpus sample — same plan, one more filter.
+    *
+    * `base` and the final round's frame stay `persist()`ed under the
+    * returned (lazy) result; callers holding the session release them
+    * after consuming it (`spark.catalog.clearCache()`, as Verify/Bench
+    * do per query).
     */
   def mergeInduction(docs: DataFrame, rounds: Int = 3, idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {

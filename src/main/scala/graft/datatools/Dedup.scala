@@ -132,6 +132,11 @@ object Dedup {
     * the self-join share one exchange on the gram key; pair counts are
     * a partial agg on (id_a, id_b); set sizes join back as two ints.
     * Text is read exactly once, in the gram projection.
+    *
+    * The df-capped gram table is `persist()`ed (three consumers: the
+    * size agg and both self-join sides) and rides under the returned
+    * lazy frame; callers release it after consuming the result
+    * (`spark.catalog.clearCache()`, as Verify/Bench do per query).
     */
   def containmentPairs(docs: DataFrame, n: Int = 4, threshold: Double = 0.8,
                        maxDf: Int = 50, idCol: String = "doc_id",

@@ -77,8 +77,12 @@ object GraphOps {
       val next = cand.join(jump, cand("lbl1") === jump("jid"), "left")
         .select(col("id"), least(col("lbl1"), coalesce(col("jlbl"), col("lbl1"))).as("lbl"),
           col("old"))
-        .localCheckpoint(true)
+        .localCheckpoint(true) // eager: next is materialized here
       changed = next.filter(col("lbl") =!= col("old")).count()
+      // next's lineage is truncated, so the previous round's checkpoint
+      // blocks are dead — release them or an R-round run pins R copies
+      // of the node set
+      Checkpoints.release(labels)
       labels = next.select("id", "lbl")
     }
     edges.unpersist()
@@ -142,13 +146,16 @@ object GraphOps {
       val contrib = eDeg.join(ranks, eDeg("src") === ranks("id"))
         .select(col("dst"), expr("rank DIV outdeg").as("share"))
         .groupBy(col("dst")).agg(sum(col("share")).as("m"))
+      val prev = ranks
       ranks = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
         .select(col("id"),
           (lit(base) + expr(s"(bigint($dampingPct) * coalesce(m, bigint(0))) DIV 100"))
             .as("rank"))
         .localCheckpoint(true)
+      Checkpoints.release(prev) // superseded round's blocks
     }
     eDeg.unpersist()
+    Checkpoints.release(nodes) // final ranks is checkpointed; nodes is dead
     ranks
   }
 
@@ -176,10 +183,16 @@ object GraphOps {
         .join(visited, Seq("id"), "left_anti") // left-anti ⇒ depth = MIN distance
         .select(col("id"), lit(d).as("depth"))
         .localCheckpoint(true)
-      if (next.isEmpty) return visited
+      // the previous level's frontier checkpoint is superseded (its
+      // rows live on in `visited`); at d = 1 frontier IS visited — keep
+      if (frontier ne visited) Checkpoints.release(frontier)
+      if (next.isEmpty) { Checkpoints.release(next); return visited }
+      val prev = visited
       visited = visited.unionByName(next).localCheckpoint(true)
+      Checkpoints.release(prev)
       frontier = next
     }
+    if (frontier ne visited) Checkpoints.release(frontier)
     visited
   }
 }

@@ -37,6 +37,17 @@ object AggOps {
       min(col(v)).as("min_v"),
       max(col(v)).as("max_v"))
 
+  /** Merge per-key state partials: count/sum re-add, min/max
+    * re-compare. The one place the state-column contract's merge side
+    * lives — [[mergeAggState]] and [[saltedAgg]] both route here.
+    */
+  private def mergeStates(partials: DataFrame, keyCols: Seq[String]): DataFrame =
+    partials.groupBy(keyCols.map(col): _*).agg(
+      sum(col("cnt")).as("cnt"),
+      sum(col("sum_v")).as("sum_v"),
+      min(col("min_v")).as("min_v"),
+      max(col("max_v")).as("max_v"))
+
   /** Incremental maintenance: fold a raw delta batch into an existing
     * state table WITHOUT touching base rows. The delta is aggregated
     * to its own per-key partials (cost ∝ |delta|, map-side combined),
@@ -53,14 +64,10 @@ object AggOps {
   def mergeAggState(state: DataFrame, deltaRaw: DataFrame,
                     keyCols: Seq[String], v: String): DataFrame = {
     val deltaState = buildAggState(deltaRaw, keyCols, v)
-    state.select((keyCols ++ stateCols).map(col): _*)
-      .unionByName(deltaState.select((keyCols ++ stateCols).map(col): _*))
-      .groupBy(keyCols.map(col): _*)
-      .agg(
-        sum(col("cnt")).as("cnt"),
-        sum(col("sum_v")).as("sum_v"),
-        min(col("min_v")).as("min_v"),
-        max(col("max_v")).as("max_v"))
+    mergeStates(
+      state.select((keyCols ++ stateCols).map(col): _*)
+        .unionByName(deltaState.select((keyCols ++ stateCols).map(col): _*)),
+      keyCols)
   }
 
   /** Two-phase salted aggregation for skewed keys. Phase 1 groups by
@@ -80,15 +87,6 @@ object AggOps {
   def saltedAgg(df: DataFrame, keyCols: Seq[String], v: String,
                 saltFrom: String, numSalts: Int): DataFrame = {
     val salted = df.withColumn("_salt", pmod(hash(col(saltFrom)), lit(numSalts)))
-    val partial = salted.groupBy((keyCols :+ "_salt").map(col): _*).agg(
-      count(lit(1)).as("cnt"),
-      sum(col(v)).as("sum_v"),
-      min(col(v)).as("min_v"),
-      max(col(v)).as("max_v"))
-    partial.groupBy(keyCols.map(col): _*).agg(
-      sum(col("cnt")).as("cnt"),
-      sum(col("sum_v")).as("sum_v"),
-      min(col("min_v")).as("min_v"),
-      max(col("max_v")).as("max_v"))
+    mergeStates(buildAggState(salted, keyCols :+ "_salt", v), keyCols)
   }
 }

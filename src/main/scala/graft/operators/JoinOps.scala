@@ -109,12 +109,25 @@ object JoinOps {
     * The dim side is aggregated into the bloom distributedly
     * (per-partition partials, merged) and broadcast once; the fact
     * filter is a long-probe per row, no shuffle of its own.
+    *
+    * Keys must be integral (the bloom is built and probed on the long
+    * value; a string key would build on bytes but probe on a null
+    * cast — silently dropping every row), enforced up front.
     */
   def bloomPrunedJoin(fact: DataFrame, dim: DataFrame,
                       factKey: String, dimKey: String,
                       expectedDimRows: Long, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      ByteType, ShortType, IntegerType, LongType)
+    val factType = fact.schema(factKey).dataType
+    val dimType = dim.schema(dimKey).dataType
+    require(integral(factType) && integral(dimType),
+      s"bloomPrunedJoin needs integral join keys, got $factKey: $factType, " +
+        s"$dimKey: $dimType — the bloom probe is a long probe; for other " +
+        "key types pre-hash both sides (e.g. xxhash64) and join on the hash")
     val spark = fact.sparkSession
-    val bf = dim.stat.bloomFilter(col(dimKey), expectedDimRows, fpp)
+    val bf = dim.stat.bloomFilter(col(dimKey).cast("long"), expectedDimRows, fpp)
     val bc = spark.sparkContext.broadcast(bf)
     val mightContain = udf { (k: Long) => bc.value.mightContainLong(k) }
     fact.filter(mightContain(col(factKey).cast("long")))

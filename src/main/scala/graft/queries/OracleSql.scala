@@ -1,6 +1,6 @@
 package graft.queries
 
-/** DuckDB oracle twins for [[Queries]] — ALL 69 queries have one.
+/** DuckDB oracle twins for [[Queries]] — ALL 74 queries have one.
   * Column names and rounding match the Spark side exactly (driver
   * compare sorts columns by name and hashes values). Sketch-parameter
   * queries (q26 simhash, q27 hyperplane LSH, q35 IVF) share their hash
@@ -1127,12 +1127,21 @@ object OracleSql {
       s"""WITH d0 AS (SELECT doc_id,
          |    $S || array_to_string(string_split_regex(trim(text), '\\s+'), $SS) || $S AS s
          |  FROM documents WHERE length(trim(text)) > 0)""".stripMargin
+    // The chr(2) sentinel keeps m$r non-empty when a round finds no
+    // adjacent pairs (corpus fully merged to single tokens): cnt = -1
+    // loses to any real pair, and when it does win the replace pattern
+    // contains the SS separator, which a pair-free corpus cannot
+    // contain — the round is a no-op, matching the Spark side's
+    // exhausted early-exit instead of CROSS JOIN-ing d$r with an empty
+    // relation and wiping the corpus.
     val roundCtes = (0 until rounds).map { r =>
       s"""t$r AS (SELECT doc_id, string_split(${body("s")}, $SS) AS l FROM d$r),
          |p$r AS (SELECT l[u] AS a, l[u + 1] AS b
          |  FROM (SELECT l, unnest(generate_series(1, len(l) - 1)) AS u FROM t$r)),
-         |m$r AS (SELECT a, b FROM (SELECT a, b, count(*) AS cnt FROM p$r GROUP BY 1, 2)
-         |  ORDER BY cnt DESC, a, b LIMIT 1),
+         |m$r AS (SELECT a, b FROM (
+         |    SELECT a, b, count(*) AS cnt FROM p$r GROUP BY 1, 2
+         |    UNION ALL SELECT chr(2) AS a, chr(2) AS b, -1 AS cnt
+         |  ) ORDER BY cnt DESC, a, b LIMIT 1),
          |d${r + 1} AS (SELECT doc_id,
          |  replace(s, $S || m$r.a || $SS || m$r.b || $S,
          |    $S || m$r.a || ' ' || m$r.b || $S) AS s

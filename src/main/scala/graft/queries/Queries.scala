@@ -814,6 +814,9 @@ object Queries {
     t(spark, dir, "documents")
       .filter(length(trim(col("text"))) > 0)
       .withColumn("cf", graft.functions.MinHashExprs.classifierScoreCol(col("text")))
+      // zero-token docs (non-space whitespace only, which trim keeps)
+      // have no score: drop them as the oracle's tk <> '' filter does
+      .filter(col("cf.n_terms") > 0)
       .select(col("doc_id"), col("cf.n_terms").as("n_terms"),
         col("cf.score").as("score"), (col("cf.score") > 0).as("keep"))
       .orderBy("doc_id")

@@ -11,13 +11,6 @@ import org.scalacheck.Gen
 class AggOpsSpec extends SparkSpec {
   import spark.implicits._
 
-  private def sample[A](gen: Gen[A], n: Int)(f: A => Unit): Unit = {
-    var seed = org.scalacheck.rng.Seed(29L)
-    (0 until n).foreach { _ =>
-      gen.apply(org.scalacheck.Gen.Parameters.default, seed).foreach(f)
-      seed = seed.next
-    }
-  }
 
   private def stateMap(df: DataFrame): Map[String, (Long, Double, Double, Double)] =
     df.select(col("k"), col("cnt"), round(col("sum_v"), 6), col("min_v"), col("max_v"))
@@ -58,7 +51,7 @@ class AggOpsSpec extends SparkSpec {
         Gen.choose(-100, 100).map(_ / 4.0)))
       cut <- Gen.choose(0, n)
     } yield (rows, cut)
-    sample(gen, 12) { case (rows, cut) =>
+    sample(gen, 12, 29L) { case (rows, cut) =>
       val (b, d) = rows.splitAt(cut)
       val base = b.toDF("k", "v")
       val delta = d.toDF("k", "v")
@@ -93,7 +86,7 @@ class AggOpsSpec extends SparkSpec {
       salts <- Gen.oneOf(1, 3, 8, 32)
       parts <- Gen.oneOf(1, 2, 7)
     } yield (rows.zipWithIndex.map { case ((k, v), i) => (i.toLong, k, v) }, salts, parts)
-    sample(gen, 12) { case (rows, salts, parts) =>
+    sample(gen, 12, 29L) { case (rows, salts, parts) =>
       val df = rows.toDF("id", "k", "v").repartition(parts)
       val plain = stateMap(df.groupBy(col("k")).agg(
         count(lit(1)).as("cnt"), sum(col("v")).as("sum_v"),
@@ -121,7 +114,7 @@ class AggOpsSpec extends SparkSpec {
       dks <- Gen.listOfN(nd, Gen.choose(0L, 60L))
       fpp <- Gen.oneOf(0.5, 0.03) // high fpp exercises fp-survival → join kill
     } yield (fks, dks.distinct, fpp)
-    sample(gen, 12) { case (fks, dks, fpp) =>
+    sample(gen, 12, 29L) { case (fks, dks, fpp) =>
       val fact = fks.zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("fk", "fid")
       val dim = dks.map(k => (k, s"d$k")).toDF("dk", "attr")
       val got = JoinOps.bloomPrunedJoin(fact, dim, "fk", "dk",

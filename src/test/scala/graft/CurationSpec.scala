@@ -7,13 +7,6 @@ import org.scalacheck.Gen
 class CurationSpec extends SparkSpec {
   import spark.implicits._
 
-  private def sample[A](gen: Gen[A], n: Int)(f: A => Unit): Unit = {
-    var seed = org.scalacheck.rng.Seed(42L)
-    (0 until n).foreach { _ =>
-      gen.apply(org.scalacheck.Gen.Parameters.default, seed).foreach(f)
-      seed = seed.next
-    }
-  }
 
   // ---- keeperSelection ----
 

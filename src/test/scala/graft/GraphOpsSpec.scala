@@ -11,13 +11,6 @@ class GraphOpsSpec extends SparkSpec {
     * scalatestplus bridge is not in the offline cache) — the
     * ScalarsSpec pattern, fewer samples since each spins Spark jobs.
     */
-  private def sample[A](gen: Gen[A], n: Int)(f: A => Unit): Unit = {
-    var seed = org.scalacheck.rng.Seed(42L)
-    (0 until n).foreach { _ =>
-      gen.apply(org.scalacheck.Gen.Parameters.default, seed).foreach(f)
-      seed = seed.next
-    }
-  }
 
   /** Brute-force union-find for the oracle side of the property. */
   private def bruteComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
@@ -166,5 +159,24 @@ class GraphOpsSpec extends SparkSpec {
         assert(got === bruteBfs(es, Set(0L, 1L), 3), s"edges: $es")
       }
     }
+  }
+
+  test("iterative loops release superseded checkpoint blocks (≤1 live RDD per call)") {
+    // a multi-round input for each loop: without the per-round release
+    // an R-round run leaves R persistent RDDs behind (localCheckpoint
+    // blocks are invisible to Dataset.unpersist, only freed on driver
+    // GC) — the returned frame's own checkpoint is the one allowed
+    // survivor
+    def live(): Int = spark.sparkContext.getPersistentRDDs.size
+    val chain = (1L to 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val before = live()
+    GraphOps.connectedComponents(chain).collect()
+    assert(live() - before <= 1, "connectedComponents leaked checkpoints")
+    val b2 = live()
+    GraphOps.linkAuthority(chain.toDF("src", "dst"), iters = 4).collect()
+    assert(live() - b2 <= 1, "linkAuthority leaked checkpoints")
+    val b3 = live()
+    GraphOps.bfsDepths(chain.toDF("src", "dst"), Seq(1L).toDF("id"), maxDepth = 8).collect()
+    assert(live() - b3 <= 1, "bfsDepths leaked checkpoints")
   }
 }

@@ -8,13 +8,6 @@ import org.scalacheck.Gen
 class JoinOpsSpec extends SparkSpec {
   import spark.implicits._
 
-  private def sample[A](gen: Gen[A], n: Int)(f: A => Unit): Unit = {
-    var seed = org.scalacheck.rng.Seed(13L)
-    (0 until n).foreach { _ =>
-      gen.apply(org.scalacheck.Gen.Parameters.default, seed).foreach(f)
-      seed = seed.next
-    }
-  }
 
   // ---- asofJoin ----
 
@@ -52,7 +45,7 @@ class JoinOpsSpec extends SparkSpec {
     } yield (
       lrows.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) },
       rrows.zipWithIndex.map { case ((k, t), i) => (100L + i, k, t, i / 10.0) })
-    sample(gen, 15) { case (lrows, rrows) =>
+    sample(gen, 15, 13L) { case (lrows, rrows) =>
       val expect = lrows.map { case (lid, k, t) =>
         val cands = rrows.filter(r => r._2 == k && r._3 <= t)
         lid -> (if (cands.isEmpty) None
@@ -96,7 +89,7 @@ class JoinOpsSpec extends SparkSpec {
     } yield (
       ranges.zipWithIndex.map { case ((k, lo, width), i) => (i.toLong, k, lo, lo + width) },
       points, w)
-    sample(gen, 15) { case (ranges, points, w) =>
+    sample(gen, 15, 13L) { case (ranges, points, w) =>
       val expect = (for {
         (rid, k, lo, hi) <- ranges
         (pk, p) <- points if pk == k && p >= lo && p < hi
@@ -138,7 +131,7 @@ class JoinOpsSpec extends SparkSpec {
       fact <- Gen.listOfN(nf, Gen.zip(Gen.choose(0L, 500L), Gen.oneOf("a", "b", "c")))
       dim <- Gen.listOfN(nd, Gen.zip(Gen.oneOf("a", "b", "c", "d"), Gen.choose(0, 9)))
     } yield (fact, dim, n)
-    sample(gen, 12) { case (fact, dim, n) =>
+    sample(gen, 12, 13L) { case (fact, dim, n) =>
       val expect = (for {
         (rid, k) <- fact
         (dk, w) <- dim if dk == k

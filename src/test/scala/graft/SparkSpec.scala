@@ -25,4 +25,16 @@ object SparkTestSession {
 abstract class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkTestSession.spark
   def sfDir: String = "/root/testdata/sf0.001"
+
+  /** Deterministic ScalaCheck sampling: run `f` on `n` draws from
+    * `gen`, seeded per suite so failures replay exactly.
+    */
+  protected def sample[A](gen: org.scalacheck.Gen[A], n: Int,
+                          seedValue: Long = 42L)(f: A => Unit): Unit = {
+    var seed = org.scalacheck.rng.Seed(seedValue)
+    (0 until n).foreach { _ =>
+      gen.apply(org.scalacheck.Gen.Parameters.default, seed).foreach(f)
+      seed = seed.next
+    }
+  }
 }
