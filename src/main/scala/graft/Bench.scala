@@ -167,7 +167,15 @@ object Bench {
       // aggregation-maintenance tier: incremental state merge, salted
       // hot-key aggregation, bloom-pruned join (explicit runtime filter)
       "q70_agg_maintain", "q71_salted_agg", "q72_bloom_join",
-      "q73_salted_join", "q74_rollup_stats")
+      "q73_salted_join", "q74_rollup_stats",
+      // sketch/train tier: mergeable KMV distinct, PMI phrase scoring
+      // (two wordcount exchanges), broadcast-anti-join upsert,
+      // degree-oriented triangle counting, fixed-point k-means
+      // (iterative: projection assign + one partial-agg exchange/round)
+      "q75_kmv_distinct", "q76_phrase_pmi", "q77_upsert",
+      "q78_triangles", "q79_kmeans",
+      // count-min build+probe, bounded inverted index, SCD2 history
+      "q80_count_min", "q81_inverted_index", "q82_scd2")
     val qmap = SparkEntry.queries
     val spark = newSession(cpus)
     def median(xs: Seq[Double]): Double = {

@@ -623,4 +623,58 @@ object Curation {
       }
       .toDF()
   }
+
+  /** PMI-style bigram PHRASE SCORING — the word2phrase pass (Mikolov
+    * et al. 2013, "Distributed Representations of Words and Phrases"):
+    * adjacent token pairs that co-occur far more often than their
+    * parts predict are collocations ("new york", "machine learning")
+    * worth joining before tokenizer training. score = (cnt_ab − δ) ·
+    * N / (cnt_a · cnt_b), here in fixed-point thousandths
+    * (`score_milli`, floor division) so summation order and float
+    * rounding cannot break the oracle hash; the δ discount kills
+    * rare-pair noise.
+    *
+    * Scale shape: two wordcount-shaped exchanges (bigram keys, unigram
+    * keys), both map-side combined; the bigram frame is filtered to
+    * `cnt_ab > max(minCount−1, discount)` BEFORE any join, so the
+    * long co-occurrence tail never reaches the unigram joins; the
+    * grand total N rides in as a broadcast 1-row frame. The two
+    * unigram joins shuffle only the surviving bigram heads/tails —
+    * vocabulary-sized, not corpus-sized. All arithmetic stays positive
+    * (cnt_ab > δ), so Spark `DIV` (truncating) and DuckDB `//`
+    * (flooring) agree.
+    *
+    * Overflow bound: (cnt_ab − δ) · N · 1000 < 2⁶³ needs cnt_ab · N <
+    * 9.2 × 10¹⁵ — safe to ~10⁷ occurrences of a pair in a ~10⁹-token
+    * corpus; beyond that, drop the milli scale or compute per-stratum.
+    *
+    * @return top `k` rows (a, b, cnt_ab, score_milli), score desc then
+    *         pair asc — the deterministic phrase table.
+    */
+  def phraseScores(docs: DataFrame, k: Int = 100, minCount: Int = 5,
+                   discount: Int = 5, textCol: String = "text"): DataFrame = {
+    val toks = docs.filter(length(trim(col(textCol))) > 0)
+      .select(split(trim(col(textCol)), "\\s+").as("l"))
+    // vocab-sized but corpus-priced: three consumers (both join sides
+    // + the total) would each re-tokenize the corpus without the
+    // persist; released by the caller per the Verify/Bench contract
+    val unigrams = toks.select(explode(col("l")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .persist()
+    val total = unigrams.agg(sum(col("cnt")).cast("long").as("total"))
+    val bigrams = toks.filter(size(col("l")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(l) - 2), i -> struct(l[i] AS a, l[i + 1] AS b))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("cnt_ab"))
+      .filter(col("cnt_ab") >= minCount && col("cnt_ab") > discount)
+    bigrams
+      .join(unigrams.withColumnRenamed("tok", "a").withColumnRenamed("cnt", "cnt_a"), Seq("a"))
+      .join(unigrams.withColumnRenamed("tok", "b").withColumnRenamed("cnt", "cnt_b"), Seq("b"))
+      .crossJoin(broadcast(total))
+      .select(col("a"), col("b"), col("cnt_ab"),
+        expr(s"((cnt_ab - $discount) * total * 1000) DIV (cnt_a * cnt_b)").as("score_milli"))
+      .orderBy(col("score_milli").desc, col("a"), col("b"))
+      .limit(k)
+  }
 }

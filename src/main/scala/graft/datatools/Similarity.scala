@@ -232,4 +232,82 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "corpus_id", "cos", "rank")
   }
+
+  /** Fixed-point Lloyd k-means — the TRAINING step the IVF family
+    * above assumes (its "deterministic centroids" are the untrained
+    * stand-in; this is how a real index learns them). All arithmetic
+    * is integer so an independent engine replays it bit-exactly:
+    * vectors scale to longs by `floor(x·scale + 0.5)` (the q42
+    * IEEE-exact rounding), distances are integer squared-L2, and the
+    * centroid update is integer mean `sum DIV n` — Scala `/`, Spark
+    * `DIV`, and DuckDB `//` all truncate toward zero (pinned in
+    * DatatoolsSpec), so negative coordinate sums cannot diverge.
+    *
+    * Initialization: the k vectors with the smallest ids, cluster j =
+    * rank in id order (deterministic, engine-independent). Empty
+    * clusters keep their previous centroid. Ties in assignment break
+    * to the lower cluster id (lexicographic (dist, j) min).
+    *
+    * 100-TB shape: per iteration, assignment is a PURE PROJECTION —
+    * the k·dim centroid table rides into the plan as array literals
+    * (k ≤ ~10³; past that you shard the centroid set and this becomes
+    * the IVF coarse quantizer itself), so the corpus is read once with
+    * zero exchanges — and the update is ONE partial-agg exchange of
+    * (cluster, dim-sums) rows: map tasks combine locally, k·dim longs
+    * cross the wire per task. The k×(dim+1) update frame collects to
+    * the driver (bytes, not data) to become the next round's literals.
+    * Nothing iterative touches disk; `iters` is small by design
+    * (production trains on a sample, then assigns once — the
+    * assignment pass IS [[ivfTopK]]'s build step).
+    *
+    * @return final assignment after `iters` updates:
+    *         (vec_id, cluster, dist) — dist = integer squared L2 to
+    *         the final centroid, the full argmin witness.
+    */
+  def kmeansAssign(embeddings: DataFrame, k: Int, iters: Int,
+                   scale: Long = 1000000L, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && iters >= 0)
+    val ints = embeddings.select(col(idCol).cast("long").as("id"),
+      // widen float → double BEFORE the multiply: a float-precision
+      // product can floor one off from the oracle's ::DOUBLE[] path
+      expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * ${scale}d + 0.5d) AS BIGINT))").as("v"))
+    val first = ints.orderBy("id").limit(k).collect()
+    require(first.nonEmpty, "kmeansAssign: empty input")
+    var cents: Array[Array[Long]] =
+      first.map(_.getSeq[Long](1).toArray)
+    val dim = cents(0).length
+
+    // (dist, j) struct per centroid; array_min picks the lexicographic
+    // minimum = nearest centroid, ties to the lower j
+    def bestCol: Column = {
+      val cands = cents.zipWithIndex.map { case (c, j) =>
+        val d = aggregate(
+          zip_with(col("v"), typedLit(c.toSeq), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)
+        struct(d.as("d"), lit(j).as("j"))
+      }
+      array_min(array(cands.toIndexedSeq: _*))
+    }
+
+    var it = 0
+    while (it < iters) {
+      val sums = ints.select(bestCol.getField("j").as("cluster"), col("v"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n"),
+          (0 until dim).map(d => sum(col("v")(d)).as(s"s$d")): _*)
+        .collect()
+      val next = cents.map(_.clone()) // empty clusters carry over
+      sums.foreach { r =>
+        val j = r.getInt(0); val n = r.getLong(1)
+        next(j) = Array.tabulate(dim)(d => r.getLong(2 + d) / n)
+      }
+      cents = next
+      it += 1
+    }
+    // one struct evaluation per row (codegen CSE also catches the
+    // getField pair, but don't rely on it)
+    ints.select(col("id").as(idCol), bestCol.as("b"))
+      .select(col(idCol), col("b.j").as("cluster"), col("b.d").as("dist"))
+  }
 }

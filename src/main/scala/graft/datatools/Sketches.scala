@@ -1,0 +1,185 @@
+package graft.datatools
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Mergeable cardinality sketches for corpus statistics at 100-TB
+  * scale, where exact `COUNT(DISTINCT)` means shuffling every distinct
+  * value of every group.
+  *
+  * KMV (K Minimum Values, Bar-Yossef et al. 2002): keep the k smallest
+  * distinct hash values per group; the k-th smallest normalized hash
+  * estimates density, so distinct ≈ (k−1)/h_k. The sketch is a bounded
+  * partial aggregate — each map task ships at most k longs per group,
+  * two sketches merge by keeping the k smallest of their union — which
+  * makes it exactly the shape Spark's `Aggregator` partial-agg contract
+  * wants: one exchange of ≤ k·groups longs instead of the distinct
+  * value stream. Unlike HLL (Spark's `approx_count_distinct`), every
+  * step here is integer-deterministic, so an independent engine replays
+  * it bit-exactly — which is what lets the DuckDB oracle hash-match the
+  * estimate itself, not just an error bound.
+  *
+  * Hash = `md5Lower64(value) & Mask48` — the md5-low-64 twin that q52
+  * pinned against DuckDB's `md5_number_lower`, masked to 48 bits so
+  * both engines stay in non-negative signed-long range and the
+  * fixed-point estimate `((k−1) << 48) DIV h_k` cannot overflow
+  * (k ≤ 2¹⁵ keeps the numerator < 2⁶³).
+  *
+  * Reference analog: gotenberg tracks per-route request cardinalities
+  * through its Prometheus metrics module (`pkg/gotenberg/metrics.go`);
+  * at frontier scale the equivalent "distinct URLs per host" question
+  * needs a sketch, not a counter.
+  */
+object Sketches {
+
+  /** 48-bit hash mask: keeps md5-low-64 non-negative as a signed long
+    * in BOTH engines (DuckDB's md5_number_lower is UBIGINT; Spark's is
+    * signed) and bounds the estimate arithmetic.
+    */
+  val Mask48: Long = (1L << 48) - 1
+
+  private[datatools] final case class GroupedHash(g: String, h: Long)
+
+  /** Sketch state: the k smallest DISTINCT hashes seen, ascending. */
+  final case class KmvState(hs: Seq[Long])
+
+  /** Bounded distinct-min-k aggregator. `reduce` is an O(log k) binary
+    * search + O(k) insert with an O(1) reject of values past the
+    * current k-th; duplicates are dropped (KMV is over the distinct
+    * hash SET — double-counting a re-seen value would bias the k-th
+    * statistic low and the estimate high). Insertion-order-independent,
+    * so partial aggregation and shuffle order cannot change the state.
+    */
+  final class KmvAggregator(k: Int) extends Aggregator[GroupedHash, KmvState, KmvState] {
+    require(k >= 2 && k <= (1 << 15), "k must be in [2, 32768]")
+
+    override def zero: KmvState = KmvState(Vector.empty)
+
+    private def insert(b: KmvState, h: Long): KmvState = {
+      val n = b.hs.size
+      if (n == k && h >= b.hs(n - 1)) return b
+      // binary search for the insertion point; equal hit = duplicate
+      var lo = 0; var hi = n
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (b.hs(mid) < h) lo = mid + 1
+        else if (b.hs(mid) > h) hi = mid
+        else return b // already in the sketch
+      }
+      KmvState(((b.hs.take(lo) :+ h) ++ b.hs.drop(lo)).take(k))
+    }
+
+    override def reduce(b: KmvState, e: GroupedHash): KmvState = insert(b, e.h)
+
+    override def merge(a: KmvState, b: KmvState): KmvState =
+      b.hs.foldLeft(a)(insert)
+
+    override def finish(b: KmvState): KmvState = b
+
+    override def bufferEncoder: Encoder[KmvState] = Encoders.product[KmvState]
+    override def outputEncoder: Encoder[KmvState] = Encoders.product[KmvState]
+  }
+
+  /** The md5-low-48 hash both engines agree on (see q52's bitwise-AND
+    * parity note: signed long & mask == UBIGINT & mask for mask < 2⁶³).
+    */
+  def hash48(c: Column): Column = {
+    val h = udf(TextAnalysis.md5Lower64 _)
+    h(c.cast("string")).bitwiseAND(lit(Mask48))
+  }
+
+  /** Per-group distinct-count estimate via a KMV sketch.
+    *
+    * Returns one row per group: `(group, n_kept, kth_hash,
+    * est_distinct)` where `n_kept` = sketch fill (< k ⇒ the estimate
+    * is EXACT — the sketch saw every distinct hash), `kth_hash` = the
+    * k-th smallest distinct hash (the sketch's entire tail state, so
+    * two engines agreeing here agree on the whole sketch), and
+    * `est_distinct` = n_kept when n_kept < k, else
+    * `((k−1) << 48) DIV kth_hash` — floor division, positive operands,
+    * identical in Spark `DIV` and DuckDB `//`.
+    *
+    * 100-TB shape: one exchange of ≤ k longs per (map task, group);
+    * the distinct value stream never shuffles. Sketches for different
+    * partitions/days merge losslessly (`KmvAggregator.merge`), so the
+    * production pattern — sketch per ingest batch, fold into a state
+    * table like q70's agg-maintenance — costs O(k) per group per batch.
+    * Null values are dropped (COUNT DISTINCT semantics).
+    */
+  def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        hash48(col(valueCol)).as("h"))
+      .as[GroupedHash]
+      .groupByKey(_.g)
+      .agg(new KmvAggregator(k).toColumn.name("sk"))
+      .map { case (g, st) =>
+        val n = st.hs.size
+        val kth = if (n == 0) 0L else st.hs.last
+        val est = if (n < k) n.toLong else ((k - 1).toLong << 48) / kth
+        (g, n.toLong, kth, est)
+      }
+      .toDF(groupCol, "n_kept", "kth_hash", "est_distinct")
+  }
+
+  /** COUNT-MIN sketch (Cormode & Muthukrishnan 2005): `depth` rows of
+    * `width` integer counters; item v increments cell
+    * `hash_i(v) = md5₄₈(i ‖ ":" ‖ v) mod width` in every row; the
+    * frequency estimate is the MIN over rows of the item's cells —
+    * one-sided (never undercounts), error ≤ N·e/width with prob
+    * 1−e^−depth. Everything is integer and the hash is the engine-
+    * pinned md5-48, so the SKETCH CELLS and the estimates replay
+    * bit-exactly in SQL.
+    *
+    * 100-TB shape: building the sketch is ONE exchange whose key space
+    * is depth·width cells — map-side combine collapses the entire
+    * stream into ≤ depth·width rows per task regardless of input size
+    * (the definition of a sketch); estimates then need only the
+    * depth·width-row cell table, broadcast below.
+    *
+    * @param width power of two (the cell index is a mask, and DuckDB's
+    *              `&` twin needs mask semantics — see q52).
+    * @return (row_i, cell, cnt) — the sketch, one row per non-empty cell.
+    */
+  def countMinCells(df: DataFrame, valueCol: String,
+                    depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && width >= 2 && (width & (width - 1)) == 0,
+      "depth >= 1; width a power of two")
+    // ONE input scan: each row explodes to its depth (row_i, cell)
+    // pairs (a union-of-selects shape would re-read the input per row)
+    val pairs = df.filter(col(valueCol).isNotNull)
+      .select(explode(array((0 until depth).map { i =>
+        struct(lit(i).as("row_i"),
+          hash48(concat(lit(s"$i:"), col(valueCol).cast("string")))
+            .bitwiseAND(lit((width - 1).toLong)).as("cell"))
+      }: _*)).as("p"))
+    pairs.groupBy(col("p.row_i").as("row_i"), col("p.cell").as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query the count-min sketch for each distinct value of
+    * `queries(valueCol)`: `est = min_i cells[i][hash_i(v)]`. The cell
+    * table (≤ depth·width rows) is broadcast, so the probe side never
+    * shuffles. Values hashing to empty cells estimate 0 (cannot happen
+    * for values that were fed to the sketch — CM never undercounts).
+    *
+    * @return (value, est_cnt)
+    */
+  def countMinQuery(cells: DataFrame, queries: DataFrame, valueCol: String,
+                    depth: Int = 4, width: Int = 1024): DataFrame = {
+    val probes = (0 until depth).map { i =>
+      queries.select(col(valueCol).cast("string").as("value"))
+        .distinct()
+        .select(col("value"), lit(i).as("row_i"),
+          hash48(concat(lit(s"$i:"), col("value")))
+            .bitwiseAND(lit((width - 1).toLong)).as("cell"))
+    }.reduce(_ unionByName _)
+    probes.join(broadcast(cells), Seq("row_i", "cell"), "left")
+      .groupBy("value")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
+  }
+}

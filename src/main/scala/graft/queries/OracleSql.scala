@@ -1,6 +1,6 @@
 package graft.queries
 
-/** DuckDB oracle twins for [[Queries]] — ALL 74 queries have one.
+/** DuckDB oracle twins for [[Queries]] — ALL 82 queries have one.
   * Column names and rounding match the Spark side exactly (driver
   * compare sorts columns by name and hashes values). Sketch-parameter
   * queries (q26 simhash, q27 hyperplane LSH, q35 IVF) share their hash
@@ -1109,7 +1109,134 @@ object OracleSql {
         |  sum(n_chars)::BIGINT AS total_chars,
         |  round(avg(n_chars), 4) AS avg_chars
         |FROM documents GROUP BY ROLLUP(lang, source)
-        |ORDER BY gid, lang, source""".stripMargin
+        |ORDER BY gid, lang, source""".stripMargin,
+
+    // q75: KMV distinct sketch — the window formulation of "k smallest
+    // distinct md5-48 hashes per day": the k-th (or last, if the group
+    // has fewer) row carries the whole sketch tail. Hash parity with
+    // Sketches.hash48: md5_number_lower & 48-bit mask (q52's bitwise
+    // trick — UBIGINT & mask == signed & mask). 31·2^48 fits BIGINT;
+    // `//` and DIV agree on the positive operands.
+    "q75_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(md5_number_lower(user_id::VARCHAR) & 281474976710655 AS BIGINT) AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |r AS (SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn,
+        |    count(*) OVER (PARTITION BY day) AS nd FROM h)
+        |SELECT day, least(nd, 32)::BIGINT AS n_kept, h AS kth_hash,
+        |  (CASE WHEN nd < 32 THEN nd
+        |        ELSE (31::BIGINT * 281474976710656) // h END)::BIGINT AS est_distinct
+        |FROM r WHERE rn = least(nd, 32) ORDER BY day""".stripMargin,
+
+    // q76: PMI phrase scoring — same \s+ tokenizer as q51; adjacent
+    // pairs via the q64 list-index pattern; HAVING prunes the tail
+    // before the unigram joins exactly as the Spark side filters
+    // before joining; all-positive fixed-point milli score so `//`
+    // and DIV agree.
+    "q76_phrase_pmi" ->
+      """WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS l
+        |    FROM documents WHERE length(trim(text)) > 0),
+        |uc AS (SELECT tok, count(*) AS cnt
+        |  FROM (SELECT unnest(l) AS tok FROM t) GROUP BY 1),
+        |n AS (SELECT sum(cnt)::BIGINT AS total FROM uc),
+        |p AS (SELECT l[u] AS a, l[u + 1] AS b
+        |  FROM (SELECT l, unnest(generate_series(1, len(l) - 1)) AS u
+        |        FROM t WHERE len(l) >= 2)),
+        |pc AS (SELECT a, b, count(*) AS cnt_ab FROM p GROUP BY 1, 2
+        |  HAVING count(*) >= 5 AND count(*) > 5)
+        |SELECT a, b, cnt_ab,
+        |  ((cnt_ab - 5) * total * 1000) // (ua.cnt * ub.cnt) AS score_milli
+        |FROM pc CROSS JOIN n
+        |JOIN uc ua ON ua.tok = pc.a JOIN uc ub ON ub.tok = pc.b
+        |ORDER BY score_milli DESC, a, b LIMIT 100""".stripMargin,
+
+    // q77: keyed upsert — delta keys take the delta's max-rev row
+    // (rev unique per key here, so arg_max is the struct-max twin);
+    // base-only keys keep their row. Delta keys ⊆ base keys in this
+    // fixture, so a LEFT JOIN covers the insert-free case (inserts are
+    // spec-covered in MergeOpsSpec).
+    "q77_upsert" ->
+      """WITH base AS (SELECT doc_id, 1::BIGINT AS rev, md5(text) AS fp FROM documents),
+        |delta AS (
+        |  SELECT doc_id, 2::BIGINT AS rev, md5(text || '+edit') AS fp
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 3::BIGINT AS rev, md5(text || '+edit2') AS fp
+        |  FROM documents WHERE doc_id % 21 = 0),
+        |latest AS (SELECT doc_id, max(rev) AS rev, arg_max(fp, rev) AS fp
+        |  FROM delta GROUP BY 1)
+        |SELECT b.doc_id, coalesce(l.rev, b.rev) AS rev, coalesce(l.fp, b.fp) AS fp
+        |FROM base b LEFT JOIN latest l USING (doc_id) ORDER BY b.doc_id""".stripMargin,
+
+    // q78: triangle counts — id-ordered canonical triple join; the
+    // Spark side's degree orientation finds the same triangle set
+    // (orientation changes WHERE a triangle is generated, never
+    // whether), so the corner counts match exactly.
+    "q78_triangles" ->
+      """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+        |raw AS (SELECT l_orderkey AS src,
+        |    ((l_orderkey + l_partkey * 7) % (SELECT m FROM mx)) + 1 AS dst
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM raw WHERE src <> dst),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT id AS url_key, count(*)::BIGINT AS n_tri FROM (
+        |  SELECT a AS id FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q79_kmeans" -> q79Sql(k = 4, iters = 2, dim = 64),
+
+    // q80: count-min sketch — the cells themselves replay (md5-48 &
+    // 1023 = md5_number_lower & 1023, the q52 mask trick; '<i>:<tok>'
+    // is the per-row seed both sides build). min over rows = the CM
+    // point estimate; overcount ≥ 0 always (one-sided sketch).
+    "q80_count_min" ->
+      """WITH toks AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |    FROM documents WHERE length(trim(text)) > 0),
+        |ds AS (SELECT unnest(generate_series(0, 3)) AS i),
+        |cm AS (SELECT i, md5_number_lower(i::VARCHAR || ':' || token) & 1023 AS cell,
+        |    count(*) AS cnt FROM toks CROSS JOIN ds GROUP BY 1, 2),
+        |vocab AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1
+        |  ORDER BY cnt DESC, token LIMIT 50),
+        |probe AS (SELECT v.token, v.cnt, min(cm.cnt)::BIGINT AS est_cnt
+        |  FROM vocab v CROSS JOIN ds r
+        |  JOIN cm ON cm.i = r.i
+        |   AND cm.cell = (md5_number_lower(r.i::VARCHAR || ':' || v.token) & 1023)
+        |  GROUP BY 1, 2)
+        |SELECT token, cnt AS cnt_exact, est_cnt, est_cnt - cnt AS overcount
+        |FROM probe ORDER BY token""".stripMargin,
+
+    // q81: bounded inverted index — the oracle's window sorts every
+    // token's full posting stream; the Spark side's bounded aggregator
+    // ships ≤ 8 postings per map task per token. Same \s+ tokenizer.
+    "q81_inverted_index" ->
+      """WITH tf AS (SELECT token, doc_id, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |    FROM documents WHERE length(trim(text)) > 0) GROUP BY 1, 2),
+        |r AS (SELECT token, doc_id, tf,
+        |    row_number() OVER (PARTITION BY token ORDER BY tf DESC, doc_id) AS rank,
+        |    count(*) OVER (PARTITION BY token) AS df FROM tf)
+        |SELECT token, df::BIGINT AS df, rank::BIGINT AS rank, doc_id, tf::BIGINT AS tf
+        |FROM r WHERE rank <= 8 AND df >= 3 ORDER BY token, rank""".stripMargin,
+
+    // q82: SCD2 — IS DISTINCT FROM twins Spark's null-safe <=>; both
+    // windows order by (ts, event_id) so equal-timestamp changes
+    // resolve identically.
+    "q82_scd2" ->
+      """WITH o AS (SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |c AS (SELECT user_id, event_type, ts AS valid_from, event_id FROM o
+        |  WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) IS NULL AS is_current
+        |FROM c ORDER BY user_id, valid_from""".stripMargin
   )
 
   /** q64: BPE-style merge induction, `rounds` rounds unrolled as CTEs.
@@ -1156,5 +1283,44 @@ object OracleSql {
        |  n0.n_orig - len(string_split(${body(s"$fin.s")}, $SS))::BIGINT AS n_merged,
        |  md5($fin.s) AS seq_md5
        |FROM $fin JOIN n0 USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
+  /** q79: fixed-point Lloyd k-means, `iters` update rounds unrolled as
+    * CTEs. Mirrors [[graft.datatools.Similarity.kmeansAssign]]:
+    * `::DOUBLE[]` before the scale multiply (the Spark side widens
+    * float → double the same way), struct min = lexicographic
+    * (dist, j) argmin, `//` = Spark DIV = Scala `/` (all truncate
+    * toward zero, so negative coordinate sums agree), and the
+    * NOT-IN branch carries empty clusters' previous centroids.
+    */
+  private def q79Sql(k: Int, iters: Int, dim: Int): String = {
+    def assign(src: String, cent: String): String =
+      s"""SELECT vec_id, v, b['j'] AS j, b['d'] AS dist FROM (
+         |  SELECT i.vec_id, i.v,
+         |    min({'d': list_sum([ (i.v[x] - c.v[x]) * (i.v[x] - c.v[x])
+         |                         for x in generate_series(1, $dim) ]),
+         |         'j': c.j::BIGINT}) AS b
+         |  FROM $src i CROSS JOIN $cent c GROUP BY 1, 2)""".stripMargin
+    val head =
+      s"""WITH ints AS (SELECT vec_id,
+         |    list_transform(embedding::DOUBLE[],
+         |      x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |c0 AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS j, v
+         |  FROM (SELECT vec_id, v FROM ints ORDER BY vec_id LIMIT $k))""".stripMargin
+    val rounds = (0 until iters).map { r =>
+      s"""a$r AS (${assign("ints", s"c$r")}),
+         |s$r AS (SELECT j, i, sum(val)::BIGINT AS s, count(*)::BIGINT AS n
+         |  FROM (SELECT j, unnest(v) AS val,
+         |        unnest(generate_series(1, $dim)) AS i FROM a$r)
+         |  GROUP BY 1, 2),
+         |c${r + 1} AS (SELECT j, list(s // n ORDER BY i) AS v FROM s$r GROUP BY 1
+         |  UNION ALL SELECT j, v FROM c$r WHERE j NOT IN (SELECT j FROM s$r))""".stripMargin
+    }
+    s"""$head,
+       |${rounds.mkString(",\n")},
+       |fin AS (${assign("ints", s"c$iters")})
+       |SELECT vec_id, j::INT AS cluster, dist::BIGINT AS dist
+       |FROM fin ORDER BY vec_id""".stripMargin
   }
 }

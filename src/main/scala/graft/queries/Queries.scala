@@ -995,6 +995,98 @@ object Queries {
         col("gid"), col("n_docs"), col("total_chars"), col("avg_chars"))
       .orderBy("gid", "lang", "source")
 
+  // q75 — KMV distinct-count sketch: daily active users from a bounded
+  // mergeable sketch (k = 32 smallest distinct md5-48 hashes per day)
+  // instead of shuffling the distinct user stream. The estimate itself
+  // is integer-deterministic, so the oracle hash-matches it — not just
+  // an error bound.
+  def q75KmvDistinct(spark: SparkSession, dir: String): DataFrame =
+    graft.datatools.Sketches.kmvDistinct(
+        t(spark, dir, "events").withColumn("day", date_format(col("ts"), "yyyy-MM-dd")),
+        "day", "user_id", k = 32)
+      .orderBy("day")
+
+  // q76 — PMI bigram phrase scoring (word2phrase): collocations whose
+  // co-occurrence beats their parts' prediction, fixed-point milli
+  // score, discount δ = 5. Two wordcount exchanges + vocabulary-sized
+  // joins; the co-occurrence tail dies before any join.
+  def q76PhrasePmi(spark: SparkSession, dir: String): DataFrame =
+    graft.datatools.Curation.phraseScores(
+      t(spark, dir, "documents"), k = 100, minCount = 5, discount = 5)
+
+  // q77 — keyed MERGE/UPSERT (last-writer-wins): a CDC-style delta
+  // (every 7th doc revised, every 21st revised twice) folds into the
+  // base with a broadcast anti-join — the base is never shuffled.
+  def q77Upsert(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val base = docs.select(col("doc_id"), lit(1L).as("rev"), md5(col("text")).as("fp"))
+    val delta = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), lit(2L).as("rev"), md5(concat(col("text"), lit("+edit"))).as("fp"))
+      .unionByName(docs.filter(col("doc_id") % 21 === 0)
+        .select(col("doc_id"), lit(3L).as("rev"), md5(concat(col("text"), lit("+edit2"))).as("fp")))
+    graft.operators.MergeOps.upsert(base, delta, Seq("doc_id"), "rev")
+      .orderBy("doc_id")
+  }
+
+  // q78 — per-node triangle counts over the synthetic link graph (the
+  // q47/q48 edge synthesis): link-farm signal via degree-ordered
+  // orientation, each triangle found once.
+  def q78Triangles(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val mx = orders.agg(max("o_orderkey")).first().getLong(0)
+    val edges = t(spark, dir, "lineitem").select(
+      col("l_orderkey").as("src"),
+      (pmod(col("l_orderkey") + col("l_partkey") * 7, lit(mx)) + 1).as("dst"))
+    graft.datatools.GraphOps.triangleCounts(edges)
+      .select(col("id").as("url_key"), col("n_tri"))
+      .orderBy("url_key")
+  }
+
+  // q79 — fixed-point Lloyd k-means (k = 4, 2 update rounds): the IVF
+  // centroid TRAINING step, integer throughout so the unrolled-CTE
+  // oracle hash-matches assignments AND distances.
+  def q79Kmeans(spark: SparkSession, dir: String): DataFrame =
+    graft.datatools.Similarity.kmeansAssign(
+        t(spark, dir, "embeddings"), k = 4, iters = 2)
+      .orderBy("vec_id")
+
+  // q80 — count-min sketch: the token stream collapses to a 4×1024
+  // integer cell table in ONE map-side-combined exchange; the top-50
+  // vocab tokens probe it broadcast-side. The one-sided overcount is
+  // part of the output — the oracle hash-matches the sketch itself.
+  def q80CountMin(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val toks = docs.filter(length(trim(col("text"))) > 0)
+      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+    val cells = graft.datatools.Sketches.countMinCells(toks, "token")
+    // 50 rows but corpus-priced: persisted so the probe build and the
+    // final join don't each re-tokenize the corpus
+    val vocab = graft.datatools.Curation.vocabTopK(docs, 50).persist()
+    graft.datatools.Sketches.countMinQuery(cells, vocab.select("token"), "token")
+      .join(vocab, col("value") === col("token"))
+      .select(col("token"), col("cnt").as("cnt_exact"), col("est_cnt"),
+        (col("est_cnt") - col("cnt")).as("overcount"))
+      .orderBy("token")
+  }
+
+  // q81 — bounded inverted index: per token with df ≥ 3, the top-8
+  // postings by (tf desc, doc asc) via a bounded typed aggregator —
+  // ≤ 8 postings + a count leave each map task per token, where the
+  // oracle's row_number window sorts every token's full posting stream.
+  def q81InvertedIndex(spark: SparkSession, dir: String): DataFrame =
+    graft.datatools.InvertedIndex.postings(
+        t(spark, dir, "documents"), k = 8, minDf = 3L)
+      .orderBy("token", "rank")
+
+  // q82 — SCD2 history: each user's event-type change stream becomes
+  // validity intervals (consecutive duplicates collapse; one key
+  // exchange shared by both windows).
+  def q82Scd2(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.MergeOps.scd2(
+        t(spark, dir, "events").select("user_id", "ts", "event_type", "event_id"),
+        Seq("user_id"), "ts", "event_type", "event_id")
+      .orderBy("user_id", "valid_from")
+
   /** name → query, in SURVEY.md §2 coverage order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_agg_pushdown" -> (q01AggPushdown _),
@@ -1070,6 +1162,14 @@ object Queries {
     "q71_salted_agg" -> (q71SaltedAgg _),
     "q72_bloom_join" -> (q72BloomJoin _),
     "q73_salted_join" -> (q73SaltedJoin _),
-    "q74_rollup_stats" -> (q74RollupStats _)
+    "q74_rollup_stats" -> (q74RollupStats _),
+    "q75_kmv_distinct" -> (q75KmvDistinct _),
+    "q76_phrase_pmi" -> (q76PhrasePmi _),
+    "q77_upsert" -> (q77Upsert _),
+    "q78_triangles" -> (q78Triangles _),
+    "q79_kmeans" -> (q79Kmeans _),
+    "q80_count_min" -> (q80CountMin _),
+    "q81_inverted_index" -> (q81InvertedIndex _),
+    "q82_scd2" -> (q82Scd2 _)
   )
 }

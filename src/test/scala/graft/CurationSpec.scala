@@ -704,4 +704,33 @@ class CurationSpec extends SparkSpec {
       assert(got === expect, s"w=$w st=$st docs=$docs")
     }
   }
+
+  // ---- phraseScores ----
+
+  test("phraseScores matches brute-force word2phrase with deterministic ordering") {
+    val words = Seq("new", "york", "machine", "learning", "the", "of")
+    val gen = for {
+      nd <- Gen.choose(0, 25)
+      docs <- Gen.listOfN(nd, Gen.listOf(Gen.oneOf(words)).map(_.mkString(" ")))
+      minCount <- Gen.oneOf(1, 2, 3)
+      discount <- Gen.oneOf(0, 1, 2)
+      k <- Gen.oneOf(3, 10, 100)
+    } yield (docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }, minCount, discount, k)
+    sample(gen, 15, 11L) { case (docs, minCount, discount, k) =>
+      val tokenLists = docs.map(_._2.trim).filter(_.nonEmpty).map(_.split("\\s+").toSeq)
+      val uni = tokenLists.flatten.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      val total = uni.values.sum
+      val big = tokenLists.filter(_.size >= 2)
+        .flatMap(l => l.zip(l.tail))
+        .groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+        .filter { case (_, c) => c >= minCount && c > discount }
+      val expect = big.toSeq.map { case ((a, b), cab) =>
+        (a, b, cab, ((cab - discount) * total * 1000L) / (uni(a) * uni(b)))
+      }.sortBy { case (a, b, _, s) => (-s, a, b) }.take(k)
+      val got = Curation.phraseScores(docs.toDF("doc_id", "text"),
+          k = k, minCount = minCount, discount = discount)
+        .as[(String, String, Long, Long)].collect().toSeq
+      assert(got === expect, s"minCount=$minCount discount=$discount")
+    }
+  }
 }

@@ -2,6 +2,7 @@ package graft
 
 import graft.datatools.{Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
 
 /** Training-data operators on planted fixtures: LSH recall against
   * exact ground truth, ANN baselines, text analysis, media plumbing.
@@ -502,6 +503,59 @@ class DatatoolsSpec extends SparkSpec {
     }
     texts.zipWithIndex.foreach { case (t, i) =>
       assert(got(i.toLong) === ref(t), s"text='$t'")
+    }
+  }
+
+  // ---- kmeansAssign ----
+
+  test("integer division truncates toward zero in Spark DIV (the kmeans centroid-update contract)") {
+    import spark.implicits._
+    // Scala / and DuckDB // both give -3 for -7/2; the kmeans oracle
+    // relies on Spark DIV agreeing on negative coordinate sums
+    val r = Seq((-7L, 2L), (7L, 2L), (-7L, -2L), (7L, -2L)).toDF("a", "b")
+      .selectExpr("a DIV b").as[Long].collect().toSeq
+    assert(r === Seq(-3L, 3L, 3L, -3L))
+    assert(-7L / 2L === -3L)
+  }
+
+  test("kmeansAssign matches brute-force fixed-point Lloyd iterations") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      dim <- Gen.oneOf(2, 5)
+      vecs <- Gen.listOfN(n, Gen.listOfN(dim, Gen.choose(-999, 999).map(_ / 1000.0f)))
+      k <- Gen.oneOf(1, 2, 4)
+      iters <- Gen.oneOf(0, 1, 3)
+      parts <- Gen.oneOf(1, 3)
+    } yield (vecs.zipWithIndex.map { case (v, i) => (i.toLong * 3, v) }, k, iters, parts)
+    sample(gen, 12, 23L) { case (rows, k0, iters, parts) =>
+      val k = math.min(k0, rows.size)
+      val scale = 1000000L
+      val ints = rows.map { case (id, v) =>
+        id -> v.map(x => math.floor(x.toDouble * scale + 0.5).toLong).toArray
+      }.sortBy(_._1)
+      val dim = ints.head._2.length
+      var cents = ints.take(k).map(_._2.clone()).toArray
+      def assignAll(): Seq[(Long, Int, Long)] = ints.map { case (id, v) =>
+        val (d, j) = cents.zipWithIndex.map { case (c, j) =>
+          (v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, j)
+        }.minBy(identity)
+        (id, j, d)
+      }
+      (0 until iters).foreach { _ =>
+        val byC = assignAll().groupBy(_._2)
+        val next = cents.map(_.clone())
+        byC.foreach { case (j, as) =>
+          val members = as.map(a => ints.find(_._1 == a._1).get._2)
+          next(j) = Array.tabulate(dim)(d => members.map(_(d)).sum / members.size)
+        }
+        cents = next
+      }
+      val expect = assignAll().toSet
+      val got = Similarity.kmeansAssign(
+          rows.toDF("vec_id", "embedding").repartition(parts), k, iters)
+        .as[(Long, Int, Long)].collect().toSet
+      assert(got === expect, s"k=$k iters=$iters")
     }
   }
 }

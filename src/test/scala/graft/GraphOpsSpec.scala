@@ -161,6 +161,40 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("triangleCounts matches brute-force enumeration (random multigraphs)") {
+    val gen = for {
+      n <- Gen.choose(0, 80)
+      edges <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 14L), Gen.choose(0L, 14L)))
+    } yield edges
+    sample(gen, 15, 17L) { edges =>
+      // brute force over the canonical simple graph
+      val simple = edges.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+      val nodes = simple.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      val expect = nodes.map { v =>
+        v -> (for {
+          a <- nodes; b <- nodes
+          if a < b && a != v && b != v
+          if simple(((math.min(a, v), math.max(a, v)))) &&
+            simple((math.min(b, v), math.max(b, v))) && simple((a, b))
+        } yield 1).size.toLong
+      }.filter(_._2 > 0).toMap
+      val got = GraphOps.triangleCounts(edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expect)
+    }
+  }
+
+  test("triangleCounts: a clique of n nodes gives (n-1)(n-2)/2 per node") {
+    val n = 7
+    val edges = (for { a <- 0 until n; b <- 0 until n if a != b }
+      yield (a.toLong, b.toLong)).toDF("src", "dst") // both directions + dupes
+    val got = GraphOps.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val per = ((n - 1) * (n - 2) / 2).toLong
+    assert(got === (0 until n).map(i => i.toLong -> per).toMap)
+  }
+
   test("iterative loops release superseded checkpoint blocks (≤1 live RDD per call)") {
     // a multi-round input for each loop: without the per-round release
     // an R-round run leaves R persistent RDDs behind (localCheckpoint

@@ -1,0 +1,112 @@
+package graft
+
+import graft.datatools.{Sketches, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def kmvMap(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Long, Long)] =
+    df.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+
+  test("kmvDistinct is exact below k and matches the closed form at or above k") {
+    val gen = for {
+      n <- Gen.choose(0, 400)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.oneOf("a", "b", "c"), Gen.choose(0L, 120L)))
+      k <- Gen.oneOf(2, 8, 32)
+      parts <- Gen.oneOf(1, 3, 7)
+    } yield (rows, k, parts)
+    sample(gen, 12, 7L) { case (rows, k, parts) =>
+      val df = rows.toDF("g", "v").repartition(parts)
+      val got = kmvMap(Sketches.kmvDistinct(df, "g", "v", k))
+      val expect = rows.groupBy(_._1).map { case (g, rs) =>
+        val hs = rs.map(r => TextAnalysis.md5Lower64(r._2.toString) & Sketches.Mask48)
+          .distinct.sorted
+        val kept = hs.take(k)
+        val est =
+          if (kept.size < k) kept.size.toLong
+          else ((k - 1).toLong << 48) / kept.last
+        g -> (kept.size.toLong, if (kept.isEmpty) 0L else kept.last, est)
+      }
+      assert(got === expect)
+      // fewer distinct values than k ⇒ the sketch IS the distinct set
+      expect.foreach { case (g, (nKept, _, est)) =>
+        val exact = rows.filter(_._1 == g).map(_._2).distinct.size
+        if (nKept < k) assert(est === exact.toLong)
+      }
+    }
+  }
+
+  test("kmvDistinct estimate lands within the KMV error envelope at k=64") {
+    // 1000 distinct values, one group: relative error should be well
+    // inside ~3/sqrt(k) ≈ 0.375 (actual is usually < 0.15)
+    val df = (0L until 1000L).map(v => ("g", v)).toDF("g", "v").repartition(8)
+    val est = kmvMap(Sketches.kmvDistinct(df, "g", "v", 64))("g")._3
+    assert(math.abs(est - 1000.0) / 1000.0 < 0.375, s"estimate $est too far from 1000")
+  }
+
+  test("kmvDistinct ignores duplicates and partitioning (sketch is a set statistic)") {
+    val base = (0L until 200L).map(v => ("g", v))
+    val dup = base ++ base ++ base.take(50)
+    val a = kmvMap(Sketches.kmvDistinct(base.toDF("g", "v").repartition(2), "g", "v", 16))
+    val b = kmvMap(Sketches.kmvDistinct(dup.toDF("g", "v").repartition(13), "g", "v", 16))
+    assert(a === b)
+  }
+
+  test("kmvDistinct drops nulls (COUNT DISTINCT semantics)") {
+    val df = Seq(("g", Some(1L)), ("g", None), ("g", Some(2L)), ("h", None))
+      .toDF("g", "v")
+    val got = kmvMap(Sketches.kmvDistinct(df, "g", "v", 8))
+    assert(got.keySet === Set("g"))
+    assert(got("g")._1 === 2L)
+  }
+
+  // ---- count-min ----
+
+  private def cmHash(i: Int, v: String, width: Int): Long =
+    (TextAnalysis.md5Lower64(s"$i:$v") & Sketches.Mask48) & (width - 1).toLong
+
+  test("countMin cells match brute force and estimates never undercount") {
+    val gen = for {
+      n <- Gen.choose(0, 300)
+      vals <- Gen.listOfN(n, Gen.choose(0, 40).map(v => s"t$v"))
+      depth <- Gen.oneOf(1, 3, 4)
+      width <- Gen.oneOf(16, 64)
+      parts <- Gen.oneOf(1, 5)
+    } yield (vals, depth, width, parts)
+    sample(gen, 12, 3L) { case (vals, depth, width, parts) =>
+      val df = vals.toDF("v").repartition(parts)
+      val cells = Sketches.countMinCells(df, "v", depth, width)
+      val gotCells = cells.collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val expectCells = vals.flatMap(v => (0 until depth).map(i => (i, cmHash(i, v, width))))
+        .groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+      assert(gotCells === expectCells)
+      val exact = vals.groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+      val queries = exact.keys.toSeq.toDF("v")
+      val est = Sketches.countMinQuery(cells, queries, "v", depth, width)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      exact.foreach { case (v, cnt) =>
+        assert(est(v) >= cnt, s"CM undercounted $v")
+        // est = min over rows of that row's cell total
+        val want = (0 until depth).map(i => expectCells((i, cmHash(i, v, width)))).min
+        assert(est(v) === want)
+      }
+    }
+  }
+
+  test("countMin sketches merge by cell addition (two batches = one)") {
+    val a = (0 until 100).map(v => s"x${v % 9}")
+    val b = (0 until 70).map(v => s"x${v % 5}")
+    val whole = Sketches.countMinCells((a ++ b).toDF("v"), "v", 4, 32).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val partA = Sketches.countMinCells(a.toDF("v"), "v", 4, 32).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val partB = Sketches.countMinCells(b.toDF("v"), "v", 4, 32).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = (partA.keySet ++ partB.keySet)
+      .map(k => k -> (partA.getOrElse(k, 0L) + partB.getOrElse(k, 0L))).toMap
+    assert(merged === whole)
+  }
+}
