@@ -175,7 +175,9 @@ object Bench {
       "q75_kmv_distinct", "q76_phrase_pmi", "q77_upsert",
       "q78_triangles", "q79_kmeans",
       // count-min build+probe, bounded inverted index, SCD2 history
-      "q80_count_min", "q81_inverted_index", "q82_scd2")
+      "q80_count_min", "q81_inverted_index", "q82_scd2",
+      // stage-chained funnel, sketch-based overlap estimate
+      "q83_funnel", "q84_kmv_overlap")
     val qmap = SparkEntry.queries
     val spark = newSession(cpus)
     def median(xs: Seq[Double]): Double = {

@@ -126,6 +126,67 @@ object Sketches {
       .toDF(groupCol, "n_kept", "kth_hash", "est_distinct")
   }
 
+  /** One ungrouped KMV sketch: the k smallest distinct md5-48 hashes
+    * of `valueCol` over the whole frame, ascending. Sketch-sized (≤ k
+    * longs), so collecting it to the driver is metadata movement.
+    */
+  def kmvSketch(df: DataFrame, valueCol: String, k: Int): Seq[Long] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val states = df.filter(col(valueCol).isNotNull)
+      .select(lit("").as("g"), hash48(col(valueCol)).as("h"))
+      .as[GroupedHash]
+      .groupByKey(_.g)
+      .agg(new KmvAggregator(k).toColumn.name("sk"))
+      .map(_._2.hs)
+      .collect()
+    if (states.isEmpty) Vector.empty else states.head
+  }
+
+  /** Set-operation estimates from two KMV sketches (Beyer et al.,
+    * SIGMOD'07 "On synopses for distinct-value estimation"): combine
+    * the sketches to the union's k smallest (a KMV sketch of A ∪ B by
+    * construction), count how many of those the two sides share
+    * (`k_inter`), and scale:
+    *
+    *   est_union        = KMV estimate of the combined sketch
+    *   jaccard_ppm      = k_inter · 10⁶ / fill   (fill = min(k, |union sketch|))
+    *   est_intersection = k_inter · est_union / fill
+    *
+    * When the union sketch is under-full the sketches ARE the distinct
+    * hash sets and every figure is exact. All arithmetic is integer
+    * (truncating division), so the oracle replays it bit-exactly.
+    *
+    * This is the join-size / overlap estimator a planner wants before
+    * running a 100-TB join: each side's sketch is one bounded partial
+    * agg (built here, or maintained incrementally like q70's state
+    * tables), and the combination is O(k) driver work — metadata, not
+    * data.
+    *
+    * @return one row: (n_a, n_b, kth_union, k_inter, est_a, est_b,
+    *         est_union, est_intersection, jaccard_ppm).
+    */
+  def kmvIntersectEstimate(dfA: DataFrame, dfB: DataFrame, valueCol: String,
+                           k: Int): DataFrame = {
+    val spark = dfA.sparkSession
+    import spark.implicits._
+    val a = kmvSketch(dfA, valueCol, k)
+    val b = kmvSketch(dfB, valueCol, k)
+    def est(s: Seq[Long]): Long =
+      if (s.size < k) s.size.toLong else ((k - 1).toLong << 48) / s.last
+    val union = (a ++ b).distinct.sorted.take(k)
+    val fill = union.size
+    val kthU = if (union.isEmpty) 0L else union.last
+    val estU = est(union)
+    val kInter = (a.toSet & b.toSet & union.toSet).size.toLong
+    val jacPpm = if (fill == 0) 0L else kInter * 1000000L / fill
+    val estI = if (fill == 0) 0L else kInter * estU / fill
+    Seq((a.size.toLong, b.size.toLong, kthU, kInter,
+      est(a), est(b), estU, estI, jacPpm))
+      .toDF("n_a", "n_b", "kth_union", "k_inter", "est_a", "est_b",
+        "est_union", "est_intersection", "jaccard_ppm")
+  }
+
   /** COUNT-MIN sketch (Cormode & Muthukrishnan 2005): `depth` rows of
     * `width` integer counters; item v increments cell
     * `hash_i(v) = md5₄₈(i ‖ ":" ‖ v) mod width` in every row; the

@@ -1,6 +1,6 @@
 package graft.queries
 
-/** DuckDB oracle twins for [[Queries]] — ALL 82 queries have one.
+/** DuckDB oracle twins for [[Queries]] — ALL 84 queries have one.
   * Column names and rounding match the Spark side exactly (driver
   * compare sorts columns by name and hashes values). Sketch-parameter
   * queries (q26 simhash, q27 hyperplane LSH, q35 IVF) share their hash
@@ -1236,7 +1236,62 @@ object OracleSql {
         |SELECT user_id, event_type, valid_from,
         |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to,
         |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) IS NULL AS is_current
-        |FROM c ORDER BY user_id, valid_from""".stripMargin
+        |FROM c ORDER BY user_id, valid_from""".stripMargin,
+
+    // q83: greedy-earliest funnel — each stage joins the previous
+    // stage's per-user minimum with a strict ts bound; the
+    // event_id % 13 sample keeps all three depths populated.
+    "q83_funnel" ->
+      """WITH ev AS (SELECT * FROM events WHERE event_id % 13 = 0),
+        |s0 AS (SELECT user_id, min(ts) AS t0 FROM ev
+        |    WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM ev e
+        |    JOIN s0 ON e.user_id = s0.user_id AND e.ts > s0.t0
+        |    WHERE e.event_type = 'click' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev e
+        |    JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+        |    WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT s0.user_id, t0, t1, t2,
+        |  (1 + (t1 IS NOT NULL)::INT + (t2 IS NOT NULL)::INT)::BIGINT AS depth
+        |FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    // q84: KMV set-operation estimates — each side's k smallest
+    // distinct md5-48 hashes via a row_number window; the union's k
+    // smallest is the A∪B sketch; every figure is integer (truncating
+    // //), so the one-row estimate hash-matches the Spark sketches.
+    "q84_kmv_overlap" ->
+      """WITH ah AS (SELECT DISTINCT
+        |    CAST(md5_number_lower(user_id::VARCHAR) & 281474976710655 AS BIGINT) AS h
+        |  FROM events WHERE event_type = 'click' AND user_id IS NOT NULL),
+        |bh AS (SELECT DISTINCT
+        |    CAST(md5_number_lower(user_id::VARCHAR) & 281474976710655 AS BIGINT) AS h
+        |  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+        |ka AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ah)
+        |  WHERE rn <= 64),
+        |kb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM bh)
+        |  WHERE rn <= 64),
+        |ku AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+        |    FROM (SELECT h FROM ka UNION SELECT h FROM kb)) WHERE rn <= 64),
+        |st AS (SELECT
+        |    (SELECT count(*) FROM ka) AS n_a, (SELECT count(*) FROM kb) AS n_b,
+        |    (SELECT max(h) FROM ku) AS kth_union,
+        |    (SELECT count(*) FROM ka JOIN kb USING (h) JOIN ku USING (h)) AS k_inter,
+        |    (SELECT count(*) FROM ku) AS fill)
+        |SELECT n_a::BIGINT AS n_a, n_b::BIGINT AS n_b, kth_union,
+        |  k_inter::BIGINT AS k_inter,
+        |  (CASE WHEN n_a < 64 THEN n_a
+        |        ELSE (63::BIGINT << 48) // (SELECT max(h) FROM ka) END)::BIGINT AS est_a,
+        |  (CASE WHEN n_b < 64 THEN n_b
+        |        ELSE (63::BIGINT << 48) // (SELECT max(h) FROM kb) END)::BIGINT AS est_b,
+        |  (CASE WHEN fill < 64 THEN fill
+        |        ELSE (63::BIGINT << 48) // kth_union END)::BIGINT AS est_union,
+        |  (CASE WHEN fill = 0 THEN 0 ELSE k_inter *
+        |    (CASE WHEN fill < 64 THEN fill ELSE (63::BIGINT << 48) // kth_union END)
+        |    // fill END)::BIGINT AS est_intersection,
+        |  (CASE WHEN fill = 0 THEN 0
+        |        ELSE k_inter * 1000000 // fill END)::BIGINT AS jaccard_ppm
+        |FROM st""".stripMargin
   )
 
   /** q64: BPE-style merge induction, `rounds` rounds unrolled as CTEs.

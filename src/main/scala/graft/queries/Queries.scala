@@ -1087,6 +1087,29 @@ object Queries {
         Seq("user_id"), "ts", "event_type", "event_id")
       .orderBy("user_id", "valid_from")
 
+  // q83 — funnel analysis: earliest strictly-ordered view → click →
+  // purchase per user over a sparse deterministic event sample
+  // (event_id % 13 keeps the depth distribution mixed: at sf0.01
+  // roughly 56/34/12 across depths 1/2/3). One pruned scan + one
+  // user-key agg per stage, user-cardinality joins between stages.
+  def q83Funnel(spark: SparkSession, dir: String): DataFrame =
+    graft.datatools.Funnel.funnel(
+        t(spark, dir, "events").filter(col("event_id") % 13 === 0),
+        Seq("view", "click", "purchase"))
+      .orderBy("user_id")
+
+  // q84 — KMV set-operation estimates: overlap and Jaccard between
+  // the click-user and purchase-user sets from two k=64 sketches —
+  // the join-size estimate a planner wants before a 100-TB join,
+  // computed from 2×64 longs of metadata.
+  def q84KmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    graft.datatools.Sketches.kmvIntersectEstimate(
+      ev.filter(col("event_type") === "click").select("user_id"),
+      ev.filter(col("event_type") === "purchase").select("user_id"),
+      "user_id", k = 64)
+  }
+
   /** name → query, in SURVEY.md §2 coverage order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_agg_pushdown" -> (q01AggPushdown _),
@@ -1170,6 +1193,8 @@ object Queries {
     "q79_kmeans" -> (q79Kmeans _),
     "q80_count_min" -> (q80CountMin _),
     "q81_inverted_index" -> (q81InvertedIndex _),
-    "q82_scd2" -> (q82Scd2 _)
+    "q82_scd2" -> (q82Scd2 _),
+    "q83_funnel" -> (q83Funnel _),
+    "q84_kmv_overlap" -> (q84KmvOverlap _)
   )
 }

@@ -96,6 +96,43 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("kmvIntersectEstimate: exact in the under-full regime, estimator formula above it") {
+    val gen = for {
+      na <- Gen.choose(0, 150)
+      nb <- Gen.choose(0, 150)
+      as <- Gen.listOfN(na, Gen.choose(0L, 99L))
+      bs <- Gen.listOfN(nb, Gen.choose(50L, 149L))
+      k <- Gen.oneOf(8, 64, 256)
+    } yield (as, bs, k)
+    sample(gen, 12, 47L) { case (as, bs, k) =>
+      val row = Sketches.kmvIntersectEstimate(
+        as.toDF("v"), bs.toDF("v"), "v", k).collect()(0)
+      val ha = as.map(v => TextAnalysis.md5Lower64(v.toString) & Sketches.Mask48)
+        .distinct.sorted.take(k)
+      val hb = bs.map(v => TextAnalysis.md5Lower64(v.toString) & Sketches.Mask48)
+        .distinct.sorted.take(k)
+      val union = (ha ++ hb).distinct.sorted.take(k)
+      val fill = union.size
+      def est(s: Seq[Long]) = if (s.size < k) s.size.toLong else ((k - 1).toLong << 48) / s.last
+      val kInter = (ha.toSet & hb.toSet & union.toSet).size.toLong
+      assert(row.getLong(0) === ha.size.toLong)
+      assert(row.getLong(3) === kInter)
+      assert(row.getLong(6) === est(union))
+      if (fill > 0) {
+        assert(row.getLong(7) === kInter * est(union) / fill)
+        assert(row.getLong(8) === kInter * 1000000L / fill)
+      }
+      // under-full: everything is exact set arithmetic
+      val exactA = as.distinct.size; val exactB = bs.distinct.size
+      val exactI = (as.toSet & bs.toSet).size
+      if (exactA + exactB <= k) {
+        assert(row.getLong(4) === exactA.toLong)
+        assert(row.getLong(5) === exactB.toLong)
+        assert(row.getLong(7) === exactI.toLong)
+      }
+    }
+  }
+
   test("countMin sketches merge by cell addition (two batches = one)") {
     val a = (0 until 100).map(v => s"x${v % 9}")
     val b = (0 until 70).map(v => s"x${v % 5}")
