@@ -92,4 +92,46 @@ object InvertedIndex {
       }
       .toDF("token", "df", "rank", "doc_id", "tf")
   }
+
+  /** Keyword RETRIEVAL over the corpus: score documents against a
+    * query token set by tf × linearized idf and return the top k.
+    * `lidf_milli(t) = N·1000 DIV df(t)` — the fixed-point 1/df
+    * weighting (rank-equivalent to idf for single-term contributions;
+    * chosen over log-idf because integer arithmetic replays bit-exactly
+    * in any engine, where `ln` parity is a last-ulp gamble).
+    * score(d) = Σ_{t ∈ query ∩ d} tf(d,t) · lidf_milli(t); ties → lower
+    * doc id.
+    *
+    * 100-TB shape: the query token set filters the exploded token
+    * stream BEFORE the (token, doc) aggregation — everything past the
+    * scan is (query-tokens × matching docs)-sized, and with the q81
+    * index materialized the scan itself is replaced by |query| posting
+    * lists. df joins back as a broadcast (≤ |query| rows); the final
+    * top-k is TakeOrdered, never a global sort.
+    *
+    * @return (doc_id, score_milli, n_hit) — top `k` by (score desc,
+    *         doc asc); n_hit = distinct query tokens present.
+    */
+  def search(docs: DataFrame, queryTokens: Seq[String], k: Int,
+             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queryTokens.nonEmpty, "empty query")
+    val nonEmpty = docs.filter(length(trim(col(textCol))) > 0)
+    val n = nonEmpty.count()
+    // persisted: two consumers (the df agg and the score join) would
+    // each re-scan the corpus; (query-tokens × docs)-sized, released
+    // by callers per the Verify/Bench cache contract
+    val tf = nonEmpty
+      .select(col(idCol).as("doc_id"), explode(split(trim(col(textCol)), "\\s+")).as("token"))
+      .filter(col("token").isin(queryTokens: _*))
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+      .persist()
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), Seq("token"))
+      .select(col("doc_id"),
+        (col("tf") * expr(s"(${n}L * 1000) DIV df")).as("w"))
+      .groupBy("doc_id")
+      .agg(sum(col("w")).as("score_milli"), count(lit(1)).as("n_hit"))
+      .orderBy(col("score_milli").desc, col("doc_id"))
+      .limit(k)
+  }
 }

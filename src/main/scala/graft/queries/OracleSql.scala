@@ -1,6 +1,6 @@
 package graft.queries
 
-/** DuckDB oracle twins for [[Queries]] — ALL 84 queries have one.
+/** DuckDB oracle twins for [[Queries]] — ALL 85 queries have one.
   * Column names and rounding match the Spark side exactly (driver
   * compare sorts columns by name and hashes values). Sketch-parameter
   * queries (q26 simhash, q27 hyperplane LSH, q35 IVF) share their hash
@@ -1291,7 +1291,23 @@ object OracleSql {
         |    // fill END)::BIGINT AS est_intersection,
         |  (CASE WHEN fill = 0 THEN 0
         |        ELSE k_inter * 1000000 // fill END)::BIGINT AS jaccard_ppm
-        |FROM st""".stripMargin
+        |FROM st""".stripMargin,
+
+    // q85: keyword retrieval — tf × linearized idf (N·1000 // df, the
+    // integer 1/df weighting; log-idf would gamble on ln ulp parity);
+    // the IN filter prunes the token stream before any aggregation.
+    "q85_search" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |    FROM documents WHERE length(trim(text)) > 0),
+        |n AS (SELECT count(*) AS total FROM documents WHERE length(trim(text)) > 0),
+        |tf AS (SELECT token, doc_id, count(*) AS tf FROM t
+        |    WHERE token IN ('sort', 'merge', 'hash') GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1)
+        |SELECT doc_id,
+        |  sum(tf * ((n.total * 1000) // df.df))::BIGINT AS score_milli,
+        |  count(*)::BIGINT AS n_hit
+        |FROM tf JOIN df USING (token) CROSS JOIN n
+        |GROUP BY 1 ORDER BY score_milli DESC, doc_id LIMIT 20""".stripMargin
   )
 
   /** q64: BPE-style merge induction, `rounds` rounds unrolled as CTEs.

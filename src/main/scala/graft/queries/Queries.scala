@@ -1110,6 +1110,13 @@ object Queries {
       "user_id", k = 64)
   }
 
+  // q85 — keyword retrieval: tf × linearized-idf top-20 for a 3-token
+  // query; the query set filters the token stream before any
+  // aggregation, df joins back broadcast, top-k via TakeOrdered.
+  def q85Search(spark: SparkSession, dir: String): DataFrame =
+    graft.datatools.InvertedIndex.search(
+      t(spark, dir, "documents"), Seq("sort", "merge", "hash"), k = 20)
+
   /** name → query, in SURVEY.md §2 coverage order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_agg_pushdown" -> (q01AggPushdown _),
@@ -1195,6 +1202,7 @@ object Queries {
     "q81_inverted_index" -> (q81InvertedIndex _),
     "q82_scd2" -> (q82Scd2 _),
     "q83_funnel" -> (q83Funnel _),
-    "q84_kmv_overlap" -> (q84KmvOverlap _)
+    "q84_kmv_overlap" -> (q84KmvOverlap _),
+    "q85_search" -> (q85Search _)
   )
 }
