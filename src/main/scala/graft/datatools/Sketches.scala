@@ -83,11 +83,12 @@ object Sketches {
 
   /** The md5-low-48 hash both engines agree on (see q52's bitwise-AND
     * parity note: signed long & mask == UBIGINT & mask for mask < 2⁶³).
+    * A codegen expression — the sketch builds hash every value of the
+    * input stream, so the scalar-UDF serde tax would be per row
+    * (SketchesSpec pins expression ↔ `md5Lower64 & Mask48` parity).
     */
-  def hash48(c: Column): Column = {
-    val h = udf(TextAnalysis.md5Lower64 _)
-    h(c.cast("string")).bitwiseAND(lit(Mask48))
-  }
+  def hash48(c: Column): Column =
+    graft.functions.MinHashExprs.md5Low48Col(c.cast("string"))
 
   /** Per-group distinct-count estimate via a KMV sketch.
     *

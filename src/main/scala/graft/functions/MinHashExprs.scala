@@ -234,6 +234,23 @@ object MinHashExprs {
 
   def classifierScoreCol(text: Column): Column =
     GraftBridge.column(ClassifierScoreExpr(GraftBridge.expression(text)))
+
+  /** `md5_number_lower(s) & (2⁴⁸−1)` — the engine-pinned 48-bit hash
+    * the sketch layer (KMV, count-min) applies per VALUE of the input
+    * stream; bit-identical to `TextAnalysis.md5Lower64(s) & Mask48`
+    * (UTF8String.getBytes IS the UTF-8 encoding — SketchesSpec pins
+    * the parity).
+    */
+  def md5Low48(s: UTF8String): Long = {
+    val md = md5Digest.get()
+    md.update(s.getBytes)
+    val d = md.digest()
+    java.nio.ByteBuffer.wrap(d, 8, 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong & ((1L << 48) - 1)
+  }
+
+  def md5Low48Col(s: Column): Column =
+    GraftBridge.column(Md5Low48Expr(GraftBridge.expression(s)))
 }
 
 /** text → array<long> MinHash signature (fused shingle+hash loop inside
@@ -298,4 +315,19 @@ case class ClassifierScoreExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "classifier_score"
+}
+
+/** string → md5-low-48 long (fused inside WholeStageCodegen) — the
+  * sketch layer's per-value hash; replaces the scalar UDF on the
+  * KMV/count-min build paths, which hash every value of the stream.
+  */
+case class Md5Low48Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    MinHashExprs.md5Low48(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashExprs.md5Low48($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "md5_low48"
 }

@@ -1275,7 +1275,7 @@ object OracleSql {
         |    FROM (SELECT h FROM ka UNION SELECT h FROM kb)) WHERE rn <= 64),
         |st AS (SELECT
         |    (SELECT count(*) FROM ka) AS n_a, (SELECT count(*) FROM kb) AS n_b,
-        |    (SELECT max(h) FROM ku) AS kth_union,
+        |    coalesce((SELECT max(h) FROM ku), 0) AS kth_union,
         |    (SELECT count(*) FROM ka JOIN kb USING (h) JOIN ku USING (h)) AS k_inter,
         |    (SELECT count(*) FROM ku) AS fill)
         |SELECT n_a::BIGINT AS n_a, n_b::BIGINT AS n_b, kth_union,

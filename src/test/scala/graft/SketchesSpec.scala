@@ -62,6 +62,15 @@ class SketchesSpec extends SparkSpec {
     assert(got("g")._1 === 2L)
   }
 
+  test("hash48 codegen expression == md5Lower64 & Mask48 (incl. unicode and controls)") {
+    val vals = Seq("", "a", "42", "hello world", "é中文🚀", "ctl\t",
+      "x" * 300, "-17", "日本語のテキスト")
+    val got = vals.toDF("v").select(Sketches.hash48(col("v")))
+      .collect().map(_.getLong(0)).toSeq
+    val expect = vals.map(v => TextAnalysis.md5Lower64(v) & Sketches.Mask48)
+    assert(got === expect)
+  }
+
   // ---- count-min ----
 
   private def cmHash(i: Int, v: String, width: Int): Long =
