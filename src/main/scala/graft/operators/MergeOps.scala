@@ -22,7 +22,10 @@ object MergeOps {
     * `(versionCol, remaining columns)` — lexicographic struct max, so
     * duplicate versions still resolve deterministically and partial
     * aggregation is safe); keys absent from the delta keep their base
-    * row; delta-only keys are inserted. Schemas must match.
+    * row; delta-only keys are inserted. Schemas must match. The base
+    * is assumed keyed (one row per key, the table contract a MERGE
+    * target always has); duplicate base rows for a key NOT in the
+    * delta pass through untouched.
     *
     * 100-TB shape: the delta collapses to one row per key with a
     * partial-agg struct max (cost ∝ |delta|), and the base is pruned
