@@ -233,13 +233,16 @@ object Sketches {
     */
   def countMinQuery(cells: DataFrame, queries: DataFrame, valueCol: String,
                     depth: Int = 4, width: Int = 1024): DataFrame = {
-    val probes = (0 until depth).map { i =>
-      queries.select(col(valueCol).cast("string").as("value"))
-        .distinct()
-        .select(col("value"), lit(i).as("row_i"),
+    // same one-scan explode shape as the build (a union-of-selects
+    // would recompute the distinct per sketch row)
+    val probes = queries.select(col(valueCol).cast("string").as("value"))
+      .distinct()
+      .select(col("value"), explode(array((0 until depth).map { i =>
+        struct(lit(i).as("row_i"),
           hash48(concat(lit(s"$i:"), col("value")))
             .bitwiseAND(lit((width - 1).toLong)).as("cell"))
-    }.reduce(_ unionByName _)
+      }: _*)).as("p"))
+      .select(col("value"), col("p.row_i").as("row_i"), col("p.cell").as("cell"))
     probes.join(broadcast(cells), Seq("row_i", "cell"), "left")
       .groupBy("value")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
