@@ -32,15 +32,21 @@ object Funnel {
              userCol: String = "user_id", tsCol: String = "ts",
              typeCol: String = "event_type"): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
+    // each stage frame is persisted: it has two consumers (the next
+    // stage's join and the running result), and without the persist
+    // stage i's PRUNED SCAN re-runs once per later stage. The frames
+    // are user-cardinality (tiny next to the event stream); released
+    // by callers per the Verify/Bench cache contract.
     var cur = events.filter(col(typeCol) === stages.head)
       .groupBy(col(userCol)).agg(min(col(tsCol)).as("t0"))
+      .persist()
     stages.indices.drop(1).foreach { i =>
       val step = events.filter(col(typeCol) === stages(i))
         .select(col(userCol), col(tsCol).as("_ts"))
         .join(cur.select(col(userCol), col(s"t${i - 1}")), Seq(userCol))
         .filter(col("_ts") > col(s"t${i - 1}"))
         .groupBy(col(userCol)).agg(min(col("_ts")).as(s"t$i"))
-      cur = cur.join(step, Seq(userCol), "left")
+      cur = cur.join(step, Seq(userCol), "left").persist()
     }
     val depth = stages.indices.drop(1).foldLeft(lit(1L)) { (acc, i) =>
       acc + when(col(s"t$i").isNotNull, lit(1L)).otherwise(lit(0L))
