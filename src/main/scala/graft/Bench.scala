@@ -177,7 +177,7 @@ object Bench {
       // count-min build+probe, bounded inverted index, SCD2 history
       "q80_count_min", "q81_inverted_index", "q82_scd2",
       // stage-chained funnel, sketch-based overlap estimate, retrieval
-      "q83_funnel", "q84_kmv_overlap", "q85_search")
+      "q83_funnel", "q84_kmv_overlap", "q85_search", "q86_mixture_sample")
     val qmap = SparkEntry.queries
     val spark = newSession(cpus)
     def median(xs: Seq[Double]): Double = {

@@ -624,6 +624,47 @@ object Curation {
       .toDF()
   }
 
+  /** MIXTURE-WEIGHTED SAMPLE — the draw that turns [[mixtureWeights]]'
+    * √p-tempered recipe into an actual training subset: stratum s gets
+    * quota_s = min(n_s, budget·weight_ppm_s DIV 10⁶) docs, and its
+    * quota is filled with the quota_s smallest-md5(id) docs (the q50
+    * content-independent draw) — so the SAME docs are drawn on every
+    * replay, and growing the corpus only ever extends a stratum's
+    * sample.
+    *
+    * Two passes by construction (plan, then draw): the weight table
+    * collects first (one row per stratum — metadata), then one
+    * bounded-partial-agg pass draws. The draw buffer is ≤ max-quota
+    * rows per (map task, stratum) — exact smallest-hash selection's
+    * inherent state. Past ~10⁵-doc quotas, swap the selection for the
+    * hash-threshold filter (`md5₄₈(id) < quota·2⁴⁸ DIV n_s`, a pure
+    * projection with binomial jitter on the quota); same determinism,
+    * zero state.
+    *
+    * @return (stratum, quota, sample_rank, doc_id), rank 1..quota by
+    *         (md5 hash asc, id asc).
+    */
+  def mixtureSample(docs: DataFrame, budget: Long, stratumCol: String = "lang",
+                    idCol: String = "doc_id"): DataFrame = {
+    require(budget >= 0, "budget must be >= 0")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val quotas: Map[String, Long] = mixtureWeights(docs, stratumCol).collect()
+      .map(r => r.getString(0) ->
+        math.min(r.getLong(1), budget * r.getLong(3) / 1000000L)).toMap
+    val kmax = math.max(1L, quotas.values.foldLeft(0L)(math.max)).toInt
+    docs.select(col(stratumCol).cast("string").as("stratum"),
+        md5(col(idCol).cast("string")).as("hash"), col(idCol).as("id"))
+      .as[KeyedHash]
+      .groupByKey(_.stratum)
+      .agg(new MinKByHash(kmax).toColumn.name("top"))
+      .flatMap { case (s, buf) =>
+        val q = quotas.getOrElse(s, 0L).toInt
+        buf.hashes.indices.take(q).map(i => (s, q.toLong, (i + 1).toLong, buf.ids(i)))
+      }
+      .toDF("stratum", "quota", "sample_rank", "doc_id")
+  }
+
   /** PMI-style bigram PHRASE SCORING — the word2phrase pass (Mikolov
     * et al. 2013, "Distributed Representations of Words and Phrases"):
     * adjacent token pairs that co-occur far more often than their

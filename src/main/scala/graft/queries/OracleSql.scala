@@ -1,6 +1,6 @@
 package graft.queries
 
-/** DuckDB oracle twins for [[Queries]] — ALL 85 queries have one.
+/** DuckDB oracle twins for [[Queries]] — ALL 86 queries have one.
   * Column names and rounding match the Spark side exactly (driver
   * compare sorts columns by name and hashes values). Sketch-parameter
   * queries (q26 simhash, q27 hyperplane LSH, q35 IVF) share their hash
@@ -1307,7 +1307,27 @@ object OracleSql {
         |  sum(tf * ((n.total * 1000) // df.df))::BIGINT AS score_milli,
         |  count(*)::BIGINT AS n_hit
         |FROM tf JOIN df USING (token) CROSS JOIN n
-        |GROUP BY 1 ORDER BY score_milli DESC, doc_id LIMIT 20""".stripMargin
+        |GROUP BY 1 ORDER BY score_milli DESC, doc_id LIMIT 20""".stripMargin,
+
+    // q86: mixture-weighted sample — the q56 weight pipeline feeding
+    // quotas into the q50 smallest-md5 draw; quota arithmetic mirrors
+    // the Spark side exactly (min with n_docs, (budget·weight) // 10⁶).
+    "q86_mixture_sample" ->
+      """WITH c AS (SELECT lang AS stratum, count(*) AS n_docs FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n_docs)::BIGINT AS total_docs FROM c),
+        |s AS (SELECT stratum, n_docs, (n_docs * 1000000) // total_docs AS share_ppm FROM c, t),
+        |w AS (SELECT *, CAST(floor(sqrt(share_ppm * 1000000.0)) AS BIGINT) AS w_raw FROM s),
+        |n AS (SELECT sum(w_raw)::BIGINT AS w_sum FROM w),
+        |q AS (SELECT stratum,
+        |    least(n_docs, (40 * ((w_raw * 1000000) // w_sum)) // 1000000) AS quota
+        |  FROM w, n),
+        |h AS (SELECT lang AS stratum, doc_id, md5(doc_id::VARCHAR) AS hash FROM documents),
+        |r AS (SELECT stratum, doc_id,
+        |  row_number() OVER (PARTITION BY stratum ORDER BY hash, doc_id) AS sample_rank FROM h)
+        |SELECT r.stratum, q.quota::BIGINT AS quota,
+        |  r.sample_rank::BIGINT AS sample_rank, r.doc_id
+        |FROM r JOIN q USING (stratum) WHERE r.sample_rank <= q.quota
+        |ORDER BY stratum, sample_rank""".stripMargin
   )
 
   /** q64: BPE-style merge induction, `rounds` rounds unrolled as CTEs.

@@ -1117,6 +1117,14 @@ object Queries {
     graft.datatools.InvertedIndex.search(
       t(spark, dir, "documents"), Seq("sort", "merge", "hash"), k = 20)
 
+  // q86 — mixture-weighted sample: the q56 √p-tempered recipe turned
+  // into an actual deterministic draw (budget 40 over lang strata;
+  // per-stratum quota filled with the smallest-md5(id) docs).
+  def q86MixtureSample(spark: SparkSession, dir: String): DataFrame =
+    graft.datatools.Curation.mixtureSample(
+        t(spark, dir, "documents"), budget = 40L, stratumCol = "lang")
+      .orderBy("stratum", "sample_rank")
+
   /** name → query, in SURVEY.md §2 coverage order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_agg_pushdown" -> (q01AggPushdown _),
@@ -1203,6 +1211,7 @@ object Queries {
     "q82_scd2" -> (q82Scd2 _),
     "q83_funnel" -> (q83Funnel _),
     "q84_kmv_overlap" -> (q84KmvOverlap _),
-    "q85_search" -> (q85Search _)
+    "q85_search" -> (q85Search _),
+    "q86_mixture_sample" -> (q86MixtureSample _)
   )
 }

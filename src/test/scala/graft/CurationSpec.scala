@@ -705,6 +705,34 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  // ---- mixtureSample ----
+
+  test("mixtureSample: quotas from tempered weights, smallest-hash fill (vs brute force)") {
+    val gen = for {
+      n <- Gen.choose(0, 120)
+      rows <- Gen.listOfN(n, Gen.oneOf("en", "de", "zh"))
+      budget <- Gen.oneOf(0L, 7L, 25L, 500L)
+    } yield (rows.zipWithIndex.map { case (s, i) => (i.toLong, s) }, budget)
+    sample(gen, 12, 61L) { case (rows, budget) =>
+      val got = Curation.mixtureSample(rows.toDF("doc_id", "lang"), budget)
+        .as[(String, Long, Long, Long)].collect().toSet
+      // brute force: q56 weight arithmetic → quotas → smallest-md5 draw
+      val byS = rows.groupBy(_._2)
+      val total = rows.size.toLong
+      val shares = byS.map { case (s, rs) => s -> (rs.size.toLong * 1000000L / total) }
+      val wRaw = shares.map { case (s, p) => s -> math.floor(math.sqrt(p * 1e6)).toLong }
+      val wSum = wRaw.values.sum
+      val expect = byS.flatMap { case (s, rs) =>
+        val weight = wRaw(s) * 1000000L / wSum
+        val quota = math.min(rs.size.toLong, budget * weight / 1000000L)
+        rs.map(r => (md5hex(r._1.toString), r._1)).sortBy(identity)
+          .take(quota.toInt).zipWithIndex
+          .map { case ((_, id), i) => (s, quota, (i + 1).toLong, id) }
+      }.toSet
+      assert(got === expect, s"budget=$budget")
+    }
+  }
+
   // ---- phraseScores ----
 
   test("phraseScores matches brute-force word2phrase with deterministic ordering") {
