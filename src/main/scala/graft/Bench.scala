@@ -177,7 +177,9 @@ object Bench {
       // count-min build+probe, bounded inverted index, SCD2 history
       "q80_count_min", "q81_inverted_index", "q82_scd2",
       // stage-chained funnel, sketch-based overlap estimate, retrieval
-      "q83_funnel", "q84_kmv_overlap", "q85_search", "q86_mixture_sample")
+      "q83_funnel", "q84_kmv_overlap", "q85_search", "q86_mixture_sample",
+      // z-order layout stats (codegen Morton interleave)
+      "q87_zorder_layout")
     val qmap = SparkEntry.queries
     val spark = newSession(cpus)
     def median(xs: Seq[Double]): Double = {

@@ -1327,8 +1327,34 @@ object OracleSql {
         |SELECT r.stratum, q.quota::BIGINT AS quota,
         |  r.sample_rank::BIGINT AS sample_rank, r.doc_id
         |FROM r JOIN q USING (stratum) WHERE r.sample_rank <= q.quota
-        |ORDER BY stratum, sample_rank""".stripMargin
+        |ORDER BY stratum, sample_rank""".stripMargin,
+
+    // q87: z-order layout stats — the Morton interleave is spelled out
+    // as 32 shift-and-mask terms (generated below: bit i of na → bit
+    // 2i, bit i of nb → 2i+1), the normalization is the same integer
+    // (x-mn)·65535 // (mx-mn); bucket = z's high 6 of 32 bits.
+    "q87_zorder_layout" ->
+      s"""WITH bounds AS (SELECT min(l_partkey) AS mn_a, max(l_partkey) AS mx_a,
+        |    min(l_suppkey) AS mn_b, max(l_suppkey) AS mx_b FROM lineitem),
+        |n AS (SELECT l_partkey AS a, l_suppkey AS b,
+        |    CASE WHEN mx_a = mn_a THEN 0 ELSE ((l_partkey - mn_a) * 65535) // (mx_a - mn_a) END AS na,
+        |    CASE WHEN mx_b = mn_b THEN 0 ELSE ((l_suppkey - mn_b) * 65535) // (mx_b - mn_b) END AS nb
+        |  FROM lineitem, bounds),
+        |z AS (SELECT a, b, ${mortonTerms("na", "nb", 16)} AS z FROM n)
+        |SELECT z // ${1L << 26} AS bucket, count(*)::BIGINT AS n_rows,
+        |  min(a)::BIGINT AS min_a, max(a)::BIGINT AS max_a,
+        |  min(b)::BIGINT AS min_b, max(b)::BIGINT AS max_b
+        |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
   )
+
+  /** q87: the Morton interleave of the low `bits` bits of two columns,
+    * as a flat bit-or of placed bits (DuckDB has `&`/`|`/`<<`/`>>` on
+    * BIGINT; no loop needed — the term list is generated).
+    */
+  private def mortonTerms(a: String, b: String, bits: Int): String =
+    (0 until bits).flatMap { i =>
+      Seq(s"((($a >> $i) & 1) << ${2 * i})", s"((($b >> $i) & 1) << ${2 * i + 1})")
+    }.mkString("(", " | ", ")")
 
   /** q64: BPE-style merge induction, `rounds` rounds unrolled as CTEs.
     * Round r: enumerate every adjacent (overlapping) token pair of the

@@ -1125,6 +1125,17 @@ object Queries {
         t(spark, dir, "documents"), budget = 40L, stratumCol = "lang")
       .orderBy("stratum", "sample_rank")
 
+  // q87 — Z-order layout stats: Morton-interleave the (normalized)
+  // part/supplier keys (native codegen expression), bucket rows by the
+  // z-value's high 6 bits, report each bucket's per-dimension
+  // (min, max) — the manifest stats a scan on EITHER key prunes
+  // against. One bounds agg + one 64-group partial-agg shuffle.
+  def q87ZorderLayout(spark: SparkSession, dir: String): DataFrame =
+    graft.datatools.Layout.zorderBuckets(
+        t(spark, dir, "lineitem"), "l_partkey", "l_suppkey",
+        bits = 16, bucketBits = 6)
+      .orderBy("bucket")
+
   /** name → query, in SURVEY.md §2 coverage order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_agg_pushdown" -> (q01AggPushdown _),
@@ -1212,6 +1223,7 @@ object Queries {
     "q83_funnel" -> (q83Funnel _),
     "q84_kmv_overlap" -> (q84KmvOverlap _),
     "q85_search" -> (q85Search _),
-    "q86_mixture_sample" -> (q86MixtureSample _)
+    "q86_mixture_sample" -> (q86MixtureSample _),
+    "q87_zorder_layout" -> (q87ZorderLayout _)
   )
 }
