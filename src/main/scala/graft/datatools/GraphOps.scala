@@ -1,6 +1,7 @@
 package graft.datatools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -259,5 +260,79 @@ object GraphOps {
     e.unpersist()
     oriented.unpersist()
     materialized
+  }
+
+  /** Anchor-text aggregation — the classic web-search signal: for each
+    * link TARGET, the top-k anchor terms pointing at it, by citation
+    * count (ties → lexicographically smaller term; rank ties are
+    * therefore unique). Search engines weight anchor text above body
+    * text (Brin & Page '98 §2.2); a crawl-derived corpus keeps it as
+    * per-target metadata.
+    *
+    * Scale shape: one (dst, term) count aggregation (map-side
+    * combine), then the per-target top-k as a bounded typed
+    * [[Aggregator]] over the AGGREGATED frame — each map task ships at
+    * most k (term, cnt) pairs per target, and nothing is ever sorted
+    * at corpus cardinality. The row_number-window formulation would
+    * shuffle AND sort every distinct (dst, term) pair; this ships
+    * O(k · targets).
+    *
+    * @param anchors one row per link occurrence: (dst, term)
+    * @return (dst, term, cnt, rank) — rank 1..k per target,
+    *         ordered (cnt desc, term asc)
+    */
+  def anchorTopK(anchors: DataFrame, k: Int,
+                 dstCol: String = "dst", termCol: String = "term"): DataFrame = {
+    val counted = anchors
+      .groupBy(col(dstCol).as("dst"), col(termCol).as("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val top = udaf(new TopKByCount(k), Encoders.product[(String, Long)])
+    counted.groupBy(col("dst"))
+      .agg(top(col("term"), col("cnt")).as("b"))
+      .select(col("dst"), posexplode(expr(
+        "zip_with(b.terms, b.cnts, (t, c) -> struct(t AS term, c AS cnt))")))
+      .select(col("dst"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.term").as("term"), col("col.cnt").as("cnt"))
+  }
+
+  /** (term, cnt) buffer kept sorted by (cnt desc, term asc), capped at
+    * k — parallel Seqs for an Encoders.product-friendly buffer (the
+    * [[Curation.MinKByHash]] convention). Insertion is commutative +
+    * idempotent-merge-safe: partial aggregation and shuffle order
+    * cannot change the answer, because input (term, cnt) pairs are
+    * DISTINCT per group (the upstream count agg guarantees it).
+    */
+  final case class TopCntBuf(terms: Seq[String], cnts: Seq[Long])
+
+  final class TopKByCount(k: Int)
+      extends Aggregator[(String, Long), TopCntBuf, TopCntBuf] {
+    require(k >= 1, "k must be >= 1")
+
+    override def zero: TopCntBuf = TopCntBuf(Vector.empty, Vector.empty)
+
+    // true when (t1, c1) outranks (t2, c2)
+    private def lt(t1: String, c1: Long, t2: String, c2: Long): Boolean =
+      c1 > c2 || (c1 == c2 && t1.compareTo(t2) < 0)
+
+    private def insert(b: TopCntBuf, term: String, cnt: Long): TopCntBuf = {
+      val n = b.terms.size
+      if (n == k && !lt(term, cnt, b.terms(n - 1), b.cnts(n - 1))) return b
+      var i = 0
+      while (i < n && lt(b.terms(i), b.cnts(i), term, cnt)) i += 1
+      TopCntBuf(
+        ((b.terms.take(i) :+ term) ++ b.terms.drop(i)).take(k),
+        ((b.cnts.take(i) :+ cnt) ++ b.cnts.drop(i)).take(k))
+    }
+
+    override def reduce(b: TopCntBuf, e: (String, Long)): TopCntBuf =
+      insert(b, e._1, e._2)
+
+    override def merge(a: TopCntBuf, b: TopCntBuf): TopCntBuf =
+      b.terms.indices.foldLeft(a)((acc, i) => insert(acc, b.terms(i), b.cnts(i)))
+
+    override def finish(b: TopCntBuf): TopCntBuf = b
+
+    override def bufferEncoder: Encoder[TopCntBuf] = Encoders.product[TopCntBuf]
+    override def outputEncoder: Encoder[TopCntBuf] = Encoders.product[TopCntBuf]
   }
 }

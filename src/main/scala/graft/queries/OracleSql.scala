@@ -1344,7 +1344,67 @@ object OracleSql {
         |SELECT z // ${1L << 26} AS bucket, count(*)::BIGINT AS n_rows,
         |  min(a)::BIGINT AS min_a, max(a)::BIGINT AS max_a,
         |  min(b)::BIGINT AS min_b, max(b)::BIGINT AS max_b
-        |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
+        |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // q88: boilerplate segment removal — same \s+ tokenizer as
+    // q30/q31/q54, 5-token non-overlapping windows zipped with range()
+    // for position; a segment in ≥ 3 DISTINCT docs is stripped
+    // everywhere; string_agg ORDER BY pos = Spark's array_sort on
+    // (pos, seg) structs (pos is unique per doc).
+    "q88_boilerplate_strip" ->
+      """WITH d AS (SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS l
+        |    FROM documents WHERE trim(text) <> ''),
+        |segs AS (SELECT id,
+        |    unnest(range(0, (len(l) - 1) // 5 + 1)) AS pos,
+        |    unnest(list_transform(range(0, (len(l) - 1) // 5 + 1),
+        |      j -> array_to_string(list_slice(l, j * 5 + 1, j * 5 + 5), ' '))) AS seg
+        |  FROM d),
+        |boiler AS (SELECT seg FROM (
+        |    SELECT seg, count(DISTINCT id) AS df FROM segs GROUP BY 1) WHERE df >= 3),
+        |kept AS (SELECT id, pos, seg FROM segs
+        |  WHERE seg NOT IN (SELECT seg FROM boiler)),
+        |tot AS (SELECT id, count(*) AS n_segs FROM segs GROUP BY 1),
+        |ka AS (SELECT id, string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+        |    count(*) AS n_kept FROM kept GROUP BY 1)
+        |SELECT t.id AS doc_id, coalesce(ka.clean_text, '') AS clean_text,
+        |  t.n_segs, coalesce(ka.n_kept, 0)::BIGINT AS n_kept
+        |FROM tot t LEFT JOIN ka USING (id) ORDER BY doc_id""".stripMargin,
+
+    // q89: anchor-text top-3 per link target — the window formulation
+    // of Spark's bounded top-k Aggregator (the q50 convention); same
+    // synthetic edge formula as q47/q48, anchor = part-name head token.
+    "q89_anchor_text" ->
+      """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+        |a AS (SELECT ((l_orderkey + l_partkey * 7) % m) + 1 AS dst,
+        |    string_split(p_name, ' ')[1] AS term
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey CROSS JOIN mx),
+        |c AS (SELECT dst, term, count(*) AS cnt FROM a GROUP BY 1, 2),
+        |r AS (SELECT dst, term, cnt,
+        |    row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, term) AS rnk
+        |  FROM c)
+        |SELECT dst AS url_key, rnk::INT AS rank, term, cnt FROM r
+        |WHERE rnk <= 3 ORDER BY url_key, rank""".stripMargin,
+
+    // q90: recrawl scheduling — lag() fingerprint comparison per URL
+    // (the q22 sessionize epoch_us convention), ppm fixed-point rate
+    // and linearized-staleness priority, floor division throughout.
+    "q90_recrawl_schedule" ->
+      """WITH g AS (SELECT user_id, event_id, ts, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_fp
+        |  FROM events),
+        |a AS (SELECT user_id AS url_key,
+        |    count(prev_fp) AS n_obs,
+        |    count(CASE WHEN prev_fp IS NOT NULL AND event_type <> prev_fp THEN 1 END) AS n_changes,
+        |    max(ts) AS last_ts
+        |  FROM g GROUP BY 1),
+        |mx AS (SELECT max(ts) AS as_of FROM events),
+        |s AS (SELECT url_key, n_obs, n_changes,
+        |    CASE WHEN n_obs > 0 THEN (n_changes * 1000000) // n_obs ELSE 0 END AS change_rate_ppm,
+        |    (epoch_us(as_of) - epoch_us(last_ts)) // 3600000000 AS age_hours
+        |  FROM a CROSS JOIN mx)
+        |SELECT url_key, n_obs, n_changes, change_rate_ppm, age_hours,
+        |  least(1000000::BIGINT, change_rate_ppm * age_hours) AS priority_ppm
+        |FROM s ORDER BY url_key""".stripMargin
   )
 
   /** q87: the Morton interleave of the low `bits` bits of two columns,

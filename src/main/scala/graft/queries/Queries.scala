@@ -1136,6 +1136,52 @@ object Queries {
         bits = 16, bucketBits = 6)
       .orderBy("bucket")
 
+  // q88 — boilerplate segment removal (CCNet/RefinedWeb line dedup,
+  // over 5-token windows since the corpus has no line structure): a
+  // segment occurring in ≥ 3 DISTINCT docs is boilerplate and every
+  // occurrence is stripped; docs are re-emitted with kept segments in
+  // original order. Distinct from q54's keep-first chunk rule. The
+  // boilerplate set is df-filtered BEFORE the verdict join, so the
+  // corpus-sized segment frame meets it as a broadcast anti join.
+  def q88BoilerplateStrip(spark: SparkSession, dir: String): DataFrame =
+    Curation.boilerplateStrip(t(spark, dir, "documents"),
+        segTokens = 5, minDf = 3)
+      .orderBy("doc_id")
+
+  // q89 — anchor-text aggregation: for each link TARGET of the q47/q48
+  // synthetic link graph, the top-3 anchor terms by citation count
+  // (ties → smaller term). Anchor term = the linking row's part-name
+  // head token (the "text on the link"). The per-target top-k runs as
+  // a bounded typed Aggregator over the (dst, term) count aggregation
+  // — no corpus-cardinality window sort (the q50 sampler convention).
+  def q89AnchorText(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val mx = orders.agg(max("o_orderkey")).first().getLong(0)
+    val anchors = t(spark, dir, "lineitem")
+      .join(t(spark, dir, "part").select(col("p_partkey"), col("p_name")),
+        col("l_partkey") === col("p_partkey"))
+      .select(
+        (pmod(col("l_orderkey") + col("l_partkey") * 7, lit(mx)) + 1).as("dst"),
+        split(col("p_name"), " ").getItem(0).as("term"))
+    GraphOps.anchorTopK(anchors, k = 3)
+      .select(col("dst").as("url_key"), col("rank"), col("term"), col("cnt"))
+      .orderBy("url_key", "rank")
+  }
+
+  // q90 — adaptive recrawl scheduling (Cho & Garcia-Molina): per-URL
+  // Poisson change-rate estimate from the fetch history (events as the
+  // fetch log: user_id = URL key, event_type = the content
+  // fingerprint observed), priority = linearized expected staleness,
+  // all ppm fixed-point. One exchange: the lag window's
+  // hashpartitioning is reused by the per-URL aggregation.
+  def q90RecrawlSchedule(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val asOf = ev.agg(max(col("ts")).cast("string")).first().getString(0)
+    graft.frontier.Recrawl.schedule(ev, "user_id", "ts", "event_id",
+        fpCol = col("event_type"), asOf = lit(asOf).cast("timestamp"))
+      .orderBy("url_key")
+  }
+
   /** name → query, in SURVEY.md §2 coverage order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_agg_pushdown" -> (q01AggPushdown _),
@@ -1224,6 +1270,9 @@ object Queries {
     "q84_kmv_overlap" -> (q84KmvOverlap _),
     "q85_search" -> (q85Search _),
     "q86_mixture_sample" -> (q86MixtureSample _),
-    "q87_zorder_layout" -> (q87ZorderLayout _)
+    "q87_zorder_layout" -> (q87ZorderLayout _),
+    "q88_boilerplate_strip" -> (q88BoilerplateStrip _),
+    "q89_anchor_text" -> (q89AnchorText _),
+    "q90_recrawl_schedule" -> (q90RecrawlSchedule _)
   )
 }

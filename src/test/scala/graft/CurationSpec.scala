@@ -761,4 +761,64 @@ class CurationSpec extends SparkSpec {
       assert(got === expect, s"minCount=$minCount discount=$discount")
     }
   }
+
+  // ---- boilerplateStrip ----
+
+  /** Brute-force twin: \s+ tokens on the trimmed text (empty docs drop
+    * out entirely), non-overlapping segTokens-token windows, a segment
+    * in ≥ minDf DISTINCT docs is dropped at EVERY occurrence.
+    */
+  private def bruteBoiler(docs: Seq[(Long, String)], segTokens: Int, minDf: Int)
+      : Map[Long, (String, Long, Long)] = {
+    val segsByDoc = docs.flatMap { case (id, text) =>
+      val t = text.trim
+      if (t.isEmpty) None
+      else Some(id -> t.split("\\s+").grouped(segTokens).map(_.mkString(" ")).toVector)
+    }
+    val df = segsByDoc.flatMap { case (id, segs) => segs.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (s, xs) => s -> xs.size }
+    val boiler = df.filter(_._2 >= minDf).keySet
+    segsByDoc.map { case (id, segs) =>
+      val kept = segs.filterNot(boiler)
+      id -> (kept.mkString(" "), segs.size.toLong, kept.size.toLong)
+    }.toMap
+  }
+
+  test("boilerplateStrip drops cross-doc segments everywhere, keeps order, handles all-boiler docs") {
+    // "cookie banner click here" appears in 3 docs → stripped from all
+    // three, including doc 3 which is NOTHING BUT the banner (→ "").
+    // Doc 4 repeats a segment internally (df = 1) → kept twice.
+    val docs = Seq(
+      1L -> "cookie banner click here alpha beta gamma delta",
+      2L -> "one two three four cookie banner click here",
+      3L -> "cookie banner click here",
+      4L -> "five six seven eight five six seven eight",
+      5L -> "   ").toDF("doc_id", "text")
+    val got = Curation.boilerplateStrip(docs, segTokens = 4, minDf = 3)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got === Map(
+      1L -> (("alpha beta gamma delta", 2L, 1L)),
+      2L -> (("one two three four", 2L, 1L)),
+      3L -> (("", 1L, 0L)),
+      4L -> (("five six seven eight five six seven eight", 2L, 2L))))
+  }
+
+  test("boilerplateStrip matches brute force on random corpora") {
+    val words = Seq("a", "b", "c", "d", "e")
+    val gen = for {
+      nd <- Gen.choose(0, 12)
+      docs <- Gen.listOfN(nd, Gen.listOf(Gen.oneOf(words)).map(_.mkString(" ")))
+      segTokens <- Gen.oneOf(1, 2, 3)
+      minDf <- Gen.oneOf(2, 3)
+    } yield (docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }, segTokens, minDf)
+    sample(gen, 12, 88L) { case (docs, segTokens, minDf) =>
+      val expect = bruteBoiler(docs, segTokens, minDf)
+      val got = Curation.boilerplateStrip(docs.toDF("doc_id", "text"),
+          segTokens = segTokens, minDf = minDf)
+        .as[(Long, String, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      assert(got === expect, s"segTokens=$segTokens minDf=$minDf docs=$docs")
+    }
+  }
 }

@@ -213,4 +213,42 @@ class GraphOpsSpec extends SparkSpec {
     GraphOps.bfsDepths(chain.toDF("src", "dst"), Seq(1L).toDF("id"), maxDepth = 8).collect()
     assert(live() - b3 <= 1, "bfsDepths leaked checkpoints")
   }
+
+  // ---- anchorTopK ----
+
+  /** Brute-force twin: count (dst, term) pairs, per dst order by
+    * (cnt desc, term asc), keep k with rank 1..k.
+    */
+  private def bruteAnchors(rows: Seq[(Long, String)], k: Int)
+      : Seq[(Long, Int, String, Long)] =
+    rows.groupBy(identity).map { case ((d, t), xs) => (d, t, xs.size.toLong) }
+      .toSeq.groupBy(_._1).toSeq.flatMap { case (d, xs) =>
+        xs.sortBy { case (_, t, c) => (-c, t) }.take(k).zipWithIndex
+          .map { case ((_, t, c), i) => (d, i + 1, t, c) }
+      }.sortBy { case (d, r, _, _) => (d, r) }
+
+  test("anchorTopK ranks by count desc then term asc, capped at k") {
+    val anchors = (Seq.fill(4)(1L -> "shop") ++ Seq.fill(4)(1L -> "home") ++
+      Seq.fill(2)(1L -> "blog") ++ Seq(1L -> "faq") ++
+      Seq(2L -> "solo")).toDF("dst", "term")
+    val got = GraphOps.anchorTopK(anchors, k = 3)
+      .orderBy("dst", "rank").as[(Long, Int, String, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1, "home", 4L), (1L, 2, "shop", 4L), (1L, 3, "blog", 2L),
+      (2L, 1, "solo", 1L)))
+  }
+
+  test("anchorTopK matches brute force on random anchor multisets") {
+    val terms = Seq("a", "b", "c", "d", "e", "f")
+    val gen = for {
+      n <- Gen.choose(0, 60)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(1L, 5L), Gen.oneOf(terms)))
+      k <- Gen.oneOf(1, 2, 4)
+    } yield (rows, k)
+    sample(gen, 12, 89L) { case (rows, k) =>
+      val got = GraphOps.anchorTopK(rows.toDF("dst", "term"), k = k)
+        .orderBy("dst", "rank").as[(Long, Int, String, Long)].collect().toSeq
+      assert(got === bruteAnchors(rows, k), s"k=$k rows=$rows")
+    }
+  }
 }
