@@ -179,7 +179,13 @@ object Bench {
       // stage-chained funnel, sketch-based overlap estimate, retrieval
       "q83_funnel", "q84_kmv_overlap", "q85_search", "q86_mixture_sample",
       // z-order layout stats (codegen Morton interleave)
-      "q87_zorder_layout")
+      "q87_zorder_layout",
+      // crawl-corpus hygiene: boilerplate strip (fused single-agg
+      // reassembly), anchor-text top-k (bounded Aggregator), recrawl
+      // scheduling (one-exchange window+agg)
+      "q88_boilerplate_strip", "q89_anchor_text", "q90_recrawl_schedule",
+      // HITS fixed-point iterations, BM25 retrieval
+      "q91_hits", "q92_bm25")
     val qmap = SparkEntry.queries
     val spark = newSession(cpus)
     def median(xs: Seq[Double]): Double = {

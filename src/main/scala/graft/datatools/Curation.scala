@@ -277,9 +277,12 @@ object Curation {
     * construction (it holds only text repeated across ≥ minDf docs —
     * bounded by corpus_segments / minDf and in practice by the
     * boilerplate vocabulary of the crawl), so the verdict is a
-    * broadcast LEFT ANTI join — the corpus-sized segment frame never
-    * shuffles on text for it. Reassembly is one exchange on the doc id
-    * with an order-restoring array_sort on the (pos, seg) structs —
+    * broadcast LEFT OUTER join carrying a flag — the corpus-sized
+    * segment frame never shuffles on text for it. Reassembly + the
+    * kept/total counters fold in ONE aggregation (one exchange on the
+    * doc id) over the flagged frame: `collect_list` skips the nulls
+    * the CASE leaves on boilerplate rows, so kept-only reassembly and
+    * the all-segments total share the pass — no second corpus scan,
     * no window, no per-doc sort exchange beyond the agg itself.
     */
   def boilerplateStrip(corpus: DataFrame, segTokens: Int = 5, minDf: Int = 3,
@@ -294,18 +297,17 @@ object Curation {
     val boiler = segs.groupBy(col("seg"))
       .agg(countDistinct(col("id")).as("df"))
       .filter(col("df") >= minDf)
-      .select("seg")
-    val kept = segs.join(broadcast(boiler), Seq("seg"), "left_anti")
+      .select(col("seg"), lit(true).as("is_boiler"))
+    segs.join(broadcast(boiler), Seq("seg"), "left")
       .groupBy(col("id"))
       .agg(
-        concat_ws(" ", expr("transform(array_sort(collect_list(struct(pos, seg))), x -> x.seg)"))
+        concat_ws(" ", expr(
+          """transform(array_sort(collect_list(
+            |  CASE WHEN is_boiler IS NULL THEN struct(pos, seg) END)), x -> x.seg)""".stripMargin))
           .as("clean_text"),
-        count(lit(1)).as("n_kept"))
-    val totals = segs.groupBy(col("id")).agg(count(lit(1)).as("n_segs"))
-    totals.join(kept, Seq("id"), "left")
-      .select(col("id").as(idCol),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        col("n_segs"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        count(lit(1)).as("n_segs"),
+        count(when(col("is_boiler").isNull, 1)).as("n_kept"))
+      .select(col("id").as(idCol), col("clean_text"), col("n_segs"), col("n_kept"))
   }
 
   /** Temperature-scaled mixture weights for training-data sampling:

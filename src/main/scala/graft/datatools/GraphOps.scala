@@ -262,6 +262,73 @@ object GraphOps {
     materialized
   }
 
+  /** HITS hub/authority scores (Kleinberg '99) over a directed link
+    * graph — the complement of [[linkAuthority]]'s PageRank: a HUB is
+    * a page that links to many good authorities (a directory/sitemap),
+    * an AUTHORITY is a page linked from many good hubs. A crawl
+    * scheduler uses hubs to find frontier pages whose outlinks are
+    * worth expanding; a corpus curator uses authorities as a quality
+    * prior. FIXED-POINT integer arithmetic (the [[linkAuthority]]
+    * convention: ppm scale, floor division, sum-normalization each
+    * half-step) so any engine replays the iterations bit-exactly.
+    *
+    * Per iteration: auth_raw(i) = Σ_{j→i} hub(j), normalized to
+    * auth(i) = auth_raw(i)·scale div Σ auth_raw; then hub_raw(j) =
+    * Σ_{j→i} auth(i), normalized the same way. Overflow bound: the
+    * normalize multiply needs Σraw·scale < 2⁶³; after round 1 each
+    * vector sums to ≤ scale, so Σraw ≤ scale·max_outdeg — holds for
+    * max degree < 9·10⁶ at scale 10⁶ (round 1's h₀ = scale·n bound:
+    * |E| < 9·10⁶; lower `scale` for denser graphs).
+    *
+    * Scale shape: each half-step is one edges⋈scores equi-join + one
+    * key-partial-agg sum + a 1-row total agg folded back as a literal
+    * (no cross join, no window); eager localCheckpoint truncates the
+    * iteration lineage and releases superseded rounds (the
+    * [[connectedComponents]] discipline).
+    *
+    * @return (id, hub_ppm, auth_ppm) one row per node
+    */
+  def hits(edges: DataFrame, iters: Int = 3, scale: Long = 1000000L,
+           srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    // one normalized half-step: scores(id, s) ⋈ edges on `joinOn`,
+    // summed per `outKey`, floor-normalized to total = scale
+    def halfStep(scores: DataFrame, joinOn: String, outKey: String): DataFrame = {
+      val raw = e.join(scores, e(joinOn) === scores("id"))
+        .groupBy(col(outKey).as("id")).agg(sum(col("s")).as("raw"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val total = Option(raw.agg(sum(col("raw"))).head().getAs[java.lang.Long](0))
+        .map(_.longValue()).getOrElse(0L) // null ⇔ no edges at all
+      val out = nodes.join(raw, Seq("id"), "left")
+        .select(col("id"),
+          expr(s"coalesce(raw, 0L) * ${scale}L DIV ${math.max(total, 1L)}L").as("s"))
+        .localCheckpoint(true)
+      raw.unpersist()
+      out
+    }
+    var hub = nodes.select(col("id"), lit(scale).as("s")).localCheckpoint(true)
+    var auth: DataFrame = null
+    (1 to iters).foreach { _ =>
+      val prevAuth = auth
+      auth = halfStep(hub, joinOn = "src", outKey = "dst")
+      if (prevAuth != null) Checkpoints.release(prevAuth)
+      val prevHub = hub
+      hub = halfStep(auth, joinOn = "dst", outKey = "src")
+      Checkpoints.release(prevHub)
+    }
+    val out = hub.select(col("id"), col("s").as("hub_ppm"))
+      .join(auth.select(col("id"), col("s").as("auth_ppm")), Seq("id"))
+      .localCheckpoint(true)
+    Checkpoints.release(hub); Checkpoints.release(auth)
+    Checkpoints.release(nodes); e.unpersist()
+    out
+  }
+
   /** Anchor-text aggregation — the classic web-search signal: for each
     * link TARGET, the top-k anchor terms pointing at it, by citation
     * count (ties → lexicographically smaller term; rank ties are

@@ -134,4 +134,61 @@ object InvertedIndex {
       .orderBy(col("score_milli").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** BM25 retrieval (Robertson–Spärck Jones) — [[search]]'s linearized
+    * tf·idf upgraded with the two signals production rankers add: term
+    * SATURATION (the k₁ knob: the 50th occurrence of a token is worth
+    * less than the 2nd) and document-LENGTH normalization (the b knob:
+    * long pages don't win just by containing everything).
+    * score(d) = Σ_t lidf(t) · tf·(k₁+1) / (tf + k₁·(1−b+b·len/avglen)),
+    * all FIXED-POINT integer milli-units (k₁ = k1Milli/1000, b =
+    * bMilli/1000; lidf_milli = N·1000 div df, the [[search]]
+    * convention) with floor division, so the oracle replays it
+    * bit-exactly — no `ln`/float ulp gamble.
+    *
+    * 100-TB shape: identical to [[search]] — the query token `isin`
+    * filter prunes the exploded stream BEFORE the (token, doc)
+    * aggregation, so everything past the scan is (query × matching
+    * docs)-sized. Doc length is a PROJECTION (`size(split(...))`), not
+    * a second explode; the corpus-wide (N, Σlen) scalars are one 1-row
+    * agg folded back as literals; df joins back as a broadcast.
+    *
+    * @return (doc_id, score_micro, n_hit) — top `k` by (score desc,
+    *         doc asc); score_micro = Σ lidf_milli · sat_milli
+    */
+  def bm25Search(docs: DataFrame, queryTokens: Seq[String], k: Int,
+                 k1Milli: Long = 1200L, bMilli: Long = 750L,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queryTokens.nonEmpty, "empty query")
+    require(bMilli >= 0 && bMilli <= 1000, "b must be in [0, 1]")
+    val withLen = docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        split(trim(col(textCol)), "\\s+").as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("len"))
+    val Array(nDocs, sumLen) = withLen.agg(count(lit(1)), sum(col("len")))
+      .head() match { case r => Array(r.getLong(0), r.getLong(1)) }
+    val avgLenMilli = math.max(1L, sumLen * 1000L / math.max(nDocs, 1L))
+    // persisted: the df agg and the score join both consume it
+    val tf = withLen
+      .select(col("doc_id"), col("len"), explode(col("toks")).as("token"))
+      .filter(col("token").isin(queryTokens: _*))
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"), max(col("len")).as("len"))
+      .persist()
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), Seq("token"))
+      .select(col("doc_id"),
+        // norm_milli = (1000−b) + b·len/avglen; denom_milli = tf·1000
+        // + k₁·norm/1000; sat_milli = tf·(1000+k₁)·1000 div denom
+        expr(
+          s"""(${nDocs}L * 1000 DIV df) *
+             |  ((tf * ${1000L + k1Milli}L * 1000) DIV
+             |   (tf * 1000 + (${k1Milli}L * ((1000 - ${bMilli}L) +
+             |     (${bMilli}L * len * 1000) DIV ${avgLenMilli}L)) DIV 1000))"""
+            .stripMargin.replaceAll("\\s+", " ").trim)
+          .as("w"))
+      .groupBy("doc_id")
+      .agg(sum(col("w")).as("score_micro"), count(lit(1)).as("n_hit"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -1404,8 +1404,65 @@ object OracleSql {
         |  FROM a CROSS JOIN mx)
         |SELECT url_key, n_obs, n_changes, change_rate_ppm, age_hours,
         |  least(1000000::BIGINT, change_rate_ppm * age_hours) AS priority_ppm
-        |FROM s ORDER BY url_key""".stripMargin
+        |FROM s ORDER BY url_key""".stripMargin,
+
+    // q91: HITS — same unrolled fixed-point discipline as q48Sql; each
+    // half-step sum-normalizes via a scalar subquery total (HUGEINT in
+    // the multiply, cast back after the floor division — nonnegative,
+    // so // = DIV).
+    "q91_hits" -> q91Sql(),
+
+    // q92: BM25 — q85's lidf_milli with tf-saturation and length
+    // normalization, all milli fixed-point floor division; doc length
+    // = the q30/q31 \s+ token count, avglen folded as a scalar CTE.
+    "q92_bm25" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |    FROM documents WHERE length(trim(text)) > 0),
+        |l AS (SELECT doc_id, len(toks)::BIGINT AS len FROM d),
+        |av AS (SELECT count(*) AS n,
+        |    greatest(1, (sum(len) * 1000) // greatest(count(*), 1)) AS avml FROM l),
+        |t AS (SELECT doc_id, unnest(toks) AS token FROM d),
+        |tf AS (SELECT token, t.doc_id, count(*) AS tf, max(l.len) AS len
+        |    FROM t JOIN l USING (doc_id)
+        |    WHERE token IN ('sort', 'merge', 'hash') GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1)
+        |SELECT doc_id,
+        |  sum(((av.n * 1000) // df.df) *
+        |      ((tf * 2200 * 1000) //
+        |       (tf * 1000 + (1200 * ((1000 - 750) +
+        |         (750 * len * 1000) // av.avml)) // 1000)))::BIGINT AS score_micro,
+        |  count(*)::BIGINT AS n_hit
+        |FROM tf JOIN df USING (token) CROSS JOIN av
+        |GROUP BY 1 ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin
   )
+
+  /** q91: HITS hub/authority, `iters` unrolled rounds — auth half-step
+    * then hub half-step, each sum-normalized to 10⁶ with floor
+    * division exactly like GraphOps.hits (h₀ = 10⁶ on every node).
+    */
+  private def q91Sql(iters: Int = 3): String = {
+    def half(out: String, in: String, joinCol: String, keyCol: String): String =
+      s"""${out}r AS (SELECT e.$keyCol AS id, sum(p.s) AS raw
+         |  FROM edges e JOIN $in p ON p.id = e.$joinCol GROUP BY 1),
+         |$out AS (SELECT n.id,
+         |    (coalesce(r.raw, 0) * 1000000 //
+         |     greatest((SELECT sum(raw) FROM ${out}r), 1))::BIGINT AS s
+         |  FROM nodes n LEFT JOIN ${out}r r USING (id))""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      half(s"a$i", s"h${i - 1}", "src", "dst") + ",\n" +
+        half(s"h$i", s"a$i", "dst", "src")
+    }.mkString(",\n")
+    s"""WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+       |edges AS (SELECT l_orderkey AS src,
+       |    ((l_orderkey + l_partkey * 7) % m) + 1 AS dst FROM lineitem, mx),
+       |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+       |h0 AS (SELECT id, 1000000::BIGINT AS s FROM nodes),
+       |$rounds
+       |SELECT n.id AS url_key, h$iters.s AS hub_ppm, a$iters.s AS auth_ppm
+       |FROM nodes n JOIN h$iters ON h$iters.id = n.id
+       |JOIN a$iters ON a$iters.id = n.id
+       |ORDER BY url_key""".stripMargin
+  }
 
   /** q87: the Morton interleave of the low `bits` bits of two columns,
     * as a flat bit-or of placed bits (DuckDB has `&`/`|`/`<<`/`>>` on

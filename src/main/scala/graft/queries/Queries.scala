@@ -1182,6 +1182,31 @@ object Queries {
       .orderBy("url_key")
   }
 
+  // q91 — HITS hub/authority scores over the q47/q48 synthetic link
+  // graph: 3 fixed-point iterations (ppm scale, sum-normalized each
+  // half-step, floor division) so the unrolled-CTE oracle replays the
+  // loop bit-exactly. Hubs rank frontier pages whose outlinks to
+  // expand; authorities are a corpus quality prior.
+  def q91Hits(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val mx = orders.agg(max("o_orderkey")).first().getLong(0)
+    val edges = t(spark, dir, "lineitem").select(
+      col("l_orderkey").as("src"),
+      (pmod(col("l_orderkey") + col("l_partkey") * 7, lit(mx)) + 1).as("dst"))
+    GraphOps.hits(edges, iters = 3)
+      .select(col("id").as("url_key"), col("hub_ppm"), col("auth_ppm"))
+      .orderBy("url_key")
+  }
+
+  // q92 — BM25 retrieval: q85's query + corpus with saturation (k₁ =
+  // 1.2) and length normalization (b = 0.75), all milli fixed-point.
+  // Same scale shape as q85: the query-token filter prunes the
+  // exploded stream before any aggregation; doc length is a projection
+  // (no second explode); (N, avglen) fold back as literals.
+  def q92Bm25(spark: SparkSession, dir: String): DataFrame =
+    graft.datatools.InvertedIndex.bm25Search(
+      t(spark, dir, "documents"), Seq("sort", "merge", "hash"), k = 20)
+
   /** name → query, in SURVEY.md §2 coverage order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_agg_pushdown" -> (q01AggPushdown _),
@@ -1273,6 +1298,8 @@ object Queries {
     "q87_zorder_layout" -> (q87ZorderLayout _),
     "q88_boilerplate_strip" -> (q88BoilerplateStrip _),
     "q89_anchor_text" -> (q89AnchorText _),
-    "q90_recrawl_schedule" -> (q90RecrawlSchedule _)
+    "q90_recrawl_schedule" -> (q90RecrawlSchedule _),
+    "q91_hits" -> (q91Hits _),
+    "q92_bm25" -> (q92Bm25 _)
   )
 }
