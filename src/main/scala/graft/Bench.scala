@@ -184,8 +184,9 @@ object Bench {
       // reassembly), anchor-text top-k (bounded Aggregator), recrawl
       // scheduling (one-exchange window+agg)
       "q88_boilerplate_strip", "q89_anchor_text", "q90_recrawl_schedule",
-      // HITS fixed-point iterations, BM25 retrieval
-      "q91_hits", "q92_bm25")
+      // HITS fixed-point iterations, BM25 retrieval, hash-sample
+      // quantile sketch, degree-capped co-citation pairs
+      "q91_hits", "q92_bm25", "q93_sample_quantiles", "q94_cocitation")
     val qmap = SparkEntry.queries
     val spark = newSession(cpus)
     def median(xs: Seq[Double]): Double = {

@@ -28,7 +28,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // release per-query internal persists/checkpoints (index frames,
-      // graph-round blocks) so 90 queries don't stack caches in one JVM
+      // graph-round blocks) so 94 queries do not stack caches in one JVM
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }

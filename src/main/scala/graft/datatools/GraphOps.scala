@@ -348,6 +348,47 @@ object GraphOps {
     * @return (dst, term, cnt, rank) — rank 1..k per target,
     *         ordered (cnt desc, term asc)
     */
+  /** Co-citation similarity (Small 1973) — the "related pages" signal:
+    * targets (a, b) are related when many of the SAME sources link to
+    * both; `shared` = |{s : s→a ∧ s→b}|. PageRank/HITS rank single
+    * pages; co-citation produces PAIRS — what a crawler uses to expand
+    * "more like this seed" and a curator to group mirrors that near-dup
+    * text sketches miss (same topic, different words).
+    *
+    * Skew is structural here: a source of out-degree d emits C(d, 2)
+    * pairs, so one 10⁵-outlink navigation hub alone would generate
+    * 5·10⁹ rows. The standard practice IS the fix: sources past
+    * `maxOutDeg` carry no topical signal (they cite everything) and
+    * are dropped, bounding pair fan-out at C(maxOutDeg, 2) per source.
+    *
+    * Plan shape: ONE exchange on src (collect_set folds the per-source
+    * neighbor list map-side), the ordered-pair fan-out as a zero-
+    * exchange lambda projection over the ≤ maxOutDeg-long arrays, one
+    * partial-agg'd exchange on the pair key, and a TakeOrdered top-k —
+    * no self-join, nothing sorted at pair cardinality.
+    *
+    * @return top `k` rows (a, b, shared) by (shared desc, a, b), pairs
+    *         with `shared` ≥ `minShared`, a < b
+    */
+  def coCitation(edges: DataFrame, maxOutDeg: Int = 64, minShared: Int = 2,
+                 k: Int = 100, srcCol: String = "src",
+                 dstCol: String = "dst"): DataFrame = {
+    require(maxOutDeg >= 2 && minShared >= 1 && k >= 1)
+    edges.filter(col(srcCol) =!= col(dstCol))
+      .groupBy(col(srcCol).as("src"))
+      .agg(sort_array(collect_set(col(dstCol))).as("ds"))
+      .filter(size(col("ds")).between(2, maxOutDeg))
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds) - i - 1),
+          |            y -> named_struct('a', x, 'b', y))))""".stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .orderBy(col("shared").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
   def anchorTopK(anchors: DataFrame, k: Int,
                  dstCol: String = "dst", termCol: String = "term"): DataFrame = {
     val counted = anchors

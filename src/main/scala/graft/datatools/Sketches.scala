@@ -247,4 +247,100 @@ object Sketches {
       .groupBy("value")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
   }
+
+  private[datatools] final case class GroupedHashVal(g: String, h: Long, v: Long)
+
+  /** Sample state: ≤ k (hash, value) pairs, ascending by hash —
+    * parallel sequences so the `Encoders.product` buffer stays two
+    * flat long arrays.
+    */
+  final case class HVSampleState(hs: Seq[Long], vs: Seq[Long])
+
+  /** Bounded uniform-sample aggregator: keeps the rows whose KEY hash
+    * is among the k smallest per group — md5 order is a uniform random
+    * permutation of the keys, so the kept rows are a deterministic
+    * simple random sample of size min(k, distinct keys). Same
+    * insert discipline as [[KmvAggregator]]; on a hash COLLISION
+    * (distinct keys, equal 48-bit hash) the smaller VALUE wins, so the
+    * state is insertion-order-independent there too.
+    */
+  final class HashSampleAggregator(k: Int)
+      extends Aggregator[GroupedHashVal, HVSampleState, HVSampleState] {
+    require(k >= 2 && k <= (1 << 15), "k must be in [2, 32768]")
+
+    override def zero: HVSampleState = HVSampleState(Vector.empty, Vector.empty)
+
+    private def insert(b: HVSampleState, h: Long, v: Long): HVSampleState = {
+      val n = b.hs.size
+      if (n == k && h >= b.hs(n - 1) && h != b.hs(n - 1)) return b
+      var lo = 0; var hi = n
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (b.hs(mid) < h) lo = mid + 1
+        else if (b.hs(mid) > h) hi = mid
+        else { // collision: deterministic min-value tie-break
+          return if (v < b.vs(mid)) HVSampleState(b.hs, b.vs.updated(mid, v))
+                 else b
+        }
+      }
+      if (n == k && lo == k) return b
+      HVSampleState(((b.hs.take(lo) :+ h) ++ b.hs.drop(lo)).take(k),
+                    ((b.vs.take(lo) :+ v) ++ b.vs.drop(lo)).take(k))
+    }
+
+    override def reduce(b: HVSampleState, e: GroupedHashVal): HVSampleState =
+      insert(b, e.h, e.v)
+
+    override def merge(a: HVSampleState, b: HVSampleState): HVSampleState =
+      b.hs.lazyZip(b.vs).foldLeft(a) { case (acc, (h, v)) => insert(acc, h, v) }
+
+    override def finish(b: HVSampleState): HVSampleState = b
+
+    override def bufferEncoder: Encoder[HVSampleState] = Encoders.product[HVSampleState]
+    override def outputEncoder: Encoder[HVSampleState] = Encoders.product[HVSampleState]
+  }
+
+  /** Per-group APPROXIMATE quantiles from a bounded hash sample — the
+    * third sketch family next to KMV (distinct) and count-min
+    * (frequency): order statistics of a value whose cardinality is
+    * unbounded. [[Curation.groupQuantiles]] is exact but collapses the
+    * corpus onto (stratum, value) rows first — perfect for token
+    * counts (≤ ~10⁶ distinct values), hopeless for latency micros or
+    * byte sizes at 100 TB, where the collapse IS the corpus. Here each
+    * map task ships ≤ k (hash, value) pairs per group, sketches merge
+    * losslessly, and the estimate is the sample's exact quantile by
+    * the q62 integer rule (k-th smallest, k = ⌈q·n⌉, 1-indexed over
+    * n = sample size). Under-full group (n < k) ⇒ the sample IS the
+    * group and the quantile is exact. Sampling by the KEY's md5 order
+    * keeps the draw engine-independent: the DuckDB twin re-derives the
+    * identical sample with a row_number over the same 48-bit hash.
+    *
+    * @param keyCol distinct row identity (the sample is uniform over
+    *               its distinct values); nulls dropped
+    * @param value  integer metric column (cast to long)
+    * @return one row per (group, q): (stratum, q_ppm, n_sample, value)
+    */
+  def sampleQuantiles(df: DataFrame, groupCol: String, keyCol: String,
+                      value: Column, k: Int,
+                      qsPpm: Seq[Long] = Seq(500000L, 900000L, 990000L)): DataFrame = {
+    require(qsPpm.nonEmpty && qsPpm.forall(q => q > 0 && q <= 1000000L))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qs = qsPpm.toArray
+    df.filter(col(keyCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        hash48(col(keyCol)).as("h"), value.cast("long").as("v"))
+      .as[GroupedHashVal]
+      .groupByKey(_.g)
+      .agg(new HashSampleAggregator(k).toColumn.name("sk"))
+      .flatMap { case (g, st) =>
+        val sorted = st.vs.sorted
+        val n = sorted.size.toLong
+        qs.map { q =>
+          val kth = ((q * n + 999999L) / 1000000L).toInt // ⌈q·n⌉, ≥ 1
+          (g, q, n, sorted(math.max(kth - 1, 0)))
+        }
+      }
+      .toDF("stratum", "q_ppm", "n_sample", "value")
+  }
 }

@@ -1433,7 +1433,44 @@ object OracleSql {
         |         (750 * len * 1000) // av.avml)) // 1000)))::BIGINT AS score_micro,
         |  count(*)::BIGINT AS n_hit
         |FROM tf JOIN df USING (token) CROSS JOIN av
-        |GROUP BY 1 ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin
+        |GROUP BY 1 ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin,
+
+    // q93: hash-sample quantiles — re-derive the identical 256-row
+    // sample (row_number over the q75 48-bit hash; collisions collapse
+    // to min(v), matching the aggregator's tie-break), then the q62
+    // ⌈q·n⌉ pick over the sample ordered by value.
+    "q93_sample_quantiles" ->
+      """WITH h AS (SELECT event_type AS g,
+        |    CAST(md5_number_lower(event_id::VARCHAR) & 281474976710655 AS BIGINT) AS h,
+        |    floor(value * 1000000)::BIGINT AS v
+        |  FROM events WHERE event_id IS NOT NULL),
+        |d AS (SELECT g, h, min(v) AS v FROM h GROUP BY 1, 2),
+        |r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM d),
+        |s AS (SELECT g, v FROM r WHERE rn <= 256),
+        |n AS (SELECT g, count(*) AS n FROM s GROUP BY 1),
+        |rv AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rv FROM s),
+        |q AS (SELECT unnest([500000, 900000, 990000]) AS q_ppm)
+        |SELECT rv.g AS stratum, q.q_ppm::BIGINT AS q_ppm, n.n::BIGINT AS n_sample,
+        |  rv.v AS value
+        |FROM rv JOIN n USING (g) CROSS JOIN q
+        |WHERE rv.rv = (q.q_ppm * n.n + 999999) // 1000000
+        |ORDER BY stratum, q_ppm""".stripMargin,
+
+    // q94: co-citation — pairs from the DISTINCT (src, dst) edge set of
+    // degree-capped sources (= the Spark side's collect_set + in-array
+    // ordered pairs), counted per pair; total order under the LIMIT.
+    "q94_cocitation" ->
+      """WITH e AS (SELECT DISTINCT l_orderkey AS src,
+        |    ((l_orderkey * 3 + l_partkey) % 1000) + 1 AS dst FROM lineitem),
+        |d AS (SELECT src, dst FROM e WHERE src <> dst),
+        |g AS (SELECT src FROM d GROUP BY 1 HAVING count(*) BETWEEN 2 AND 64),
+        |p AS (SELECT d1.dst AS a, d2.dst AS b
+        |  FROM d d1 JOIN d d2 USING (src) JOIN g USING (src)
+        |  WHERE d1.dst < d2.dst),
+        |s AS (SELECT a, b, count(*) AS shared FROM p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT a, b, shared FROM s
+        |ORDER BY shared DESC, a, b LIMIT 100""".stripMargin
   )
 
   /** q91: HITS hub/authority, `iters` unrolled rounds — auth half-step

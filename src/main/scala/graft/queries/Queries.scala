@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.datatools.{Curation, Dedup, GraphOps, Multimodal, Similarity, TextAnalysis}
+import graft.datatools.{Curation, Dedup, GraphOps, Multimodal, Similarity, Sketches, TextAnalysis}
 import graft.functions.{IpFunctions, UrlFunctions}
 import graft.model.OptionColumns
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1207,6 +1207,29 @@ object Queries {
     graft.datatools.InvertedIndex.bm25Search(
       t(spark, dir, "documents"), Seq("sort", "merge", "hash"), k = 20)
 
+  // q93 — hash-sample quantiles: p50/p90/p99 of the event value (in
+  // exact micros) per event type from a bounded 256-row-per-group
+  // sample — the sketch answer to order statistics over values whose
+  // cardinality q62's exact collapse can't bound (latency micros, byte
+  // sizes). The md5-ordered draw makes the sample itself
+  // engine-replayable, so the oracle matches the ESTIMATE bit-exactly.
+  def q93SampleQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Sketches.sampleQuantiles(t(spark, dir, "events"), "event_type",
+      "event_id", floor(col("value") * 1000000), k = 256)
+      .orderBy("stratum", "q_ppm")
+
+  // q94 — co-citation similarity over the synthetic link graph (denser
+  // modulus than q48's so shared citations actually occur at sf0.01):
+  // top related-page pairs by shared inlink sources, hub sources past
+  // out-degree 64 dropped (they cite everything — no topical signal,
+  // and C(d,2) pair fan-out is the operator's only skew risk).
+  def q94CoCitation(spark: SparkSession, dir: String): DataFrame = {
+    val edges = t(spark, dir, "lineitem").select(
+      col("l_orderkey").as("src"),
+      (pmod(col("l_orderkey") * 3 + col("l_partkey"), lit(1000L)) + 1).as("dst"))
+    GraphOps.coCitation(edges, maxOutDeg = 64, minShared = 2, k = 100)
+  }
+
   /** name → query, in SURVEY.md §2 coverage order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_agg_pushdown" -> (q01AggPushdown _),
@@ -1300,6 +1323,8 @@ object Queries {
     "q89_anchor_text" -> (q89AnchorText _),
     "q90_recrawl_schedule" -> (q90RecrawlSchedule _),
     "q91_hits" -> (q91Hits _),
-    "q92_bm25" -> (q92Bm25 _)
+    "q92_bm25" -> (q92Bm25 _),
+    "q93_sample_quantiles" -> (q93SampleQuantiles _),
+    "q94_cocitation" -> (q94CoCitation _)
   )
 }

@@ -1,13 +1,20 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
+
+/** Scratch plan-audit main for the newest queries — repointed each
+  * batch (PlanAudit holds the stable list).
+  */
 object ExplainNew {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", false).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
-    println("==== q73 ===="); graft.queries.Queries.q73SaltedJoin(spark, dir).explain("formatted")
-    println("==== q74 ===="); graft.queries.Queries.q74RollupStats(spark, dir).explain("formatted")
+    println("==== q93 sample_quantiles ====")
+    graft.queries.Queries.q93SampleQuantiles(spark, dir).explain("formatted")
+    println("==== q94 cocitation ====")
+    graft.queries.Queries.q94CoCitation(spark, dir).explain("formatted")
     spark.stop()
   }
 }

@@ -251,4 +251,33 @@ class GraphOpsSpec extends SparkSpec {
       assert(got === bruteAnchors(rows, k), s"k=$k rows=$rows")
     }
   }
+
+  // ---- coCitation ----
+
+  test("coCitation matches brute force (degree cap, min shared, top-k order)") {
+    val gen = for {
+      n <- Gen.choose(0, 200)
+      edges <- Gen.listOfN(n, Gen.zip(Gen.choose(1L, 15L), Gen.choose(1L, 12L)))
+      cap <- Gen.oneOf(2, 3, 8)
+      k <- Gen.oneOf(5, 50)
+    } yield (edges, cap, k)
+    sample(gen, 10, 13L) { case (edges, cap, k) =>
+      val got = GraphOps.coCitation(edges.toDF("src", "dst"),
+        maxOutDeg = cap, minShared = 2, k = k)
+        .as[(Long, Long, Long)].collect().toSeq
+      val sets = edges.filter(e => e._1 != e._2).groupBy(_._1)
+        .view.mapValues(_.map(_._2).distinct.sorted)
+        .filter { case (_, ds) => ds.size >= 2 && ds.size <= cap }
+      val cnt = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      sets.foreach { case (_, ds) =>
+        for (i <- ds.indices; j <- i + 1 until ds.size) {
+          val key = (ds(i), ds(j))
+          cnt(key) = cnt.getOrElse(key, 0L) + 1
+        }
+      }
+      val expect = cnt.toSeq.collect { case ((a, b), s) if s >= 2 => (a, b, s) }
+        .sortBy { case (a, b, s) => (-s, a, b) }.take(k)
+      assert(got === expect, s"cap=$cap k=$k edges=$edges")
+    }
+  }
 }

@@ -155,4 +155,45 @@ class SketchesSpec extends SparkSpec {
       .map(k => k -> (partA.getOrElse(k, 0L) + partB.getOrElse(k, 0L))).toMap
     assert(merged === whole)
   }
+
+  test("sampleQuantiles matches brute force and is partition-independent") {
+    val gen = for {
+      n <- Gen.choose(1, 300)
+      rows <- Gen.listOfN(n,
+        Gen.zip(Gen.oneOf("a", "b"), Gen.choose(0L, 500L), Gen.choose(-100L, 100L)))
+      k <- Gen.oneOf(2, 16, 64)
+      parts <- Gen.oneOf(1, 5)
+    } yield (rows, k, parts)
+    sample(gen, 10, 11L) { case (rows, k, parts) =>
+      val df = rows.toDF("g", "key", "v").repartition(parts)
+      val got = Sketches.sampleQuantiles(df, "g", "key", col("v"), k)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      val expect = rows.groupBy(_._1).flatMap { case (g, rs) =>
+        // duplicate keys and 48-bit collisions both collapse to min(v)
+        val byHash = rs
+          .groupBy(r => TextAnalysis.md5Lower64(r._2.toString) & Sketches.Mask48)
+          .map { case (h, dup) => h -> dup.map(_._3).min }
+        val samp = byHash.toSeq.sortBy(_._1).take(k).map(_._2).sorted
+        val nS = samp.size.toLong
+        Seq(500000L, 900000L, 990000L).map { q =>
+          val kth = ((q * nS + 999999L) / 1000000L).toInt
+          (g, q) -> (nS, samp(math.max(kth - 1, 0)))
+        }
+      }
+      assert(got === expect)
+      // under-full group ⇒ the p50/p90/p99 are the EXACT quantiles
+      rows.groupBy(_._1).foreach { case (g, rs) =>
+        val distinctKeys = rs.map(_._2).distinct.size
+        if (distinctKeys <= k) {
+          val vs = rs.groupBy(_._2).map(_._2.map(_._3).min).toSeq.sorted
+          Seq(500000L, 900000L, 990000L).foreach { q =>
+            val kth = ((q * vs.size + 999999L) / 1000000L).toInt
+            assert(got((g, q))._2 === vs(math.max(kth - 1, 0)))
+          }
+        }
+      }
+    }
+  }
 }
