@@ -186,7 +186,12 @@ object Bench {
       "q88_boilerplate_strip", "q89_anchor_text", "q90_recrawl_schedule",
       // HITS fixed-point iterations, BM25 retrieval, hash-sample
       // quantile sketch, degree-capped co-citation pairs
-      "q91_hits", "q92_bm25", "q93_sample_quantiles", "q94_cocitation")
+      "q91_hits", "q92_bm25", "q93_sample_quantiles", "q94_cocitation",
+      // constant-size HLL sketch, corpus-trained bigram-LM scoring,
+      // crawler-trap template mining, seeded TrustRank (iterative),
+      // link-spam degree signals, AIMD in-row fold
+      "q95_hll_distinct", "q96_bigram_lm", "q97_url_templates",
+      "q98_trustrank", "q99_link_spam", "q100_aimd_rate")
     val qmap = SparkEntry.queries
     val spark = newSession(cpus)
     def median(xs: Seq[Double]): Double = {

@@ -119,9 +119,11 @@ object Curation {
         when(length(trim(col(textCol))) === 0, array().cast("array<int>"))
           .otherwise(transform(split(trim(col(textCol)), "\\s+"), enc)).as("ids"))
       .select(col("doc_id"),
-        size(col("ids")).as("n_tokens"),
+        // BIGINT counts: schema parity with the DuckDB twin (size() is int)
+        size(col("ids")).cast("long").as("n_tokens"),
         aggregate(col("ids"), lit(0),
-          (acc, x) => acc + when(x === 0, lit(1)).otherwise(lit(0))).as("n_oov"),
+          (acc, x) => acc + when(x === 0, lit(1)).otherwise(lit(0)))
+          .cast("long").as("n_oov"),
         md5(concat_ws(" ", transform(col("ids"), _.cast("string")))).as("ids_md5"))
   }
 
@@ -165,7 +167,8 @@ object Curation {
         when(length(trim(col(textCol))) === 0, array().cast("array<long>"))
           .otherwise(transform(split(trim(col(textCol)), "\\s+"), sp)).as("sps"))
       .select(col("doc_id"),
-        size(col("sps")).as("n_tokens"),
+        // BIGINT count: schema parity with the DuckDB twin (size() is int)
+        size(col("sps")).cast("long").as("n_tokens"),
         aggregate(col("sps"), lit(0L), (acc, x) => acc + x).as("rarity_sum"))
       .withColumn("rarity_mean",
         when(col("n_tokens") === 0, lit(0L))
@@ -766,6 +769,56 @@ object Curation {
       .select(col("a"), col("b"), col("cnt_ab"),
         expr(s"((cnt_ab - $discount) * total * 1000) DIV (cnt_a * cnt_b)").as("score_milli"))
       .orderBy(col("score_milli").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
+  /** Bigram language-model DOCUMENT scoring — the perplexity-filter
+    * step of a training-data recipe, one level up from [[rarityScore]]
+    * (unigram): train maximum-likelihood bigram transition
+    * probabilities on the corpus itself, then score each document by
+    * its mean transition probability. Low scores = token sequences the
+    * corpus-wide model finds improbable (shuffled text, lists of
+    * codes, boilerplate fragments) — the docs a perplexity filter
+    * drops. Fixed-point ppm with floor division throughout (real
+    * perplexity needs log(); the LINEAR mean keeps every step integer
+    * so an independent engine replays the scores bit-exactly, and it
+    * induces the same "weird doc" ordering at the bottom of the
+    * distribution, which is where the filter acts).
+    *
+    * Scale shape: ONE tokenize+explode pass feeds a (doc, w1, w2)
+    * aggregation (map-side combined, corpus-sized exchange #1); the
+    * transition table `c2` and its left-marginal `c1` are re-aggs of
+    * that frame — VOCABULARY²-bounded, never corpus-sized; scoring
+    * joins the doc-bigram frame to the transition table on (w1, w2)
+    * (exchange #2 — the model is corpus-trained, so broadcast would be
+    * wrong at 10⁹ distinct bigrams) and folds per doc (exchange #3).
+    * Overflow: ssum ≤ n_tokens·10⁶ per doc — safe to 10¹² tokens/doc.
+    *
+    * @return bottom `k` docs by mean transition ppm:
+    *         (doc_id, n_bigrams, score_ppm), ascending — the drop list.
+    */
+  def bigramLmScore(docs: DataFrame, k: Int = 50, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    // three consumers (c2 re-agg + the score join's probe side);
+    // released by the caller per the Verify/Bench contract
+    val dgb = docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"), split(trim(col(textCol)), "\\s+").as("l"))
+      .filter(size(col("l")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(l) - 2), i -> struct(l[i] AS w1, l[i + 1] AS w2))")).as("p"))
+      .groupBy(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist()
+    val c2 = dgb.groupBy("w1", "w2").agg(sum("cnt").as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+    val p = c2.join(c1, Seq("w1"))
+      .select(col("w1"), col("w2"), expr("(c2 * 1000000) DIV c1").as("p_ppm"))
+    dgb.join(p, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(sum(expr("cnt * p_ppm")).as("ssum"), sum("cnt").as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("ssum DIV n_bigrams").as("score_ppm"))
+      .orderBy(col("score_ppm"), col("doc_id"))
       .limit(k)
   }
 }

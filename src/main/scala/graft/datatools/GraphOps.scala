@@ -160,6 +160,61 @@ object GraphOps {
     ranks
   }
 
+  /** TrustRank (Gyöngyi et al., VLDB'04): [[linkAuthority]] with the
+    * teleport restricted to a TRUSTED SEED SET — trust flows out from
+    * hand-verified pages, so link-spam clusters that sustain ordinary
+    * PageRank among themselves (no seed in-path) decay to zero. The
+    * spam-demotion half of a production frontier's priority score.
+    *
+    * Same fixed-point integer discipline as [[linkAuthority]] (ppm
+    * scale, floor division, eager checkpoint per round, identical
+    * overflow bound): r₀ = scale on seeds / 0 elsewhere;
+    * rᵢ = (seed ? base : 0) + d·Σ_inlinks(rᵢ₋₁ div outdeg) div 100.
+    * Plan per round: one edges⋈ranks equi-join + one dst-keyed
+    * partial-agg sum + the node-set left join — no new shapes; the
+    * seed flag is a boolean column on the checkpointed node set, paid
+    * once.
+    *
+    * @param seeds one column of trusted node ids (whitelist); rows not
+    *              in the graph are ignored
+    * @return (id, trust) — ppm fixed point
+    */
+  def trustRank(edges: DataFrame, seeds: DataFrame, iters: Int = 3,
+                dampingPct: Int = 85, scale: Long = 1000000L,
+                srcCol: String = "src", dstCol: String = "dst",
+                seedCol: String = "id"): DataFrame = {
+    require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val s = seeds.select(col(seedCol).as("id")).distinct()
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+      .join(s.withColumn("is_seed", lit(true)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      .localCheckpoint(true)
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val eDeg = e.join(outdeg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    val base = scale * (100 - dampingPct) / 100
+    var ranks = nodes
+      .select(col("id"), when(col("is_seed"), scale).otherwise(0L).as("rank"))
+      .localCheckpoint(true)
+    (1 to iters).foreach { _ =>
+      val contrib = eDeg.join(ranks, eDeg("src") === ranks("id"))
+        .select(col("dst"), expr("rank DIV outdeg").as("share"))
+        .groupBy(col("dst")).agg(sum(col("share")).as("m"))
+      val prev = ranks
+      ranks = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+        .select(col("id"),
+          (when(col("is_seed"), base).otherwise(0L) +
+            expr(s"(bigint($dampingPct) * coalesce(m, bigint(0))) DIV 100"))
+            .as("rank"))
+        .localCheckpoint(true)
+      Checkpoints.release(prev)
+    }
+    eDeg.unpersist()
+    Checkpoints.release(nodes)
+    ranks.select(col("id"), col("rank").as("trust"))
+  }
+
   /** Minimum seed-distance (bounded BFS) over a directed link graph:
     * (id, depth) for every node reachable from `seeds` within
     * `maxDepth` hops — depth 0 = the seeds themselves. Level-
@@ -387,6 +442,51 @@ object GraphOps {
       .filter(col("shared") >= minShared)
       .orderBy(col("shared").desc, col("a"), col("b"))
       .limit(k)
+  }
+
+  /** Per-source link-spam signals (Fetterly et al. 2004, "Spam, damn
+    * spam, and statistics"): the degree-statistics profile a crawl
+    * uses to demote link farms BEFORE rank computation —
+    *
+    *   - `recip_ppm`   reciprocal-link fraction: link exchanges manufacture
+    *                   a→b ∧ b→a pairs that organic linking rarely produces
+    *   - `self_loops`  self-citations (within-site padding)
+    *   - `out_in_ppm`  out/in imbalance: farms cite heavily, nobody cites back
+    *
+    * Plan shape: ONE distinct pass over the edge list (exchange on the
+    * edge key), reused (persisted) by all four aggregates; the
+    * reciprocal test is a self-equi-join of the distinct edge set on
+    * the REVERSED key — edge-keyed, no fan-out, no cartesian. All
+    * per-node aggregates are partial-agg shuffles on node ids. 100-TB
+    * safe: nothing exceeds edge cardinality, ratios are floor-div ppm.
+    *
+    * @return (id, outdeg, indeg, n_recip, self_loops, recip_ppm,
+    *         out_in_ppm) for every node with outdeg ≥ 1, by id
+    */
+  def linkSpamSignals(edges: DataFrame, srcCol: String = "src",
+                      dstCol: String = "dst"): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val d = e.filter(col("src") =!= col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val out = d.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
+    val in = d.groupBy(col("dst").as("id")).agg(count(lit(1)).as("indeg"))
+    val recip = d.join(
+        d.select(col("dst").as("src"), col("src").as("dst")), Seq("src", "dst"))
+      .groupBy(col("src").as("id")).agg(count(lit(1)).as("n_recip"))
+    val selfs = e.filter(col("src") === col("dst"))
+      .groupBy(col("src").as("id")).agg(count(lit(1)).as("self_loops"))
+    val res = out
+      .join(in, Seq("id"), "left")
+      .join(recip, Seq("id"), "left")
+      .join(selfs, Seq("id"), "left")
+      .select(col("id"), col("outdeg"),
+        coalesce(col("indeg"), lit(0L)).as("indeg"),
+        coalesce(col("n_recip"), lit(0L)).as("n_recip"),
+        coalesce(col("self_loops"), lit(0L)).as("self_loops"))
+      .withColumn("recip_ppm", expr("n_recip * 1000000 DIV outdeg"))
+      .withColumn("out_in_ppm", expr("outdeg * 1000000 DIV (indeg + 1)"))
+      .orderBy("id")
+    res
   }
 
   def anchorTopK(anchors: DataFrame, k: Int,

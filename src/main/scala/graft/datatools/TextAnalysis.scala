@@ -296,9 +296,12 @@ object TextAnalysis {
                textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     df.select(col(idCol).as("doc_id"),
-      size(regexp_extract_all(t, lit(piiEmail), lit(0))).as("n_emails"),
-      size(regexp_extract_all(t, lit(piiIpv4), lit(0))).as("n_ips"),
-      size(regexp_extract_all(t, lit(piiCard), lit(0))).as("n_cards"),
+      // cast("long"): size() is int; the count columns ship as BIGINT
+      // so engine-independent consumers (and the DuckDB twin) agree on
+      // the schema, not just the values
+      size(regexp_extract_all(t, lit(piiEmail), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(piiIpv4), lit(0))).cast("long").as("n_ips"),
+      size(regexp_extract_all(t, lit(piiCard), lit(0))).cast("long").as("n_cards"),
       regexp_replace(regexp_replace(regexp_replace(t,
         piiEmail, "<EMAIL>"), piiIpv4, "<IP>"), piiCard, "<CARD>")
         .as("scrubbed"))

@@ -81,4 +81,51 @@ object Recrawl {
       .select("url_key", "n_obs", "n_changes", "change_rate_ppm",
         "age_hours", "priority_ppm")
   }
+
+  /** AIMD per-host rate adaptation — the congestion-control loop a
+    * polite crawler runs against each origin (additive increase on
+    * success, multiplicative decrease on throttle/error — TCP's AIMD,
+    * Chiu & Jain 1989, applied to fetch concurrency): replay each
+    * host's fetch outcomes in time order and fold the rate state.
+    * All integer milli-units, so the fold replays bit-exactly:
+    *
+    *   rate₀ = `start`;  success → min(rate + `add`, `cap`);
+    *   failure → max(rate div 2, `floorRate`)
+    *
+    * Scale shape: ONE exchange (groupBy host); the history is folded
+    * INSIDE the row by `sort_array` + `aggregate` — both codegen
+    * builtins, no UDF, no window. Per-host history is bounded by the
+    * politeness layer itself (a host's fetch count per window is
+    * capped by the very quota this loop tunes), so collect_list stays
+    * executor-safe by construction; hosts are the parallelism unit.
+    *
+    * @param failCol boolean column: true = throttle/error outcome
+    * @return (host, n_events, n_fail, final_rate, min_rate) by host
+    */
+  def aimdRates(fetches: DataFrame, hostCol: String, tsCol: String,
+                tieCol: String, failCol: Column,
+                start: Long = 1000L, add: Long = 200L, cap: Long = 8000L,
+                floorRate: Long = 125L): DataFrame = {
+    require(start >= floorRate && add > 0 && cap >= start && floorRate >= 1)
+    val step = (acc: String, fail: String) =>
+      s"CASE WHEN $fail THEN greatest($acc DIV 2, ${floorRate}L) " +
+        s"ELSE least($acc + ${add}L, ${cap}L) END"
+    fetches
+      .groupBy(col(hostCol).as("host"))
+      .agg(
+        sort_array(collect_list(struct(
+          col(tsCol).as("ts"), col(tieCol).as("tie"), failCol.as("fail")))).as("h"))
+      .select(col("host"),
+        size(col("h")).cast("long").as("n_events"),
+        expr("aggregate(h, 0L, (a, x) -> a + IF(x.fail, 1L, 0L))").as("n_fail"),
+        expr(
+          s"""aggregate(h, named_struct('rate', ${start}L, 'mn', ${start}L),
+             |  (a, x) -> named_struct(
+             |    'rate', ${step("a.rate", "x.fail")},
+             |    'mn', least(a.mn, ${step("a.rate", "x.fail")})))""".stripMargin)
+          .as("st"))
+      .select(col("host"), col("n_events"), col("n_fail"),
+        col("st.rate").as("final_rate"), col("st.mn").as("min_rate"))
+      .orderBy("host")
+  }
 }

@@ -198,4 +198,19 @@ object UrlFunctions {
     val _ = expanded
     if (exact.isEmpty) rangePred else rangePred || status.isin(exact.map(Integer.valueOf): _*)
   }
+
+  // ---------------------------------------------------------------------
+  // URL path templating — crawler-trap detection. Collapsing digit runs
+  // to a `{n}` placeholder folds /item/123, /item/124, … into one
+  // template; a template whose URL count explodes relative to its peers
+  // is the signature of a trap (infinite calendars, session-id paths,
+  // pagination loops) that a frontier must cap. The reference's crawl
+  // options expose per-route URL filters (`pkg/modules/api/context.go`
+  // allow/deny lists) — template mining is how those lists get WRITTEN
+  // at web scale.
+  // ---------------------------------------------------------------------
+
+  /** Digit runs → `{n}` (pure codegen regex projection). */
+  def pathTemplateCol(path: Column): Column =
+    regexp_replace(path, "[0-9]+", "{n}")
 }

@@ -169,6 +169,36 @@ object OracleSql {
        |ORDER BY authority DESC, url_key""".stripMargin
   }
 
+  /** q98: TrustRank — q48's unrolled fixed-point discipline with the
+    * teleport restricted to the seed set (src nodes ≡ 0 mod 17):
+    * r₀ = 10⁶ on seeds / 0 elsewhere; each round adds the 150000 base
+    * only on seeds.
+    */
+  private def q98Sql(iters: Int = 3): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""s$i AS (SELECT e.dst AS id, sum(r.r // d.c) AS mm
+         |  FROM edges e JOIN deg d USING (src) JOIN r${i - 1} r ON r.id = e.src
+         |  GROUP BY 1),
+         |r$i AS (SELECT n.id,
+         |  ((CASE WHEN n.is_seed THEN 150000 ELSE 0 END) +
+         |   (85 * coalesce(s.mm, 0)) // 100)::BIGINT AS r
+         |  FROM n2 n LEFT JOIN s$i s USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+       |edges AS (SELECT l_orderkey AS src,
+       |    ((l_orderkey + l_partkey * 7) % m) + 1 AS dst FROM lineitem, mx),
+       |deg AS (SELECT src, count(*) AS c FROM edges GROUP BY 1),
+       |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+       |seeds AS (SELECT DISTINCT src AS id FROM edges WHERE src % 17 = 0),
+       |n2 AS (SELECT n.id, (s.id IS NOT NULL) AS is_seed
+       |  FROM nodes n LEFT JOIN seeds s USING (id)),
+       |r0 AS (SELECT id,
+       |  (CASE WHEN is_seed THEN 1000000 ELSE 0 END)::BIGINT AS r FROM n2),
+       |$rounds
+       |SELECT id AS url_key, r AS trust FROM r$iters
+       |ORDER BY trust DESC, url_key""".stripMargin
+  }
+
   /** q49: keeper selection — q46's SimHash components + q30's round-6
     * quality score, keeper = max quality then min id per cluster
     * (expressed as max(q) + min(id) over the q = max rows, which is
@@ -1470,7 +1500,137 @@ object OracleSql {
         |s AS (SELECT a, b, count(*) AS shared FROM p
         |  GROUP BY 1, 2 HAVING count(*) >= 2)
         |SELECT a, b, shared FROM s
-        |ORDER BY shared DESC, a, b LIMIT 100""".stripMargin
+        |ORDER BY shared DESC, a, b LIMIT 100""".stripMargin,
+
+    // q95: HLL distinct — re-derive the 64 registers (bucket = low 6
+    // hash bits; rank = 1 + leading zeros of the remaining 42, i.e.
+    // 43 − bit_length(w), with w = 0 saturating at 43 via bin(0) =
+    // '0' → length 1 → handled by the CASE), then the integer raw
+    // estimator with the pinned linear-counting table for the
+    // small range (raw ≤ 2.5·m and zero registers present). Absent
+    // buckets contribute register 0 ⇒ 2³⁰ each. Numerator =
+    // α₆₄(micro)·m²·2³⁰ = 709337·4096·1073741824; nested `//` twins
+    // Spark's nested DIV (floor-div composition identity).
+    "q95_hll_distinct" ->
+      """WITH h AS (SELECT event_type AS g,
+        |    CAST(md5_number_lower(user_id::VARCHAR) & 281474976710655 AS BIGINT) AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |b AS (SELECT g, CAST(h & 63 AS BIGINT) AS bucket, CAST(h >> 6 AS BIGINT) AS w FROM h),
+        |r AS (SELECT g, bucket,
+        |    max(CASE WHEN w = 0 THEN 43 ELSE 43 - length(bin(w)) END) AS reg
+        |  FROM b GROUP BY 1, 2),
+        |s AS (SELECT g,
+        |    (64 - count(*))::BIGINT AS n_zero_regs,
+        |    (sum(1073741824::BIGINT >> reg) + (64 - count(*)) * 1073741824)::BIGINT AS reg_sum
+        |  FROM r GROUP BY 1),
+        |e AS (SELECT g, n_zero_regs, reg_sum,
+        |    ((3119697118046978048 // reg_sum) // 1000000)::BIGINT AS raw
+        |  FROM s)
+        |SELECT g AS event_type, n_zero_regs, reg_sum,
+        |  (CASE WHEN raw <= 160 AND n_zero_regs > 0 THEN
+        |    [266,222,196,177,163,151,142,133,126,119,113,107,102,97,93,89,
+        |     85,81,78,74,71,68,65,63,60,58,55,53,51,48,46,44,42,40,39,37,
+        |     35,33,32,30,28,27,25,24,23,21,20,18,17,16,15,13,12,11,10,9,
+        |     7,6,5,4,3,2,1,0][n_zero_regs::INT]
+        |   ELSE raw END)::BIGINT AS est_distinct
+        |FROM e ORDER BY event_type""".stripMargin,
+
+    // q96: bigram-LM scoring — q76's list-index adjacent pairs, the
+    // (doc, w1, w2) aggregation, vocab-bounded c2/c1 re-aggs, then the
+    // mean transition ppm per doc (all-positive floor division twins
+    // Spark DIV); bottom-k ascending.
+    "q96_bigram_lm" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+        |    FROM documents WHERE length(trim(text)) > 0),
+        |g AS (SELECT doc_id, l[u] AS w1, l[u + 1] AS w2
+        |  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS u
+        |        FROM d WHERE len(l) >= 2)),
+        |dgb AS (SELECT doc_id, w1, w2, count(*) AS cnt FROM g GROUP BY 1, 2, 3),
+        |c2 AS (SELECT w1, w2, sum(cnt) AS c2 FROM dgb GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+        |p AS (SELECT w1, w2, (c2 * 1000000) // c1 AS p_ppm
+        |  FROM c2 JOIN c1 USING (w1)),
+        |s AS (SELECT doc_id, sum(cnt * p_ppm) AS ssum, sum(cnt) AS n
+        |  FROM dgb JOIN p USING (w1, w2) GROUP BY 1)
+        |SELECT doc_id, n::BIGINT AS n_bigrams, (ssum // n)::BIGINT AS score_ppm
+        |FROM s ORDER BY score_ppm, doc_id LIMIT 50""".stripMargin,
+
+    // q97: URL template mining — same synthetic (host, path) columns,
+    // digit runs → {n} (the 'g' flag = Spark regexp_replace's
+    // replace-all default), template counts + host totals + trap flag.
+    "q97_url_templates" ->
+      """WITH u AS (SELECT
+        |    'host' || (l_suppkey % 20)::VARCHAR || '.example.com' AS host,
+        |    CASE l_orderkey % 3
+        |      WHEN 0 THEN '/cat/' || (l_suppkey % 10)::VARCHAR ||
+        |        '/item/' || l_partkey::VARCHAR
+        |      WHEN 1 THEN '/calendar/2024/' || (l_partkey % 12 + 1)::VARCHAR ||
+        |        '/' || (l_suppkey % 28 + 1)::VARCHAR
+        |      ELSE '/page/' || l_orderkey::VARCHAR
+        |    END AS path
+        |  FROM lineitem),
+        |t AS (SELECT host, regexp_replace(path, '[0-9]+', '{n}', 'g') AS template,
+        |    count(*) AS n_urls, count(DISTINCT path) AS n_distinct
+        |  FROM u GROUP BY 1, 2),
+        |h AS (SELECT host, sum(n_urls) AS host_urls FROM t GROUP BY 1)
+        |SELECT t.host, template, n_urls::BIGINT AS n_urls,
+        |  n_distinct::BIGINT AS n_distinct,
+        |  (n_urls >= 100 AND n_urls * 5 >= host_urls) AS is_trap
+        |FROM t JOIN h USING (host)
+        |ORDER BY n_urls DESC, host, template LIMIT 100""".stripMargin,
+
+    "q98_trustrank" -> q98Sql(),
+
+    // q99: link-spam signals — distinct directed edges (self-loops
+    // kept separate), reciprocal pairs via the reversed-key self-join,
+    // per-node LEFT joins with 0 defaults, ppm floor division.
+    "q99_link_spam" ->
+      """WITH e AS (SELECT (l_orderkey % 500) + 1 AS src,
+        |    ((l_orderkey * 3 + l_partkey) % 500) + 1 AS dst FROM lineitem),
+        |d AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+        |o AS (SELECT src AS id, count(*) AS outdeg FROM d GROUP BY 1),
+        |i AS (SELECT dst AS id, count(*) AS indeg FROM d GROUP BY 1),
+        |r AS (SELECT d1.src AS id, count(*) AS n_recip
+        |  FROM d d1 JOIN d d2 ON d1.src = d2.dst AND d1.dst = d2.src
+        |  GROUP BY 1),
+        |s AS (SELECT src AS id, count(*) AS self_loops FROM e
+        |  WHERE src = dst GROUP BY 1)
+        |SELECT o.id AS url_key, o.outdeg::BIGINT AS outdeg,
+        |  coalesce(i.indeg, 0)::BIGINT AS indeg,
+        |  coalesce(r.n_recip, 0)::BIGINT AS n_recip,
+        |  coalesce(s.self_loops, 0)::BIGINT AS self_loops,
+        |  ((coalesce(r.n_recip, 0) * 1000000) // o.outdeg)::BIGINT AS recip_ppm,
+        |  ((o.outdeg * 1000000) // (coalesce(i.indeg, 0) + 1))::BIGINT AS out_in_ppm
+        |FROM o LEFT JOIN i USING (id) LEFT JOIN r USING (id)
+        |  LEFT JOIN s USING (id)
+        |ORDER BY url_key""".stripMargin,
+
+    // q100: AIMD fold — a recursive CTE steps every user's state one
+    // ordered event at a time (rate₀ = 1000; fail → max(rate // 2,
+    // 125); success → min(rate + 200, 8000)); recursion depth = max
+    // events per user. The same greatest/least/floor-div arithmetic
+    // as the Spark-side in-row fold.
+    "q100_aimd_rate" ->
+      """WITH RECURSIVE ev AS (SELECT user_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i,
+        |    (event_type = 'error') AS fail
+        |  FROM events),
+        |n AS (SELECT user_id, max(i) AS n,
+        |    sum(CASE WHEN fail THEN 1 ELSE 0 END) AS n_fail FROM ev GROUP BY 1),
+        |st(user_id, i, rate, mn) AS (
+        |  SELECT user_id, 0::BIGINT, 1000::BIGINT, 1000::BIGINT FROM n
+        |  UNION ALL
+        |  SELECT st.user_id, st.i + 1,
+        |    CASE WHEN ev.fail THEN greatest(st.rate // 2, 125)
+        |         ELSE least(st.rate + 200, 8000) END,
+        |    least(st.mn,
+        |      CASE WHEN ev.fail THEN greatest(st.rate // 2, 125)
+        |           ELSE least(st.rate + 200, 8000) END)
+        |  FROM st JOIN ev ON ev.user_id = st.user_id AND ev.i = st.i + 1)
+        |SELECT st.user_id, n.n::BIGINT AS n_events, n.n_fail::BIGINT AS n_fail,
+        |  st.rate::BIGINT AS final_rate, st.mn::BIGINT AS min_rate
+        |FROM st JOIN n USING (user_id) WHERE st.i = n.n
+        |ORDER BY user_id""".stripMargin
   )
 
   /** q91: HITS hub/authority, `iters` unrolled rounds — auth half-step

@@ -1230,6 +1230,98 @@ object Queries {
     GraphOps.coCitation(edges, maxOutDeg = 64, minShared = 2, k = 100)
   }
 
+  // q95 — HLL distinct-count sketch: per-event-type distinct users
+  // from 64 one-byte registers — the CONSTANT-size companion to q75's
+  // KMV (64 bytes/group vs k longs/group), the sketch a state table
+  // keeps per (host, day) at 10⁸ groups. Raw estimator only (the
+  // linear-counting branch needs ln(); n_zero_regs ships instead), all
+  // integer, so the oracle matches the estimate AND the register
+  // checksum bit-exactly.
+  def q95HllDistinct(spark: SparkSession, dir: String): DataFrame =
+    Sketches.hllDistinct(t(spark, dir, "events"), "event_type", "user_id")
+      .orderBy("event_type")
+
+  // q96 — bigram-LM document scoring: the perplexity-filter proxy one
+  // level up from q60's unigram rarity — corpus-trained transition
+  // table, mean transition ppm per doc, bottom-k = the drop list. One
+  // corpus explode + vocabulary-bounded model re-aggs; all integer.
+  def q96BigramLm(spark: SparkSession, dir: String): DataFrame =
+    Curation.bigramLmScore(t(spark, dir, "documents"), k = 50)
+
+  // q97 — URL path-template mining: digit runs collapse to `{n}`, one
+  // (host, template) aggregation ranks templates by URL mass — the
+  // crawler-trap report (infinite calendars, session-id paths) that
+  // writes a frontier's deny list. `is_trap` = template holds ≥ 20% of
+  // its host's URLs AND ≥ 100 URLs. Plan: codegen regex projection +
+  // one partial-agg exchange on (host, template) + a host re-agg of
+  // the TEMPLATE-cardinality frame (never the URL stream) joined back.
+  def q97UrlTemplates(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val urls = li.select(
+      concat(lit("host"), (col("l_suppkey") % 20).cast("string"),
+        lit(".example.com")).as("host"),
+      when(col("l_orderkey") % 3 === 0,
+        concat(lit("/cat/"), (col("l_suppkey") % 10).cast("string"),
+          lit("/item/"), col("l_partkey").cast("string")))
+        .when(col("l_orderkey") % 3 === 1,
+          concat(lit("/calendar/2024/"), (col("l_partkey") % 12 + 1).cast("string"),
+            lit("/"), (col("l_suppkey") % 28 + 1).cast("string")))
+        .otherwise(concat(lit("/page/"), col("l_orderkey").cast("string")))
+        .as("path"))
+    // persisted: template-cardinality (tiny); without it the host-total
+    // re-agg would re-scan and re-aggregate the URL stream a second time
+    val byTemplate = urls
+      .groupBy(col("host"),
+        UrlFunctions.pathTemplateCol(col("path")).as("template"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("path")).as("n_distinct"))
+      .persist()
+    val byHost = byTemplate.groupBy("host")
+      .agg(sum("n_urls").as("host_urls"))
+    byTemplate.join(byHost, Seq("host"))
+      .select(col("host"), col("template"), col("n_urls"), col("n_distinct"),
+        (col("n_urls") >= 100 && col("n_urls") * 5 >= col("host_urls")).as("is_trap"))
+      .orderBy(col("n_urls").desc, col("host"), col("template"))
+      .limit(100)
+  }
+
+  // q98 — TrustRank: q48's fixed-point PageRank with the teleport
+  // restricted to a trusted seed set (src ≡ 0 mod 17) — the
+  // spam-demotion prior for frontier priority. Same per-round plan as
+  // q48 (one equi-join + one partial-agg exchange), unrolled oracle.
+  def q98TrustRank(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val mx = orders.agg(max("o_orderkey")).first().getLong(0)
+    val edges = t(spark, dir, "lineitem").select(
+      col("l_orderkey").as("src"),
+      (pmod(col("l_orderkey") + col("l_partkey") * 7, lit(mx)) + 1).as("dst"))
+    val seeds = edges.filter(col("src") % 17 === 0).select(col("src").as("id"))
+    GraphOps.trustRank(edges, seeds, iters = 3)
+      .select(col("id").as("url_key"), col("trust"))
+      .orderBy(col("trust").desc, col("url_key"))
+  }
+
+  // q99 — link-spam signals: reciprocal-link fraction, self-loops and
+  // out/in imbalance per node over a dense 500-node synthetic graph
+  // (both endpoints in the same id space so link exchanges actually
+  // occur at sf0.01). One distinct edge pass reused by all aggregates.
+  def q99LinkSpam(spark: SparkSession, dir: String): DataFrame = {
+    val edges = t(spark, dir, "lineitem").select(
+      (col("l_orderkey") % 500 + 1).as("src"),
+      (pmod(col("l_orderkey") * 3 + col("l_partkey"), lit(500L)) + 1).as("dst"))
+    GraphOps.linkSpamSignals(edges).withColumnRenamed("id", "url_key")
+  }
+
+  // q100 — AIMD rate adaptation: fold each user's event history in
+  // (ts, event_id) order — additive increase on success, halve on
+  // 'error' — the politeness-tuning loop, as one exchange + an
+  // in-row codegen fold (sort_array + aggregate; no window, no UDF).
+  def q100AimdRate(spark: SparkSession, dir: String): DataFrame =
+    graft.frontier.Recrawl.aimdRates(
+        t(spark, dir, "events"), "user_id", "ts", "event_id",
+        failCol = col("event_type") === "error")
+      .withColumnRenamed("host", "user_id")
+
   /** name → query, in SURVEY.md §2 coverage order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_agg_pushdown" -> (q01AggPushdown _),
@@ -1325,6 +1417,12 @@ object Queries {
     "q91_hits" -> (q91Hits _),
     "q92_bm25" -> (q92Bm25 _),
     "q93_sample_quantiles" -> (q93SampleQuantiles _),
-    "q94_cocitation" -> (q94CoCitation _)
+    "q94_cocitation" -> (q94CoCitation _),
+    "q95_hll_distinct" -> (q95HllDistinct _),
+    "q96_bigram_lm" -> (q96BigramLm _),
+    "q97_url_templates" -> (q97UrlTemplates _),
+    "q98_trustrank" -> (q98TrustRank _),
+    "q99_link_spam" -> (q99LinkSpam _),
+    "q100_aimd_rate" -> (q100AimdRate _)
   )
 }

@@ -64,4 +64,54 @@ object StreamingSketches {
           Iterator.single(GroupEstimate(g, n.toLong, kth, est))
       }
   }
+
+  final case class GroupHllEstimate(g: String, n_zero_regs: Long,
+                                    reg_sum: Long, est_distinct: Long)
+
+  /** Streaming HLL distinct — the CONSTANT-size streaming sketch (64
+    * bytes of state per group, forever) next to [[kmvDistinctStream]]'s
+    * k longs: the per-group registers live in `flatMapGroupsWithState`
+    * state; each micro-batch folds its hashes in (register max — order-
+    * independent and replay-idempotent, so at-least-once delivery and
+    * arbitrary batch boundaries cannot change the estimate) and emits
+    * the refreshed estimate. Stream-final == batch
+    * [[Sketches.hllDistinct]] over the same rows
+    * (StreamingSketchesSpec pins it).
+    */
+  def hllDistinctStream(spark: SparkSession,
+                        rows: Dataset[(String, String)]): Dataset[GroupHllEstimate] = {
+    import spark.implicits._
+    val hashed = rows.toDF("g", "v")
+      .filter(col("v").isNotNull)
+      .select(col("g"), Sketches.hash48(col("v")).as("h"))
+      .as[(String, Long)]
+    hashed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (g: String, batch: Iterator[(String, Long)], state: GroupState[Array[Byte]]) =>
+          val regs = state.getOption.getOrElse(new Array[Byte](Sketches.HllM))
+          batch.foreach { case (_, h) =>
+            val bucket = (h & (Sketches.HllM - 1)).toInt
+            val w = h >>> 6
+            val rank =
+              if (w == 0L) 43.toByte
+              else (43 - (64 - java.lang.Long.numberOfLeadingZeros(w))).toByte
+            if (rank > regs(bucket)) regs(bucket) = rank
+          }
+          state.update(regs)
+          var regSum = 0L; var nZero = 0L; var i = 0
+          while (i < Sketches.HllM) {
+            val r = regs(i)
+            if (r == 0) nZero += 1
+            regSum += (1L << 30) >> r
+            i += 1
+          }
+          val raw = Sketches.HllNumerator / regSum / 1000000L
+          val est =
+            if (raw <= 5L * Sketches.HllM / 2 && nZero > 0)
+              Sketches.HllLcTable(nZero.toInt - 1)
+            else raw
+          Iterator.single(GroupHllEstimate(g, nZero, regSum, est))
+      }
+  }
 }

@@ -295,7 +295,7 @@ class CurationSpec extends SparkSpec {
 
   // ---- vocabEncode ----
 
-  private def bruteEncode(docs: Seq[(Long, String)], k: Int): Map[Long, (Int, Int, String)] = {
+  private def bruteEncode(docs: Seq[(Long, String)], k: Int): Map[Long, (Long, Long, String)] = {
     val counts = docs.flatMap(d => if (d._2.trim.isEmpty) Nil else d._2.trim.split("\\s+").toSeq)
       .groupBy(identity).view.mapValues(_.size.toLong).toSeq
     val vocab = counts.sortBy { case (t, c) => (-c, t) }.take(k)
@@ -305,7 +305,7 @@ class CurationSpec extends SparkSpec {
                 else text.trim.split("\\s+").toSeq.map(t => vocab.getOrElse(t, 0))
       val h = java.security.MessageDigest.getInstance("MD5")
         .digest(ids.mkString(" ").getBytes("UTF-8")).map("%02x".format(_)).mkString
-      id -> (ids.size, ids.count(_ == 0), h)
+      id -> (ids.size.toLong, ids.count(_ == 0).toLong, h)
     }.toMap
   }
 
@@ -317,21 +317,21 @@ class CurationSpec extends SparkSpec {
       4L -> "zz zz unseen")
     // corpus counts: b=4, a=3, zz=2, c=1, rare=1, unseen=1
     val got = Curation.vocabEncode(docs.toDF("doc_id", "text"), k = 3)
-      .as[(Long, Int, Int, String)].collect()
+      .as[(Long, Long, Long, String)].collect()
       .map(r => r._1 -> (r._2, r._3, r._4)).toMap
     assert(got === bruteEncode(docs, 3))
     // vocab = b->1, a->2, zz->3; doc2 = [1, 0, 2] → one OOV
-    assert(got(2L)._2 === 1)
-    assert(got(3L) === ((0, 0, bruteEncode(docs, 3)(3L)._3)))
+    assert(got(2L)._2 === 1L)
+    assert(got(3L) === ((0L, 0L, bruteEncode(docs, 3)(3L)._3)))
   }
 
   test("vocabEncode: all-blank corpus (empty vocab) stays well-typed") {
     val docs = Seq(1L -> "   ", 2L -> "")
     val got = Curation.vocabEncode(docs.toDF("doc_id", "text"), k = 5)
-      .as[(Long, Int, Int, String)].collect()
+      .as[(Long, Long, Long, String)].collect()
       .map(r => r._1 -> (r._2, r._3, r._4)).toMap
     assert(got === bruteEncode(docs, 5))
-    assert(got(1L)._1 === 0)
+    assert(got(1L)._1 === 0L)
   }
 
   test("property: vocabEncode equals brute force") {
@@ -343,7 +343,7 @@ class CurationSpec extends SparkSpec {
     } yield (texts.zipWithIndex.map { case (t, i) => i.toLong -> t }, k)
     sample(gen, 6) { case (docs, k) =>
       val got = Curation.vocabEncode(docs.toDF("doc_id", "text"), k)
-        .as[(Long, Int, Int, String)].collect()
+        .as[(Long, Long, Long, String)].collect()
         .map(r => r._1 -> (r._2, r._3, r._4)).toMap
       assert(got === bruteEncode(docs, k), s"docs=$docs k=$k")
     }
@@ -351,7 +351,7 @@ class CurationSpec extends SparkSpec {
 
   // ---- rarityScore ----
 
-  private def bruteRarity(docs: Seq[(Long, String)], k: Int): Map[Long, (Int, Long, Long)] = {
+  private def bruteRarity(docs: Seq[(Long, String)], k: Int): Map[Long, (Long, Long, Long)] = {
     val all = docs.flatMap(d => if (d._2.trim.isEmpty) Nil else d._2.trim.split("\\s+").toSeq)
     val total = all.size.toLong
     val sp = all.groupBy(identity).view.mapValues(_.size.toLong).toSeq
@@ -362,7 +362,7 @@ class CurationSpec extends SparkSpec {
       val sps = if (text.trim.isEmpty) Seq.empty[Long]
                 else text.trim.split("\\s+").toSeq.map(sp.getOrElse(_, oov))
       val s = sps.sum
-      id -> (sps.size, s, if (sps.isEmpty) 0L else s / sps.size)
+      id -> (sps.size.toLong, s, if (sps.isEmpty) 0L else s / sps.size)
     }.toMap
   }
 
@@ -375,12 +375,12 @@ class CurationSpec extends SparkSpec {
     // total=8; with k=2 vocab={common:5, rare... ties} -> common,oovword? counts: common=6? no:
     // common appears 6x, rare 1x, oovword 1x; k=2 vocab = common(6), oovword(1) (tie rare/oovword -> alpha)
     val got = Curation.rarityScore(docs.toDF("doc_id", "text"), k = 2)
-      .as[(Long, Int, Long, Long)].collect()
+      .as[(Long, Long, Long, Long)].collect()
       .map(r => r._1 -> (r._2, r._3, r._4)).toMap
     assert(got === bruteRarity(docs, 2))
     // the rare-token doc's mean rarity strictly exceeds the common-only doc's
     assert(got(1L)._3 > got(2L)._3)
-    assert(got(3L) === ((0, 0L, 0L)))
+    assert(got(3L) === ((0L, 0L, 0L)))
   }
 
   test("property: rarityScore equals brute force") {
@@ -392,7 +392,7 @@ class CurationSpec extends SparkSpec {
     } yield (texts.zipWithIndex.map { case (t, i) => i.toLong -> t }, k)
     sample(gen, 6) { case (docs, k) =>
       val got = Curation.rarityScore(docs.toDF("doc_id", "text"), k)
-        .as[(Long, Int, Long, Long)].collect()
+        .as[(Long, Long, Long, Long)].collect()
         .map(r => r._1 -> (r._2, r._3, r._4)).toMap
       assert(got === bruteRarity(docs, k), s"docs=$docs k=$k")
     }
@@ -819,6 +819,38 @@ class CurationSpec extends SparkSpec {
         .as[(Long, String, Long, Long)].collect()
         .map(r => r._1 -> (r._2, r._3, r._4)).toMap
       assert(got === expect, s"segTokens=$segTokens minDf=$minDf docs=$docs")
+    }
+  }
+
+  /** Brute-force bigram-LM model: MLE transition ppm from the corpus,
+    * floor-div mean per doc, bottom-k (score asc, id asc).
+    */
+  private def bruteBigramLm(docs: Seq[(Long, String)], k: Int): Seq[(Long, Long, Long)] = {
+    def toks(t: String) = t.trim.split("\\s+").toSeq
+    val perDoc = docs.filter(_._2.trim.nonEmpty)
+      .map { case (id, t) => id -> toks(t).sliding(2).filter(_.size == 2)
+        .map(p => (p(0), p(1))).toSeq }
+      .filter(_._2.nonEmpty)
+    val c2 = perDoc.flatMap(_._2).groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val c1 = c2.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    perDoc.map { case (id, bs) =>
+      val ssum = bs.map(p => c2(p) * 1000000L / c1(p._1)).sum
+      (id, bs.size.toLong, ssum / bs.size)
+    }.sortBy(r => (r._3, r._1)).take(k)
+  }
+
+  test("bigramLmScore matches brute force on random corpora (bottom-k drop list)") {
+    val words = Seq("x", "y", "z", "w")
+    val gen = for {
+      nd <- Gen.choose(0, 15)
+      docs <- Gen.listOfN(nd, Gen.listOf(Gen.oneOf(words)).map(_.mkString(" ")))
+      k <- Gen.oneOf(3, 10, 100)
+    } yield (docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }, k)
+    sample(gen, 12, 33L) { case (docs, k) =>
+      val expect = bruteBigramLm(docs, k)
+      val got = Curation.bigramLmScore(docs.toDF("doc_id", "text"), k)
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(got === expect, s"k=$k docs=$docs")
     }
   }
 }

@@ -391,20 +391,20 @@ class DatatoolsSpec extends SparkSpec {
       4L -> "mixed u@e.com at 8.8.8.8 pays 4000123456789012",
       5L -> "nothing to scrub here")
     val got = TextAnalysis.scrubPii(rows.toDF("doc_id", "text"))
-      .as[(Long, Int, Int, Int, String)].collect()
+      .as[(Long, Long, Long, Long, String)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4), r._5)).toMap
-    assert(got(1L)._1 === ((2, 0, 0)))
+    assert(got(1L)._1 === ((2L, 0L, 0L)))
     assert(got(1L)._2 === "mail <EMAIL> and <EMAIL> end")
     // 1.2.3 (three runs) and 1234.5.6.7 (4-digit octet still matches
     // [0-9]{1,3}? no: 1234 can't match {1,3} with \b) stay unscrubbed
-    assert(got(2L)._1 === ((0, 2, 0)))
+    assert(got(2L)._1 === ((0L, 2L, 0L)))
     assert(got(2L)._2 === "hosts <IP> <IP> not 1.2.3 or 1234.5.6.7")
     // 12 digits too short, 20 too long for the 13-19 card window
-    assert(got(3L)._1 === ((0, 0, 1)))
+    assert(got(3L)._1 === ((0L, 0L, 1L)))
     assert(got(3L)._2 === "card <CARD> short 123456789012 long 12345678901234567890")
-    assert(got(4L)._1 === ((1, 1, 1)))
+    assert(got(4L)._1 === ((1L, 1L, 1L)))
     assert(got(4L)._2 === "mixed <EMAIL> at <IP> pays <CARD>")
-    assert(got(5L)._1 === ((0, 0, 0)))
+    assert(got(5L)._1 === ((0L, 0L, 0L)))
     assert(got(5L)._2 === "nothing to scrub here")
   }
 

@@ -124,6 +124,85 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  /** Brute-force TrustRank: brutePagerank with base mass only on seeds. */
+  private def bruteTrust(edges: Seq[(Long, Long)], seeds: Set[Long],
+                         iters: Int): Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val inGraphSeeds = nodes.toSet & seeds
+    var r = nodes.map(n => n -> (if (inGraphSeeds(n)) 1000000L else 0L)).toMap
+    (1 to iters).foreach { _ =>
+      val m = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case (u, v) => m(v) += r(u) / outdeg(u) }
+      r = nodes.map(n =>
+        n -> ((if (inGraphSeeds(n)) 150000L else 0L) + 85L * m(n) / 100L)).toMap
+    }
+    r
+  }
+
+  test("trustRank: trust flows from seeds only; spam cliques without seed in-path decay to 0") {
+    // seed 1 links into a chain; {10, 11} is a 2-clique with no seed path
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 10L))
+    val got = GraphOps.trustRank(edges.toDF("src", "dst"),
+        Seq(1L).toDF("id"), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === bruteTrust(edges, Set(1L), 3))
+    assert(got(10L) === 0L && got(11L) === 0L) // the isolated clique gets nothing
+    assert(got(1L) > 0L && got(2L) > 0L && got(3L) > 0L)
+  }
+
+  test("property: trustRank equals brute force; seeds outside the graph are ignored") {
+    val gen = for {
+      es <- Gen.listOfN(25, Gen.zip(Gen.choose(0L, 10L), Gen.choose(0L, 10L)))
+      seeds <- Gen.listOf(Gen.choose(0L, 14L)) // some ids not in the graph
+    } yield (es, seeds)
+    sample(gen, 6) { case (es, seeds) =>
+      if (es.nonEmpty) {
+        val got = GraphOps.trustRank(es.toDF("src", "dst"),
+            seeds.toDF("id"), iters = 3)
+          .as[(Long, Long)].collect().toMap
+        assert(got === bruteTrust(es, seeds.toSet, 3), s"edges=$es seeds=$seeds")
+      }
+    }
+  }
+
+  /** Brute-force link-spam signals over the distinct simple digraph. */
+  private def bruteSpam(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Long, Long, Long, Long)] = {
+    val d = edges.filter(e => e._1 != e._2).distinct.toSet
+    val out = d.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val in = d.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val selfs = edges.filter(e => e._1 == e._2).groupBy(_._1)
+      .view.mapValues(_.size.toLong).toMap
+    out.map { case (id, o) =>
+      val i = in.getOrElse(id, 0L)
+      val rec = d.count { case (s, t) => s == id && d((t, s)) }.toLong
+      val sl = selfs.getOrElse(id, 0L)
+      id -> (o, i, rec, sl, rec * 1000000L / o, o * 1000000L / (i + 1L))
+    }
+  }
+
+  test("linkSpamSignals: reciprocal exchange flagged, organic chain clean, self-loops counted") {
+    // 1↔2 is a link exchange; 3→4→5 organic; 6→6 self-loop (6→7 gives it outdeg)
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 5L), (6L, 6L), (6L, 7L))
+    val got = GraphOps.linkSpamSignals(edges.toDF("src", "dst"))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(got === bruteSpam(edges))
+    assert(got(1L)._5 === 1000000L) // 100% reciprocal
+    assert(got(3L)._3 === 0L)       // no reciprocation on the chain
+    assert(got(6L)._4 === 1L)       // self-loop counted, excluded from degrees
+  }
+
+  test("property: linkSpamSignals equals brute force on random multigraphs") {
+    val gen = Gen.listOfN(30, Gen.zip(Gen.choose(0L, 8L), Gen.choose(0L, 8L)))
+    sample(gen, 6) { es =>
+      val got = GraphOps.linkSpamSignals(es.toDF("src", "dst"))
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+      assert(got === bruteSpam(es), s"edges=$es")
+    }
+  }
+
   private def bruteBfs(edges: Seq[(Long, Long)], seeds: Set[Long], maxDepth: Int): Map[Long, Int] = {
     val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val dist = scala.collection.mutable.Map(seeds.toSeq.map(_ -> 0): _*)

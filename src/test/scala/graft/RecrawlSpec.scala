@@ -78,4 +78,56 @@ class RecrawlSpec extends SparkSpec {
       assert(run(rows, asOf) === expect, s"rows=$rows")
     }
   }
+
+  // ---- aimdRates ----
+
+  /** Brute-force AIMD fold in (ts, tie) order. */
+  private def bruteAimd(rows: Seq[(String, Long, Long, Boolean)],
+                        start: Long, add: Long, cap: Long,
+                        fl: Long): Map[String, (Long, Long, Long, Long)] =
+    rows.groupBy(_._1).map { case (h, rs) =>
+      var rate = start; var mn = start
+      val ordered = rs.sortBy(r => (r._2, r._3))
+      ordered.foreach { case (_, _, _, fail) =>
+        rate = if (fail) math.max(rate / 2, fl) else math.min(rate + add, cap)
+        mn = math.min(mn, rate)
+      }
+      h -> (rs.size.toLong, rs.count(_._4).toLong, rate, mn)
+    }
+
+  test("aimdRates: halve on failure, additive climb on success, floor and cap bind") {
+    // host a: 3 ok then 2 fails → 1000+3·200=1600 → 800 → 400
+    // host b: fails drive to the floor; host c: successes hit the cap
+    val rows =
+      Seq.tabulate(5)(i => ("a", i.toLong, i.toLong, i >= 3)) ++
+      Seq.tabulate(6)(i => ("b", i.toLong, i.toLong, true)) ++
+      Seq.tabulate(40)(i => ("c", i.toLong, i.toLong, false))
+    val got = graft.frontier.Recrawl.aimdRates(
+        rows.toDF("host", "ts", "tie", "fail"), "host", "ts", "tie", col("fail"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got === bruteAimd(rows, 1000, 200, 8000, 125))
+    assert(got("a")._3 === 400L)
+    assert(got("b")._3 === 125L && got("b")._4 === 125L) // floor binds
+    assert(got("c")._3 === 8000L)                        // cap binds
+  }
+
+  test("aimdRates matches brute force and ignores input order (sort inside the row)") {
+    val gen = for {
+      n <- Gen.choose(0, 60)
+      rows <- Gen.listOfN(n, for {
+        h <- Gen.oneOf("h1", "h2", "h3")
+        ts <- Gen.choose(0L, 20L)
+        fail <- Gen.oneOf(true, false)
+      } yield (h, ts, fail))
+    } yield rows.zipWithIndex.map { case ((h, ts, f), i) => (h, ts, i.toLong, f) }
+    sample(gen, 8, 55L) { rows =>
+      val got = graft.frontier.Recrawl.aimdRates(
+          rows.reverse.toDF("host", "ts", "tie", "fail"), "host", "ts", "tie",
+          col("fail"))
+        .as[(String, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      assert(got === bruteAimd(rows, 1000, 200, 8000, 125), s"rows=$rows")
+    }
+  }
 }

@@ -258,4 +258,19 @@ class ScalarsSpec extends AnyFunSuite {
     val scalaHashes = inputs.map(UrlFunctions.murmur3)
     assert(sparkHashes.toSeq === scalaHashes)
   }
+
+  test("pathTemplateCol collapses every digit run, leaves non-digits alone") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val cases = Seq(
+      "/item/123" -> "/item/{n}",
+      "/calendar/2024/7/28" -> "/calendar/{n}/{n}/{n}",
+      "/a1b22c" -> "/a{n}b{n}c",
+      "/no/digits/" -> "/no/digits/",
+      "" -> "",
+      "42" -> "{n}")
+    val got = cases.map(_._1).toDF("p")
+      .select(UrlFunctions.pathTemplateCol($"p")).collect().map(_.getString(0))
+    assert(got.toSeq === cases.map(_._2))
+  }
 }

@@ -196,4 +196,65 @@ class SketchesSpec extends SparkSpec {
       }
     }
   }
+
+  // ---- HLL ----
+
+  /** The register model in pure Scala — the same closed form the
+    * DuckDB oracle replays (bucket = low 6 bits, rank = 43 −
+    * bit_length of the remaining 42, LC table below 2.5·m).
+    */
+  private def hllModel(values: Seq[Long]): (Long, Long, Long) = {
+    val regs = new Array[Int](Sketches.HllM)
+    values.distinct.foreach { v =>
+      val h = TextAnalysis.md5Lower64(v.toString) & Sketches.Mask48
+      val bucket = (h & 63).toInt
+      val w = h >>> 6
+      val rank = if (w == 0L) 43 else 43 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      if (rank > regs(bucket)) regs(bucket) = rank
+    }
+    val nZero = regs.count(_ == 0).toLong
+    val regSum = regs.map(r => (1L << 30) >> r).sum
+    val raw = Sketches.HllNumerator / regSum / 1000000L
+    val est = if (raw <= 160 && nZero > 0) Sketches.HllLcTable(nZero.toInt - 1) else raw
+    (nZero, regSum, est)
+  }
+
+  private def hllMap(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Long, Long)] =
+    df.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+
+  test("hllDistinct matches the register closed form, partition- and duplicate-invariant") {
+    val gen = for {
+      n <- Gen.choose(0, 500)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.oneOf("a", "b"), Gen.choose(0L, 300L)))
+      parts <- Gen.oneOf(1, 3, 11)
+    } yield (rows, parts)
+    sample(gen, 10, 19L) { case (rows, parts) =>
+      val got = hllMap(Sketches.hllDistinct(
+        (rows ++ rows).toDF("g", "v").repartition(parts), "g", "v"))
+      val expect = rows.groupBy(_._1).map { case (g, rs) => g -> hllModel(rs.map(_._2)) }
+      assert(got === expect)
+    }
+  }
+
+  test("hllDistinct raw estimate lands within the HLL error envelope at 5000 distinct") {
+    // m = 64 ⇒ std err ≈ 1.04/√64 = 13%; allow 3σ
+    val df = (0L until 5000L).map(v => ("g", v)).toDF("g", "v").repartition(8)
+    val (_, _, est) = hllMap(Sketches.hllDistinct(df, "g", "v"))("g")
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.39, s"estimate $est too far from 5000")
+  }
+
+  test("hllDistinct small range takes the linear-counting branch (not raw HLL)") {
+    val df = (0L until 15L).map(v => ("g", v)).toDF("g", "v")
+    val (nZero, _, est) = hllMap(Sketches.hllDistinct(df, "g", "v"))("g")
+    assert(nZero > 0)
+    assert(est === Sketches.HllLcTable(nZero.toInt - 1))
+    assert(math.abs(est - 15.0) / 15.0 < 0.5, s"LC estimate $est too far from 15")
+  }
+
+  test("hllDistinct drops nulls and empty input yields no rows") {
+    val df = Seq(("g", Some(1L)), ("g", None), ("h", None)).toDF("g", "v")
+    val got = hllMap(Sketches.hllDistinct(df, "g", "v"))
+    assert(got.keySet === Set("g"))
+    assert(got("g") === hllModel(Seq(1L)))
+  }
 }

@@ -55,4 +55,36 @@ class StreamingSketchesSpec extends SparkSpec {
       assert(finalRows === batchAll)
     } finally query.stop()
   }
+
+  test("stream-final per-group HLL registers == batch hllDistinct over all fed rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = (0 until 150).map(i => (s"g${i % 2}", s"v${i % 60}"))
+    val batch2 = (0 until 80).map(i => (s"g${i % 2}", s"v${40 + (i % 70)}")) ++
+      Seq(("g9", "solo"))
+    val input = MemoryStream[(String, String)]
+    val out = StreamingSketches.hllDistinctStream(spark, input.toDS())
+    val query = out.writeStream.format("memory").queryName("streamhll")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(batch1: _*)
+      query.processAllAvailable()
+      input.addData(batch2: _*)
+      query.processAllAvailable()
+      input.addData(batch2.take(40): _*) // at-least-once replay: register max is idempotent
+      query.processAllAvailable()
+      // register sums only decrease as registers grow (2^30 >> reg
+      // shrinks), and n_zero_regs only decreases — so the latest state
+      // per group is the lexicographic MIN of (n_zero_regs, reg_sum)
+      val finalRows = spark.table("streamhll")
+        .groupBy("g").agg(min(struct(col("n_zero_regs"), col("reg_sum"),
+          col("est_distinct"))).as("s"))
+        .select(col("g"), col("s.n_zero_regs"), col("s.reg_sum"), col("s.est_distinct"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val batchAll = Sketches.hllDistinct(
+          (batch1 ++ batch2 ++ batch2.take(40)).toDF("g", "v"), "g", "v")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(finalRows === batchAll)
+    } finally query.stop()
+  }
 }

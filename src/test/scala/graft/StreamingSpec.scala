@@ -31,11 +31,11 @@ class StreamingSpec extends SparkSpec {
       query.processAllAvailable()
       input.addData(3L -> "card 4111222233334444")
       query.processAllAvailable()
-      val rows = spark.table("scrub_stream").as[(Long, Int, Int, Int, String)]
+      val rows = spark.table("scrub_stream").as[(Long, Long, Long, Long, String)]
         .collect().map(r => r._1 -> ((r._2, r._3, r._4), r._5)).toMap
-      assert(rows(1L) === (((1, 1, 0), "mail <EMAIL> from <IP>")))
-      assert(rows(2L) === (((0, 0, 0), "clean")))
-      assert(rows(3L) === (((0, 0, 1), "card <CARD>")))
+      assert(rows(1L) === (((1L, 1L, 0L), "mail <EMAIL> from <IP>")))
+      assert(rows(2L) === (((0L, 0L, 0L), "clean")))
+      assert(rows(3L) === (((0L, 0L, 1L), "card <CARD>")))
     } finally query.stop()
   }
 

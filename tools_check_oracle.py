@@ -35,6 +35,9 @@ for name in sorted(oracle):
             sv, dv = s[c].values, d[c].values
             if s[c].dtype.kind == 'f':
                 eq = all((math.isnan(a) and math.isnan(b)) or a==b for a,b in zip(sv,dv))
+            elif s[c].dtype.kind == 'M':
+                # datetime: NaT != NaT under ==; null==null must pass
+                eq = ((sv == dv) | (pd.isna(sv) & pd.isna(dv))).all()
             else:
                 eq = (sv == dv).all()
             if not eq:
