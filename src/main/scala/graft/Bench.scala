@@ -191,7 +191,10 @@ object Bench {
       // crawler-trap template mining, seeded TrustRank (iterative),
       // link-spam degree signals, AIMD in-row fold
       "q95_hll_distinct", "q96_bigram_lm", "q97_url_templates",
-      "q98_trustrank", "q99_link_spam", "q100_aimd_rate")
+      "q98_trustrank", "q99_link_spam", "q100_aimd_rate",
+      // semantic dedup (cluster-bucketed cosine), DSIR importance
+      // weighting, label-propagation communities (iterative)
+      "q101_semdedup", "q102_dsir_weights", "q103_label_prop")
     val qmap = SparkEntry.queries
     val spark = newSession(cpus)
     def median(xs: Seq[Double]): Double = {

@@ -821,4 +821,110 @@ object Curation {
       .orderBy(col("score_ppm"), col("doc_id"))
       .limit(k)
   }
+
+  /** SemDeDup — SEMANTIC deduplication over an embedding column
+    * (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): k-means-cluster the
+    * embeddings, compare pairs only WITHIN a cluster, and for every
+    * pair whose cosine similarity clears `tau` drop the member that
+    * sits FARTHER from its cluster centroid (the paper's keep-the-
+    * representative rule; ties → keep the smaller id). Catches
+    * paraphrases and re-renderings that no lexical family
+    * (MinHash/SimHash/n-gram) can see.
+    *
+    * Scale shape (the whole point of the clustering step): candidate
+    * generation is bounded by the LARGEST CLUSTER, never the corpus —
+    * assignment is [[Similarity.kmeansAssign]]'s zero-exchange
+    * projection (centroids ride as literals), the pair join shuffles
+    * both sides once on the cluster key, and the verdict is a distinct
+    * + left anti-join at pair cardinality. At 10⁹ embeddings you raise
+    * k so clusters stay ~10⁴–10⁵ (the paper uses k ≈ 50 000 for
+    * LAION-440M) and the within-cluster quadratic term stays smaller
+    * than a single corpus scan; skewed clusters split by re-clustering
+    * recursively. Cosine is the round-6 codegen expression the
+    * q27/q28/q35 oracles pinned; the farther-member rule reuses
+    * assignment's integer `dist`, so the verdict is engine-exact.
+    *
+    * @param tau rounded-cosine keep/drop threshold (the synthetic
+    *            corpus has no true semantic dups, so callers
+    *            demonstrating on it pick a low tau)
+    * @return one row per embedding: (idCol, cluster, dist, kept)
+    */
+  def semDeDup(embeddings: DataFrame, k: Int, iters: Int, tau: Double,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assign = Similarity.kmeansAssign(embeddings, k, iters,
+      idCol = idCol, vecCol = vecCol)
+    val vecs = embeddings.select(col(idCol).as("vid"),
+      col(vecCol).cast("array<double>").as("ev"))
+    val j = assign.join(vecs, col(idCol) === col("vid"))
+      .select(col(idCol).as("id"), col("cluster"), col("dist"), col("ev"))
+    val a = j.select(col("id").as("ia"), col("cluster"),
+      col("dist").as("da"), col("ev").as("ea"))
+    val b = j.select(col("id").as("ib"), col("cluster"),
+      col("dist").as("db"), col("ev").as("eb"))
+    // within-cluster pairs only; the loser is the farther-from-centroid
+    // member (tie → the larger id, i.e. the smaller id is kept)
+    val drops = a.join(b, Seq("cluster"))
+      .filter(col("ia") < col("ib") &&
+        round(Dedup.cosine(col("ea"), col("eb")), 6) >= tau)
+      .select(when(col("da") <= col("db"), col("ib"))
+        .otherwise(col("ia")).as("drop_id"))
+      .distinct()
+    assign.join(drops, assign(idCol) === drops("drop_id"), "left")
+      .select(col(idCol), col("cluster"), col("dist"),
+        col("drop_id").isNull.as("kept"))
+  }
+
+  /** DSIR-style importance weighting — Data Selection with Importance
+    * Resampling (Xie et al. 2023): score each document by how much
+    * more likely its tokens are under a TARGET distribution (here: the
+    * unigram distribution of a trusted sub-corpus) than under the raw
+    * source distribution, then keep the top-weighted docs. The
+    * published method weights by Σ log(p_tgt/p_src) over hashed
+    * n-grams; this fixed-point variant linearizes the log-ratio to
+    * Σ (tgt_ppm − src_ppm) per token occurrence — the same
+    * integer-for-log substitution as [[bigramLmScore]] and q85's
+    * linearized idf, so an independent engine replays the weights
+    * bit-exactly, and the induced ranking agrees where the filter
+    * acts (both are monotone in the per-token probability gap).
+    *
+    * Scale shape: ONE tokenize+explode pass trains both distributions
+    * (conditional sums in the same aggregation — the target is a
+    * FILTER over the corpus, not a second scan); the model is then
+    * cut to the `vocab` most frequent tokens (count desc, token asc —
+    * TakeOrderedAndProject, bounding model size the way the paper's
+    * feature hashing does) and broadcast back against a second
+    * tokenize pass; the per-doc weight is one partial-agg exchange.
+    * OOV tokens contribute 0 by construction.
+    *
+    * @param isTarget document-level predicate selecting the trusted
+    *                 target sub-corpus (evaluated in the training agg)
+    * @return top `n` docs by (weight desc, doc_id asc):
+    *         (doc_id, n_tokens, weight) — the keep list.
+    */
+  def dsirWeights(docs: DataFrame, isTarget: Column, vocab: Int, n: Int,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"), isTarget.as("is_tgt"),
+        explode(split(trim(col(textCol)), "\\s+")).as("token"))
+    val counts = toks.groupBy("token")
+      .agg(count(lit(1)).as("c_src"),
+        sum(when(col("is_tgt"), 1L).otherwise(0L)).as("c_tgt"))
+      .orderBy(col("c_src").desc, col("token"))
+      .limit(vocab)
+      .persist()
+    val totals = counts.agg(sum("c_src").as("t_src"), sum("c_tgt").as("t_tgt"))
+    // greatest(·, 1): a vocab cut can strand the target with ZERO
+    // in-vocab occurrences — the numerator is 0 there too, so clamping
+    // the denominator keeps the gap exact while dodging the div-0
+    val model = counts.crossJoin(broadcast(totals))
+      .select(col("token"),
+        (expr("(c_tgt * 1000000) DIV greatest(t_tgt, bigint(1))") -
+          expr("(c_src * 1000000) DIV greatest(t_src, bigint(1))")).as("gap_ppm"))
+    toks.join(broadcast(model), Seq("token"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("gap_ppm").as("weight"))
+      .orderBy(col("weight").desc, col("doc_id"))
+      .limit(n)
+  }
 }

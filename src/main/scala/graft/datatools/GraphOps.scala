@@ -489,6 +489,62 @@ object GraphOps {
     res
   }
 
+  /** Label-propagation communities (Raghavan et al. 2007) over an
+    * undirected view of the link graph: every node starts as its own
+    * label; each synchronous round it adopts the MOST FREQUENT label
+    * among its neighbors (ties → the smallest label, so every round is
+    * deterministic and engine-replayable; isolated nodes keep their
+    * own). Where [[connectedComponents]] answers "reachable at all",
+    * LPA answers "densely linked together" — the mirror-site /
+    * link-farm / topic-community detector a crawl's host graph feeds.
+    *
+    * Scale shape (per round, the [[trustRank]] discipline): ONE
+    * equi-join of the undirected edge list against the label frame +
+    * ONE (node, label) partial-agg count + the struct-min argmax re-agg
+    * — no windows, no sorts; eager localCheckpoint truncates the
+    * iterative lineage and releases the superseded round. The
+    * undirected edge list is built once (distinct, self-loops dropped)
+    * and persisted across rounds. Rounds are fixed (`iters`), not
+    * run-to-convergence: synchronous LPA can 2-cycle, and a fixed
+    * round count is what an engine-independent oracle can replay.
+    *
+    * @return (id, label) after `iters` rounds
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 3,
+                       srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // undirected neighbor list: both directions, self-loops dropped
+    val nbrs = e.filter(col("src") =!= col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+      .unionByName(e.filter(col("src") =!= col("dst"))
+        .select(col("dst").as("a"), col("src").as("b")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    var labels = nodes.select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    (1 to iters).foreach { _ =>
+      val counted = nbrs.join(labels, nbrs("b") === labels("id"))
+        .groupBy(col("a"), col("label")).agg(count(lit(1)).as("cnt"))
+      // argmax by (cnt desc, label asc) as a struct-min partial agg —
+      // the q79/kmeans lexicographic-min idiom, no window
+      val won = counted.groupBy(col("a"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l")))
+          .getField("l").as("new_label"))
+      val prev = labels
+      labels = nodes.join(won, nodes("id") === won("a"), "left")
+        .select(col("id"), coalesce(col("new_label"), col("id")).as("label"))
+        .localCheckpoint(true)
+      Checkpoints.release(prev)
+    }
+    nbrs.unpersist()
+    Checkpoints.release(nodes)
+    labels
+  }
+
   def anchorTopK(anchors: DataFrame, k: Int,
                  dstCol: String = "dst", termCol: String = "term"): DataFrame = {
     val counted = anchors

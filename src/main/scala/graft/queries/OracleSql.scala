@@ -1630,8 +1630,62 @@ object OracleSql {
         |SELECT st.user_id, n.n::BIGINT AS n_events, n.n_fail::BIGINT AS n_fail,
         |  st.rate::BIGINT AS final_rate, st.mn::BIGINT AS min_rate
         |FROM st JOIN n USING (user_id) WHERE st.i = n.n
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+
+    "q101_semdedup" -> q101Sql(k = 4, iters = 2, dim = 64, tau = 0.35),
+
+    // q102: DSIR importance weighting — train both unigram
+    // distributions in one conditional agg, cut to the 500 most
+    // frequent tokens (count desc, token asc), weight = Σ of the
+    // linearized ppm log-ratio gap per in-vocab occurrence.
+    "q102_dsir_weights" ->
+      """WITH toks AS (SELECT doc_id, (lang = 'en') AS is_tgt,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |counts AS (SELECT token, count(*)::BIGINT AS c_src,
+        |    sum(CASE WHEN is_tgt THEN 1 ELSE 0 END)::BIGINT AS c_tgt
+        |  FROM toks GROUP BY 1 ORDER BY c_src DESC, token LIMIT 500),
+        |tot AS (SELECT sum(c_src)::BIGINT AS t_src,
+        |    sum(c_tgt)::BIGINT AS t_tgt FROM counts),
+        |model AS (SELECT token,
+        |    ((c_tgt * 1000000) // greatest(t_tgt, 1)
+        |     - (c_src * 1000000) // greatest(t_src, 1)) AS gap_ppm
+        |  FROM counts, tot),
+        |w AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |    sum(gap_ppm)::BIGINT AS weight
+        |  FROM toks JOIN model USING (token) GROUP BY 1)
+        |SELECT doc_id, n_tokens, weight FROM w
+        |ORDER BY weight DESC, doc_id LIMIT 50""".stripMargin,
+
+    // q103: label propagation, 3 unrolled synchronous rounds — each is
+    // one neighbor join + a (node, label) count + the struct-min
+    // argmax (cnt desc, label asc), isolated nodes keep their own.
+    "q103_label_prop" -> q103Sql(iters = 3)
   )
+
+  /** q103: unrolled synchronous label propagation over q99's dense
+    * 500-node synthetic graph (same edge synthesis).
+    */
+  private def q103Sql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""w$i AS (SELECT a, min({'nc': -cnt, 'l': label})['l'] AS new_label
+         |  FROM (SELECT nb.a, l.label, count(*)::BIGINT AS cnt
+         |        FROM nb JOIN l${i - 1} l ON nb.b = l.id GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |l$i AS (SELECT n.id, coalesce(w$i.new_label, n.id) AS label
+         |  FROM nodes n LEFT JOIN w$i ON n.id = w$i.a)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT (l_orderkey % 500) + 1 AS src,
+       |    ((l_orderkey * 3 + l_partkey) % 500) + 1 AS dst FROM lineitem),
+       |nb AS (SELECT DISTINCT a, b FROM (
+       |  SELECT src AS a, dst AS b FROM e WHERE src <> dst
+       |  UNION ALL SELECT dst, src FROM e WHERE src <> dst)),
+       |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |l0 AS (SELECT id, id AS label FROM nodes),
+       |$rounds
+       |SELECT id AS url_key, label::BIGINT AS label FROM l$iters
+       |ORDER BY url_key""".stripMargin
+  }
 
   /** q91: HITS hub/authority, `iters` unrolled rounds — auth half-step
     * then hub half-step, each sum-normalized to 10⁶ with floor
@@ -1724,7 +1778,11 @@ object OracleSql {
     * toward zero, so negative coordinate sums agree), and the
     * NOT-IN branch carries empty clusters' previous centroids.
     */
-  private def q79Sql(k: Int, iters: Int, dim: Int): String = {
+  /** Shared k-means CTE chain (`WITH ints … fin`): integer Lloyd
+    * rounds exactly as `Similarity.kmeansAssign` — `fin` holds the
+    * final (vec_id, v, j, dist) assignment. Used by q79 and q101.
+    */
+  private def kmeansCtes(k: Int, iters: Int, dim: Int): String = {
     def assign(src: String, cent: String): String =
       s"""SELECT vec_id, v, b['j'] AS j, b['d'] AS dist FROM (
          |  SELECT i.vec_id, i.v,
@@ -1750,8 +1808,29 @@ object OracleSql {
     }
     s"""$head,
        |${rounds.mkString(",\n")},
-       |fin AS (${assign("ints", s"c$iters")})
+       |fin AS (${assign("ints", s"c$iters")})""".stripMargin
+  }
+
+  private def q79Sql(k: Int, iters: Int, dim: Int): String =
+    s"""${kmeansCtes(k, iters, dim)}
        |SELECT vec_id, j::INT AS cluster, dist::BIGINT AS dist
        |FROM fin ORDER BY vec_id""".stripMargin
-  }
+
+  /** q101: SemDeDup — the q79 assignment plus within-cluster round-6
+    * cosine pairs; the farther-from-centroid member of each pair ≥ tau
+    * drops (dist tie → the larger id drops).
+    */
+  private def q101Sql(k: Int, iters: Int, dim: Int, tau: Double): String =
+    s"""${kmeansCtes(k, iters, dim)},
+       |vec AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+       |jj AS (SELECT f.vec_id, f.j AS cluster, f.dist, v.ev
+       |  FROM fin f JOIN vec v USING (vec_id)),
+       |drops AS (SELECT DISTINCT CASE WHEN a.dist <= b.dist THEN b.vec_id
+       |    ELSE a.vec_id END AS vec_id
+       |  FROM jj a JOIN jj b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE round(list_cosine_similarity(a.ev, b.ev), 6) >= $tau)
+       |SELECT f.vec_id, f.j::INT AS cluster, f.dist::BIGINT AS dist,
+       |  (d.vec_id IS NULL) AS kept
+       |FROM fin f LEFT JOIN drops d USING (vec_id)
+       |ORDER BY f.vec_id""".stripMargin
 }

@@ -1322,6 +1322,38 @@ object Queries {
         failCol = col("event_type") === "error")
       .withColumnRenamed("host", "user_id")
 
+  // q101 — SemDeDup: k-means-bucketed SEMANTIC near-dup pruning over
+  // the embedding table (cluster → within-cluster cosine ≥ τ → drop
+  // the farther-from-centroid member). Reuses q79's integer k-means
+  // (k=4, 2 rounds) so the oracle replays assignment AND verdict
+  // bit-exactly; τ = 0.35 because the synthetic embeddings carry no
+  // true semantic dups (within-cluster cosine tops out ≈ 0.51).
+  def q101SemDedup(spark: SparkSession, dir: String): DataFrame =
+    Curation.semDeDup(t(spark, dir, "embeddings"), k = 4, iters = 2, tau = 0.35)
+      .orderBy("vec_id")
+
+  // q102 — DSIR importance weighting: rank docs by the linearized
+  // log-ratio of target (lang='en') vs source unigram probabilities
+  // over a 500-token vocabulary — the data-selection step that tilts
+  // a raw crawl toward a trusted distribution. One training agg
+  // (conditional sums), broadcast model, one scoring agg.
+  def q102DsirWeights(spark: SparkSession, dir: String): DataFrame =
+    Curation.dsirWeights(t(spark, dir, "documents"),
+      isTarget = col("lang") === "en", vocab = 500, n = 50)
+
+  // q103 — label-propagation communities over q99's dense 500-node
+  // synthetic link graph: 3 synchronous rounds, most-frequent neighbor
+  // label, ties to the smallest — the mirror-site / link-farm grouping
+  // that CC's "reachable at all" cannot express. Unrolled oracle.
+  def q103LabelProp(spark: SparkSession, dir: String): DataFrame = {
+    val edges = t(spark, dir, "lineitem").select(
+      (col("l_orderkey") % 500 + 1).as("src"),
+      (pmod(col("l_orderkey") * 3 + col("l_partkey"), lit(500L)) + 1).as("dst"))
+    GraphOps.labelPropagation(edges, iters = 3)
+      .select(col("id").as("url_key"), col("label"))
+      .orderBy("url_key")
+  }
+
   /** name → query, in SURVEY.md §2 coverage order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_agg_pushdown" -> (q01AggPushdown _),
@@ -1423,6 +1455,9 @@ object Queries {
     "q97_url_templates" -> (q97UrlTemplates _),
     "q98_trustrank" -> (q98TrustRank _),
     "q99_link_spam" -> (q99LinkSpam _),
-    "q100_aimd_rate" -> (q100AimdRate _)
+    "q100_aimd_rate" -> (q100AimdRate _),
+    "q101_semdedup" -> (q101SemDedup _),
+    "q102_dsir_weights" -> (q102DsirWeights _),
+    "q103_label_prop" -> (q103LabelProp _)
   )
 }

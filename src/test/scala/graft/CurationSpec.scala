@@ -853,4 +853,74 @@ class CurationSpec extends SparkSpec {
       assert(got === expect, s"k=$k docs=$docs")
     }
   }
+
+  // ---- semDeDup ----
+
+  test("semDeDup keeps the centroid-nearest member of each semantic-dup group") {
+    // cluster A prototypes at x-axis: 1, 3, 4 are mutual near-dups
+    // (cosine ≥ 0.999 pairwise); after one integer Lloyd round the A
+    // centroid lands EXACTLY on vector 3 (mean of 0/10000/20000 in the
+    // y slot), so 3 is the keeper (dist 0) and the 1-vs-4 dist tie
+    // drops the larger id. Cluster B: 2 and 5 are dups (5 nearer the
+    // centroid, which is dragged off-axis by non-dup 6).
+    val vecs = Seq(
+      1L -> Seq(1f, 0f, 0f, 0f),
+      2L -> Seq(0f, 1f, 0f, 0f),
+      3L -> Seq(1f, 0.01f, 0f, 0f),
+      4L -> Seq(1f, 0.02f, 0f, 0f),
+      5L -> Seq(0f, 1f, 0.005f, 0f),
+      6L -> Seq(0f, 0.5f, 0.5f, 0f)
+    ).toDF("vec_id", "embedding")
+    val got = Curation.semDeDup(vecs, k = 2, iters = 1, tau = 0.99)
+      .select("vec_id", "cluster", "kept")
+      .as[(Long, Int, Boolean)].collect()
+      .map { case (id, c, kk) => id -> ((c, kk)) }.toMap
+    assert(got(1L) === ((0, false)) && got(3L) === ((0, true)) &&
+      got(4L) === ((0, false)))
+    assert(got(2L) === ((1, false)) && got(5L) === ((1, true)) &&
+      got(6L) === ((1, true)))
+  }
+
+  test("semDeDup with a threshold above every cosine keeps everything") {
+    val vecs = Seq(1L -> Seq(1f, 0f), 2L -> Seq(0f, 1f), 3L -> Seq(0.7f, 0.7f))
+      .toDF("vec_id", "embedding")
+    val got = Curation.semDeDup(vecs, k = 2, iters = 1, tau = 0.9999)
+      .select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(got.values.forall(identity) && got.size === 3)
+  }
+
+  // ---- dsirWeights ----
+
+  test("dsirWeights ranks docs by the linearized target/source unigram gap") {
+    // target = lang 'en'. counts: a → (src 3, tgt 2), b → (2, 1),
+    // c → (5, 0); totals (10, 3). gaps: a = 666666-300000, b =
+    // 333333-200000, c = 0-500000 (floor div, exact).
+    val docs = Seq(
+      (1L, "a a b", "en"),
+      (2L, "a b c", "de"),
+      (3L, "c c c c", "de")
+    ).toDF("doc_id", "text", "lang")
+    val got = Curation.dsirWeights(docs, col("lang") === "en", vocab = 10, n = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 3L, 2L * 366666L + 133333L),
+      (2L, 3L, 366666L + 133333L - 500000L),
+      (3L, 4L, -2000000L)))
+  }
+
+  test("dsirWeights vocabulary cut drops out-of-vocab tokens from the weight") {
+    // vocab = 1 keeps only the most frequent token 'c'; docs without
+    // 'c' fall off the list entirely (no in-vocab tokens)
+    val docs = Seq(
+      (1L, "a a b", "en"),
+      (2L, "a b c", "de"),
+      (3L, "c c c c", "de")
+    ).toDF("doc_id", "text", "lang")
+    val got = Curation.dsirWeights(docs, col("lang") === "en", vocab = 1, n = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    // only 'c' survives: c_src 5, c_tgt 0 → t_tgt is 0 and the
+    // greatest(t_tgt, 1) clamp must kick in (numerator 0, gap exact);
+    // gap = 0 - (5·10⁶)//5 = -10⁶ per occurrence
+    assert(got === Seq((2L, 1L, -1000000L), (3L, 4L, -4000000L)))
+  }
 }

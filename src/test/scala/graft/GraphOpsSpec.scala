@@ -359,4 +359,69 @@ class GraphOpsSpec extends SparkSpec {
       assert(got === expect, s"cap=$cap k=$k edges=$edges")
     }
   }
+
+  // ---- labelPropagation ----
+
+  /** Straight-line synchronous LPA: mode of neighbor labels, ties to
+    * the smallest label, isolated nodes keep their own.
+    */
+  private def bruteLpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .flatMap(e => Seq(e, (e._2, e._1))).distinct
+    val nbrs = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    var lab = nodes.map(n => n -> n).toMap
+    (1 to iters).foreach { _ =>
+      lab = nodes.map { n =>
+        nbrs.get(n) match {
+          case None => n -> lab(n)
+          case Some(ns) =>
+            val byLabel = ns.map(lab).groupBy(identity)
+              .map { case (l, xs) => (l, xs.size) }
+            n -> byLabel.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }
+      }.toMap
+    }
+    lab
+  }
+
+  test("labelPropagation: two cliques with a bridge converge to per-clique labels") {
+    // cliques {1,2,3} and {10,11,12}, one bridge 3-10
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L)).toDF("src", "dst")
+    val got = GraphOps.labelPropagation(edges, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    // the left clique settles on label 1 by round 2; the right clique
+    // is uniformly labeled (the bridge drags 3's label through it) —
+    // exact values pinned by the straight-line model
+    assert(got(1L) === 1L && got(2L) === 1L && got(3L) === 1L)
+    assert(Set(got(10L), got(11L), got(12L)).size === 1)
+    assert(got === bruteLpa(Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L)), 3))
+  }
+
+  test("labelPropagation matches the straight-line model on random graphs") {
+    val gen = for {
+      n <- Gen.choose(0, 60)
+      edges <- Gen.listOfN(n, Gen.zip(Gen.choose(1L, 14L), Gen.choose(1L, 14L)))
+      iters <- Gen.oneOf(1, 2, 3)
+    } yield (edges, iters)
+    sample(gen, 10, 71L) { case (edges, iters) =>
+      val got = GraphOps.labelPropagation(edges.toDF("src", "dst"), iters)
+        .as[(Long, Long)].collect().toMap
+      assert(got === bruteLpa(edges, iters), s"iters=$iters edges=$edges")
+    }
+  }
+
+  test("labelPropagation: self-loop-only node keeps its own label") {
+    val edges = Seq((5L, 5L), (1L, 2L)).toDF("src", "dst")
+    val got = GraphOps.labelPropagation(edges, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got(5L) === 5L)
+    // the isolated pair is the textbook synchronous-LPA 2-cycle: after
+    // an EVEN round count each is back to its own label (this is why
+    // the operator runs a FIXED round count the oracle can replay,
+    // rather than "until converged")
+    assert(got(1L) === 1L && got(2L) === 2L)
+  }
 }
