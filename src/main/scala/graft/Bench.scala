@@ -194,7 +194,9 @@ object Bench {
       "q98_trustrank", "q99_link_spam", "q100_aimd_rate",
       // semantic dedup (cluster-bucketed cosine), DSIR importance
       // weighting, label-propagation communities (iterative)
-      "q101_semdedup", "q102_dsir_weights", "q103_label_prop")
+      "q101_semdedup", "q102_dsir_weights", "q103_label_prop",
+      // host-mirror set resemblance (agg-built MinHash), CDC chunk dedup
+      "q104_host_mirrors", "q105_cdc_chunks")
     val qmap = SparkEntry.queries
     val spark = newSession(cpus)
     def median(xs: Seq[Double]): Double = {

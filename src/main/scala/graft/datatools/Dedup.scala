@@ -614,4 +614,160 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  /** SET-resemblance near-dup pairs at GROUP granularity — the
+    * host-mirror detector: two hosts whose PATH SETS are nearly
+    * identical are mirrors (www/m. twins, CDN clones, scraped copies),
+    * and a frontier that crawls both pays twice for one site (the
+    * reference's analog: the same conversion route fed the same
+    * download set twice, `pkg/api/api.go` route registry — nothing
+    * dedups across requests, which is exactly what this layer adds).
+    *
+    * Same sketch-then-verify contract as the document families, but the
+    * "set" is spread across ROWS — a host's paths arrive over the whole
+    * crawl — so the MinHash signature is built BY AGGREGATION: slot `i`
+    * of a set's signature is `min` over elements of
+    * `md5_48(i ":" element)`, a partial-agg `min` per slot, not a
+    * per-row array fold. Banding then hashes each `slots/bands`-slot
+    * run; candidate pairs agree on a full band; every candidate is
+    * verified EXACTLY (intersection count over the element table,
+    * restricted to candidate pairs) before a verdict is reported.
+    *
+    * Scale shape (10⁹ hosts): the distinct (set, element) stream
+    * collapses to ≤ `slots` longs per set in ONE partial-agg exchange
+    * (map-side min per slot — element rows never shuffle twice);
+    * banding emits `bands` rows per SET (set-cardinality, not
+    * element-cardinality); the band equi-join only pairs sets sharing a
+    * full band; the exact verify ships each candidate pair's LEFT
+    * element list once (cand ⋈ elems on s_a, probe on (s_b, element))
+    * so cost is Σ|A| over candidate pairs — a false candidate costs one
+    * bounded probe, never a wrong answer. Jaccard is fixed-point ppm
+    * floor-div (positive operands: Spark `DIV` ≡ DuckDB `//`).
+    */
+  def setResemblance(rows: DataFrame, setCol: String, elemCol: String,
+                     slots: Int = 12, bands: Int = 3,
+                     tauPpm: Long = 700000L): DataFrame = {
+    require(slots % bands == 0, s"slots=$slots must divide into bands=$bands")
+    val perBand = slots / bands
+    val elems = rows.select(col(setCol).cast("string").as("s"),
+        col(elemCol).cast("string").as("e"))
+      .filter(col("s").isNotNull && col("e").isNotNull)
+      .distinct().persist()
+    // signature slot i = min md5_48("i:elem") — i is salt, not position,
+    // so slots are independent hash functions over the same element set
+    val slotCols = (0 until slots).map(i =>
+      min(graft.functions.MinHashExprs.md5Low48Col(
+        concat_ws(":", lit(i.toString), col("e")))).as(s"m$i"))
+    val sigs = elems.groupBy(col("s"))
+      .agg(count(lit(1)).as("n"), slotCols: _*)
+    // band key = the slot-run's decimal-joined string (tuple equality;
+    // the oracle replays it with string_agg ORDER BY slot)
+    val bandKeys = (0 until bands).map(b =>
+      concat_ws(",", (b * perBand until (b + 1) * perBand)
+        .map(i => col(s"m$i").cast("string")): _*))
+    val banded = sigs.select(col("s"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.s") < col("b.s"))
+      .select(col("a.s").as("s_a"), col("b.s").as("s_b")).distinct()
+    // exact intersection, candidate-pair-bounded: fan the pair out over
+    // side A's elements, probe side B on (set, element)
+    val inter = cand
+      .join(elems.select(col("s").as("s_a"), col("e")), Seq("s_a"))
+      .join(elems.select(col("s").as("s_b"), col("e")), Seq("s_b", "e"))
+      .groupBy(col("s_a"), col("s_b")).agg(count(lit(1)).as("inter"))
+    val sizes = sigs.select(col("s"), col("n"))
+    inter
+      .join(sizes.withColumnRenamed("s", "s_a").withColumnRenamed("n", "n_a"), "s_a")
+      .join(sizes.withColumnRenamed("s", "s_b").withColumnRenamed("n", "n_b"), "s_b")
+      .select(col("s_a").as("set_a"), col("s_b").as("set_b"),
+        col("n_a"), col("n_b"), col("inter"),
+        expr("inter * 1000000 DIV (n_a + n_b - inter)").as("jaccard_ppm"))
+      .withColumn("is_mirror", col("jaccard_ppm") >= tauPpm)
+  }
+
+  /** Content-defined chunking dedup (the FastCDC/rsync family): chunk
+    * boundaries fall AFTER every position whose trailing `window`-char
+    * substring hashes to 0 (mod `divisor`), so boundaries depend only
+    * on LOCAL content — an insertion early in a doc shifts chunk
+    * frames, not every downstream chunk identity, which is exactly the
+    * invariance [[graft.datatools.Curation]]'s fixed-width q54 chunks
+    * lack. Chunks partition the text (mean length ≈ divisor chars);
+    * each occurrence is fingerprinted (md5) and an occurrence is
+    * DUPLICATED iff it is not the corpus-wide first (min (doc, pos)
+    * per fingerprint — deterministic, engine-independent). Output per
+    * doc: chunk counts, duplicated-chunk counts/chars, and the
+    * dedupable fraction in fixed-point ppm.
+    *
+    * Boundary hash = md5-48 of the window substring — per-position
+    * hashing (O(len·window)) instead of a rolling gear hash (O(len)),
+    * because the boundary rule must replay bit-exactly in the DuckDB
+    * oracle (`md5_number_lower(substr(...))`); a production swap to
+    * gear/Rabin keeps the IDENTICAL plan shape — only this projection
+    * changes. Scale shape (100 TB): text is read once in the chunking
+    * projection and never shuffles — the explode ships (id, pos,
+    * chunk_len, 32-hex fp); the first-occurrence argmin is ONE
+    * partial-agg exchange on the fingerprint; the verdict joins back
+    * fingerprint-keyed; the per-doc rollup is a second partial agg.
+    * Within-doc repeats count as duplicates (pos breaks the tie).
+    */
+  def cdcChunkDedup(docs: DataFrame, window: Int = 8, divisor: Int = 16,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.Substring
+    // catalyst Substring with COLUMN pos/len (SQL `substr` semantics —
+    // character-based, 1-indexed — so the oracle's substr replays it)
+    def sub(s: Column, p: Column, l: Column): Column =
+      GraftBridge.column(Substring(GraftBridge.expression(s),
+        GraftBridge.expression(p), GraftBridge.expression(l)))
+    val w = window
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("t"))
+      .withColumn("len", length(col("t")))
+    val chunked = base
+      .withColumn("bnds",
+        when(col("len") >= w,
+          filter(
+            transform(sequence(lit(w), col("len")),
+              i => when(pmod(graft.functions.MinHashExprs.md5Low48Col(
+                  sub(col("t"), i - lit(w - 1), lit(w))), lit(divisor)) === 0, i)
+                .otherwise(lit(-1))),
+            x => x >= 0))
+          .otherwise(array().cast("array<int>")))
+      // cut points: 0, each boundary, len — ascending by construction,
+      // array_distinct drops a final boundary that coincides with len
+      .withColumn("cuts", array_distinct(
+        concat(array(lit(0)), col("bnds"), array(col("len")))))
+      .withColumn("starts", slice(col("cuts"), lit(1), size(col("cuts")) - 1))
+      .withColumn("ends", slice(col("cuts"), lit(2), size(col("cuts")) - 1))
+      .withColumn("chunks", zip_with(col("starts"), col("ends"),
+        (p, q) => sub(col("t"), p + 1, q - p)))
+    // persist the compact occurrence frame (id, pos, len, 32-hex fp —
+    // no text): the O(len·window) chunking projection feeds BOTH the
+    // first-occurrence agg and the verdict join, and without the pin
+    // Spark re-runs it per consumer (audited: two full chunking scans)
+    val occ = chunked
+      .select(col("id"), posexplode(col("chunks")).as(Seq("pos", "chunk")))
+      .select(col("id"), col("pos"),
+        length(col("chunk")).cast("long").as("clen"),
+        md5(col("chunk")).as("fp"))
+      .persist()
+    val firsts = occ.groupBy(col("fp"))
+      .agg(min(struct(col("id"), col("pos"))).as("first"))
+    val perDoc = occ.join(firsts, "fp")
+      .withColumn("dup",
+        col("id") =!= col("first.id") || col("pos") =!= col("first.pos"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("dup_chunks"),
+        sum(when(col("dup"), col("clen")).otherwise(0L)).as("dup_chars"))
+    base.select(col("id"), col("len").cast("long").as("n_chars"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("dup_chunks"), lit(0L)).as("dup_chunks"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        expr("CASE WHEN n_chars > 0 THEN coalesce(dup_chars, 0) * 1000000 DIV n_chars ELSE 0 END")
+          .as("dedup_ppm"))
+  }
 }

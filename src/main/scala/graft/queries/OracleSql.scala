@@ -1660,7 +1660,82 @@ object OracleSql {
     // q103: label propagation, 3 unrolled synchronous rounds — each is
     // one neighbor join + a (node, label) count + the struct-min
     // argmax (cnt desc, label asc), isolated nodes keep their own.
-    "q103_label_prop" -> q103Sql(iters = 3)
+    "q103_label_prop" -> q103Sql(iters = 3),
+
+    // q104: host-mirror detection — replay the aggregation-built
+    // MinHash signature (slot i = min md5-48 of "i:path"), the band
+    // keys (decimal-joined slot runs, string_agg ORDER BY slot == the
+    // Spark concat_ws slot order), the band-join candidates and the
+    // exact intersection verify. Fixed-point ppm floor-div.
+    "q104_host_mirrors" ->
+      """WITH urls AS (SELECT 'h' || (l_suppkey % 24)::VARCHAR AS s,
+        |    '/g' || (l_suppkey % 12)::VARCHAR || '/p/' ||
+        |      (l_partkey % (120 + 37 * (l_suppkey % 12)))::VARCHAR AS e
+        |  FROM lineitem),
+        |el AS (SELECT DISTINCT s, e FROM urls),
+        |sizes AS (SELECT s, count(*)::BIGINT AS n FROM el GROUP BY 1),
+        |sig AS (SELECT s, i,
+        |    min(CAST(md5_number_lower(i::VARCHAR || ':' || e)
+        |        & 281474976710655 AS BIGINT)) AS m
+        |  FROM el, range(12) r(i) GROUP BY 1, 2),
+        |bk AS (SELECT s, (i // 4)::INT AS band,
+        |    string_agg(m::VARCHAR, ',' ORDER BY i) AS key
+        |  FROM sig GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.s AS s_a, b.s AS s_b
+        |  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+        |    AND a.s < b.s),
+        |inter AS (SELECT c.s_a, c.s_b, count(*)::BIGINT AS inter
+        |  FROM cand c JOIN el ea ON ea.s = c.s_a
+        |  JOIN el eb ON eb.s = c.s_b AND eb.e = ea.e
+        |  GROUP BY 1, 2)
+        |SELECT i.s_a AS set_a, i.s_b AS set_b, na.n AS n_a, nb.n AS n_b,
+        |  i.inter,
+        |  ((i.inter * 1000000) // (na.n + nb.n - i.inter))::BIGINT
+        |    AS jaccard_ppm,
+        |  (i.inter * 1000000) // (na.n + nb.n - i.inter) >= 700000
+        |    AS is_mirror
+        |FROM inter i JOIN sizes na ON na.s = i.s_a
+        |JOIN sizes nb ON nb.s = i.s_b
+        |ORDER BY set_a, set_b""".stripMargin,
+
+    // q105: content-defined chunking — replay the boundary rule
+    // (md5-48 of each trailing 8-char window ≡ 0 mod 16), cut-point
+    // lists, chunk fingerprints and the corpus-wide first-occurrence
+    // (doc, pos) dedup via row_number. DuckDB lists are 1-indexed;
+    // pos stays 0-based to match Spark's posexplode. generate_series
+    // with column bounds must be the SCALAR list form under unnest —
+    // the lateral table-function form rejects column parameters.
+    "q105_cdc_chunks" ->
+      """WITH d AS (SELECT doc_id, text AS t, length(text) AS len
+        |  FROM documents),
+        |bi AS (SELECT doc_id, t,
+        |    unnest(generate_series(8, len)) AS i FROM d),
+        |b AS (SELECT doc_id, i FROM bi
+        |  WHERE (md5_number_lower(substr(t, i - 7, 8))
+        |         & 281474976710655) % 16 = 0),
+        |cuts AS (SELECT d.doc_id, d.t, d.len,
+        |    list_sort(list_distinct(list_prepend(0,
+        |      list_append(coalesce(list(b.i), []), d.len)))) AS c
+        |  FROM d LEFT JOIN b ON b.doc_id = d.doc_id GROUP BY 1, 2, 3),
+        |ck AS (SELECT doc_id, t, c,
+        |    unnest(generate_series(0, len(c) - 2)) AS k FROM cuts),
+        |occ AS (SELECT doc_id, k AS pos,
+        |    (c[k + 2] - c[k + 1])::BIGINT AS clen,
+        |    md5(substr(t, c[k + 1] + 1, c[k + 2] - c[k + 1])) AS fp
+        |  FROM ck),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY fp
+        |    ORDER BY doc_id, pos) AS rn FROM occ),
+        |pd AS (SELECT doc_id, count(*)::BIGINT AS n_chunks,
+        |    sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_chunks,
+        |    sum(CASE WHEN rn > 1 THEN clen ELSE 0 END)::BIGINT AS dup_chars
+        |  FROM r GROUP BY 1)
+        |SELECT d.doc_id, coalesce(pd.n_chunks, 0)::BIGINT AS n_chunks,
+        |  coalesce(pd.dup_chunks, 0)::BIGINT AS dup_chunks,
+        |  coalesce(pd.dup_chars, 0)::BIGINT AS dup_chars,
+        |  (CASE WHEN d.len > 0
+        |        THEN (coalesce(pd.dup_chars, 0) * 1000000) // d.len
+        |        ELSE 0 END)::BIGINT AS dedup_ppm
+        |FROM d LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id""".stripMargin
   )
 
   /** q103: unrolled synchronous label propagation over q99's dense

@@ -1354,6 +1354,35 @@ object Queries {
       .orderBy("url_key")
   }
 
+  // q104 — host-mirror detection: MinHash-by-AGGREGATION over per-host
+  // path SETS (slot = min salted md5-48 across the host's rows), band
+  // join for candidates, exact path-intersection Jaccard verify. Hosts
+  // are synthesized in 12 mirror-twin groups (h and h+12 share a path
+  // domain; /g<g>/ prefixes keep cross-group sets disjoint), so the
+  // verdict separates cleanly. The frontier drops the duplicate half of
+  // every confirmed mirror pair before fetch — the crawl-side sibling
+  // of the document dedup families.
+  def q104HostMirrors(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val urls = li.select(
+      concat(lit("h"), (col("l_suppkey") % 24).cast("string")).as("host"),
+      concat(lit("/g"), (col("l_suppkey") % 12).cast("string"), lit("/p/"),
+        (col("l_partkey") % (lit(120L) + lit(37L) * (col("l_suppkey") % 12)))
+          .cast("string")).as("path"))
+    Dedup.setResemblance(urls, "host", "path",
+        slots = 12, bands = 3, tauPpm = 700000L)
+      .orderBy("set_a", "set_b")
+  }
+
+  // q105 — content-defined chunk dedup (FastCDC family): boundaries
+  // where the trailing 8-char window's md5-48 ≡ 0 (mod 16), chunk
+  // fingerprints deduped corpus-wide by first (doc, pos) occurrence.
+  // Variable-width, insertion-stable chunks — the dedup mode q54's
+  // fixed token windows cannot express.
+  def q105CdcChunks(spark: SparkSession, dir: String): DataFrame =
+    Dedup.cdcChunkDedup(t(spark, dir, "documents"), window = 8, divisor = 16)
+      .orderBy("doc_id")
+
   /** name → query, in SURVEY.md §2 coverage order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_agg_pushdown" -> (q01AggPushdown _),
@@ -1458,6 +1487,8 @@ object Queries {
     "q100_aimd_rate" -> (q100AimdRate _),
     "q101_semdedup" -> (q101SemDedup _),
     "q102_dsir_weights" -> (q102DsirWeights _),
-    "q103_label_prop" -> (q103LabelProp _)
+    "q103_label_prop" -> (q103LabelProp _),
+    "q104_host_mirrors" -> (q104HostMirrors _),
+    "q105_cdc_chunks" -> (q105CdcChunks _)
   )
 }

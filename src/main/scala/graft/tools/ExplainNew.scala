@@ -11,10 +11,10 @@ object ExplainNew {
       .config("spark.ui.enabled", false).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
-    println("==== q93 sample_quantiles ====")
-    graft.queries.Queries.q93SampleQuantiles(spark, dir).explain("formatted")
-    println("==== q94 cocitation ====")
-    graft.queries.Queries.q94CoCitation(spark, dir).explain("formatted")
+    println("==== q104 host_mirrors ====")
+    graft.queries.Queries.q104HostMirrors(spark, dir).explain("formatted")
+    println("==== q105 cdc_chunks ====")
+    graft.queries.Queries.q105CdcChunks(spark, dir).explain("formatted")
     spark.stop()
   }
 }

@@ -558,4 +558,77 @@ class DatatoolsSpec extends SparkSpec {
       assert(got === expect, s"k=$k iters=$iters")
     }
   }
+
+  // ---- setResemblance (host-mirror detection) ----
+
+  test("setResemblance flags planted mirror hosts and scores exact Jaccard") {
+    import spark.implicits._
+    // hosts a/b share 20 of 22 distinct paths (J = 20/22 ≈ 0.909);
+    // host c is disjoint; host d equals a exactly (J = 1)
+    val rows =
+      (0 until 20).map(i => ("a", s"/p/$i")) ++ Seq(("a", "/only-a")) ++
+      (0 until 20).map(i => ("b", s"/p/$i")) ++ Seq(("b", "/only-b")) ++
+      (0 until 20).map(i => ("c", s"/q/$i")) ++
+      (0 until 20).map(i => ("d", s"/p/$i")) ++ Seq(("d", "/only-a"))
+    val out = Dedup.setResemblance(rows.toDF("host", "path"), "host", "path",
+        slots = 12, bands = 3, tauPpm = 950000L)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
+    assert(out.contains(("a", "d")) && out(("a", "d")) === ((21L, 1000000L, true)))
+    // a/b pass the band filter with high probability at J≈0.9 and the
+    // verify scores the exact intersection, below the mirror bar
+    out.get(("a", "b")).foreach { case (inter, ppm, mirror) =>
+      assert(inter === 20L && ppm === 20L * 1000000L / 22L && !mirror)
+    }
+    // no candidate may pair the disjoint host: the exact verify kills it
+    assert(!out.keys.exists { case (x, y) => x == "c" || y == "c" })
+  }
+
+  test("setResemblance dedups element multiplicity before sketching") {
+    import spark.implicits._
+    // same path listed 5x must count once — signatures and n are
+    // set-semantics, so a repeat-heavy host still mirrors its twin
+    val rows = (0 until 10).flatMap(i => Seq.fill(5)(("x", s"/p/$i"))) ++
+      (0 until 10).map(i => ("y", s"/p/$i"))
+    val out = Dedup.setResemblance(rows.toDF("h", "p"), "h", "p").collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(2) === 10L && r.getLong(3) === 10L &&
+      r.getLong(4) === 10L && r.getBoolean(6))
+  }
+
+  // ---- cdcChunkDedup ----
+
+  test("cdc chunking: identical docs are fully duplicated after the first") {
+    import spark.implicits._
+    val text = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, text), (3L, "zz " + text))
+      .toDF("doc_id", "text")
+    val out = Dedup.cdcChunkDedup(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // doc 1 owns every first occurrence; doc 2 is a bit-exact copy so
+    // every chunk is a dup and dedup_ppm = 10^6
+    assert(out(1L)._2 === 0L)
+    assert(out(2L)._1 === out(1L)._1 && out(2L)._2 === out(2L)._1 &&
+      out(2L)._4 === 1000000L)
+    // doc 3's prefix insertion shifts only chunks whose window touches
+    // the 3-char prefix — boundaries are content-defined, so chunks
+    // after the first shared boundary keep their identity and dedup
+    assert(out(3L)._2 >= out(3L)._1 - 2 && out(3L)._2 >= 1L)
+  }
+
+  test("cdc chunks partition each doc: lengths sum to doc length") {
+    import spark.implicits._
+    val docs = Seq((1L, "short"), (2L, ""),
+      (3L, (0 until 60).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    // replay the operator's own boundary rule to get total chunk chars:
+    // dup_chars <= n_chars always, and a doc shorter than the window is
+    // one chunk
+    val out = Dedup.cdcChunkDedup(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(out(1L)._1 === 1L) // < window ⇒ single chunk
+    assert(out(2L)._1 === 0L) // empty ⇒ no chunks, ppm 0
+    assert(out(3L)._1 >= 2L)  // long doc ⇒ content boundaries fired
+  }
 }
