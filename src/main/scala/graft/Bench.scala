@@ -196,7 +196,10 @@ object Bench {
       // weighting, label-propagation communities (iterative)
       "q101_semdedup", "q102_dsir_weights", "q103_label_prop",
       // host-mirror set resemblance (agg-built MinHash), CDC chunk dedup
-      "q104_host_mirrors", "q105_cdc_chunks")
+      "q104_host_mirrors", "q105_cdc_chunks",
+      // BPE merge training (iterative, vocabulary-sized rounds),
+      // hybrid BM25 + dense RRF fusion (one-scan multi-query lexical leg)
+      "q106_bpe_merges", "q107_hybrid_rrf")
     val qmap = SparkEntry.queries
     val spark = newSession(cpus)
     def median(xs: Seq[Double]): Double = {

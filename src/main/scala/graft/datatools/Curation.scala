@@ -927,4 +927,78 @@ object Curation {
       .orderBy(col("weight").desc, col("doc_id"))
       .limit(n)
   }
+
+  /** BPE merge-pair training (Sennrich et al. 2016) — learn the first
+    * `merges` byte-pair merges over the corpus: round i counts adjacent
+    * symbol pairs (weighted by word frequency), picks the most frequent
+    * (ties: lexicographic (lhs, rhs)), and rewrites every word's symbol
+    * sequence with the merged pair. Output per round: the merge rule,
+    * its pair count, and the corpus token total AFTER applying it — the
+    * tokenizer-trainer compression curve. [[vocabEncode]] (q59) APPLIES
+    * a trained vocabulary; this is the step that TRAINS one.
+    *
+    * Merge application = literal string `replace` over the
+    * space-joined symbol sequence (` lhs rhs ` → ` lhsrhs `): both
+    * Spark's `StringReplace` and the SQL oracle's `replace` scan
+    * left-to-right non-overlapping, so a run like `a a a` merges its
+    * first pair only per round (the consumed separator hides the
+    * overlapping second pair until a later round re-picks it). That
+    * non-overlap semantics is the op's CONTRACT — deterministic and
+    * bit-identical across engines — and differs from canonical BPE
+    * only on immediately-overlapping repeats.
+    *
+    * Scale shape (100 TB): the corpus is scanned ONCE into the
+    * word-TYPE table (the `\s+` tokenizer q30/q31/q59 pinned against
+    * DuckDB) — one wordcount exchange, after which every round runs
+    * over vocabulary-sized data: pair counting is a partial-agg
+    * exchange over Σ|word|·types rows (types ≪ corpus), the arg-max
+    * ships ONE row to the driver (the q59 collect-the-model
+    * precedent), and the rewrite is a pure projection. This is exactly
+    * how production trainers (HF tokenizers) structure BPE: train on
+    * word counts, never on raw text.
+    */
+  def bpeMerges(docs: DataFrame, merges: Int = 6,
+                textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      // symbolize: one char per symbol, space-joined, space-padded —
+      // ' a b c ' — so every adjacent pair is addressable as ' l r '
+      .withColumn("sym0", concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")))
+      .persist()
+    def pairCounts(sym: Column): DataFrame = {
+      val arr = split(trim(sym), " ")
+      words.select(col("cnt"),
+          explode(when(size(arr) >= 2,
+            transform(sequence(lit(1), size(arr) - 1),
+              i => struct(element_at(arr, i).as("l"),
+                element_at(arr, i + 1).as("r"))))
+            .otherwise(array().cast("array<struct<l:string,r:string>>"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("cnt").as("pc"))
+    }
+    var sym: Column = col("sym0")
+    val out = Seq.newBuilder[(Int, String, String, Long, String, Long)]
+    var exhausted = false
+    for (i <- 1 to merges if !exhausted) {
+      val best = pairCounts(sym)
+        .orderBy(col("pc").desc, col("l"), col("r")).limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, pc) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        sym = replace(sym, lit(s" $l $r "), lit(s" $l$r "))
+        val toksAfter = words
+          .agg(sum(col("cnt") * size(split(trim(sym), " "))))
+          .first().getLong(0)
+        out += ((i, l, r, pc, l + r, toksAfter))
+      }
+    }
+    words.unpersist()
+    out.result().toDF("merge_rank", "lhs", "rhs", "pair_count",
+      "new_symbol", "corpus_tokens_after")
+  }
 }

@@ -191,4 +191,87 @@ object InvertedIndex {
       .orderBy(col("score_micro").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+    * 2009): per query, fuse a lexical BM25 ranking with a dense
+    * cosine ranking — rrf(d) = Σ_modality 1/(kRrf + rank_modality(d)),
+    * fixed-point micros, absent-from-a-modality contributes 0. The
+    * production RAG/retrieval stack's standard first-stage fusion.
+    *
+    * The lexical side is a MULTI-query BM25 in ONE corpus pass —
+    * [[bm25Search]] generalized: tf is computed once over the union of
+    * every query's terms, the (query_id, token) map joins in as a
+    * broadcast literal frame, and per-query scores aggregate from the
+    * shared tf frame. N queries cost one corpus scan + one tf
+    * exchange, not N of either. The dense side is
+    * [[Similarity.bruteForceTopK]] (query vectors = the embedding rows
+    * whose vec_id matches a query_id; corpus row == query row
+    * excluded, as there). Ranks use each modality's exact tie-break
+    * (score desc, doc asc); fusion re-ranks by (rrf desc, doc asc).
+    *
+    * Scale shape (100 TB): one corpus text scan, one token-filtered tf
+    * exchange (query-vocabulary-sized), one embedding scan against
+    * broadcast query vectors; the fusion joins two ≤ N·k ranked frames
+    * — driver never sees per-doc data. The per-query rank windows run
+    * over ≤ corpus-hit rows per query, bounded by the tf filter.
+    */
+  def hybridRrf(docs: DataFrame, embeddings: DataFrame,
+                queries: Seq[(Long, Seq[String])], k: Int,
+                poolK: Int = 20, kRrf: Int = 60,
+                k1Milli: Long = 1200L, bMilli: Long = 750L,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty), "empty query set")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val allTokens = queries.flatMap(_._2).distinct
+    val qmap = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "token")
+    val withLen = docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        split(trim(col(textCol)), "\\s+").as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("len"))
+    val Array(nDocs, sumLen) = withLen.agg(count(lit(1)), sum(col("len")))
+      .head() match { case r => Array(r.getLong(0), r.getLong(1)) }
+    val avgLenMilli = math.max(1L, sumLen * 1000L / math.max(nDocs, 1L))
+    // ONE tf frame across every query's vocabulary; persisted for the
+    // df agg + per-query score join (the bm25Search discipline)
+    val tf = withLen
+      .select(col("doc_id"), col("len"), explode(col("toks")).as("token"))
+      .filter(col("token").isin(allTokens: _*))
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"), max(col("len")).as("len"))
+      .persist()
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val lexScores = tf.join(broadcast(df), Seq("token"))
+      .join(broadcast(qmap), Seq("token"))
+      .select(col("query_id"), col("doc_id"),
+        expr(
+          s"""(${nDocs}L * 1000 DIV df) *
+             |  ((tf * ${1000L + k1Milli}L * 1000) DIV
+             |   (tf * 1000 + (${k1Milli}L * ((1000 - ${bMilli}L) +
+             |     (${bMilli}L * len * 1000) DIV ${avgLenMilli}L)) DIV 1000))"""
+            .stripMargin.replaceAll("\\s+", " ").trim).as("w"))
+      .groupBy("query_id", "doc_id").agg(sum(col("w")).as("score_micro"))
+    val wLex = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score_micro").desc, col("doc_id"))
+    val lex = lexScores.withColumn("bm25_rank", row_number().over(wLex))
+      .filter(col("bm25_rank") <= poolK)
+      .select(col("query_id"), col("doc_id"), col("bm25_rank"))
+    val qids = queries.map(_._1)
+    val dense = Similarity.bruteForceTopK(embeddings,
+        embeddings.filter(col("vec_id").isin(qids: _*)), poolK)
+      .select(col("query_id"), col("corpus_id").as("doc_id"),
+        col("rank").as("cos_rank"))
+    val fused = lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("bm25_rank"), lit(0)).as("bm25_rank"),
+        coalesce(col("cos_rank"), lit(0)).as("cos_rank"))
+      .withColumn("rrf_micros",
+        expr(s"CASE WHEN bm25_rank > 0 THEN 1000000 DIV ($kRrf + bm25_rank) ELSE 0 END") +
+          expr(s"CASE WHEN cos_rank > 0 THEN 1000000 DIV ($kRrf + cos_rank) ELSE 0 END"))
+    val wF = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("rrf_micros").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(wF))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "bm25_rank", "cos_rank", "rrf_micros", "rank")
+  }
 }

@@ -1735,12 +1735,112 @@ object OracleSql {
         |  (CASE WHEN d.len > 0
         |        THEN (coalesce(pd.dup_chars, 0) * 1000000) // d.len
         |        ELSE 0 END)::BIGINT AS dedup_ppm
-        |FROM d LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id""".stripMargin
+        |FROM d LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // q106: BPE merge training, 6 unrolled rounds — each is one pair
+    // count over the word-type table, an ORDER BY ... LIMIT 1 arg-max,
+    // and the literal-replace rewrite (both engines' replace is
+    // left-to-right non-overlapping: the op's documented contract).
+    "q106_bpe_merges" -> q106Sql(merges = 6),
+
+    // q107: hybrid RRF — replay the multi-query BM25 (q92's fixed-point
+    // formula with a (query, token) VALUES map over ONE shared tf
+    // frame), the q28 cosine ranking for vec_id ∈ {1,2,3}, the full
+    // outer fusion with 0-sentinel ranks, and the 10⁶ DIV (60 + rank)
+    // reciprocal-rank sum.
+    "q107_hybrid_rrf" ->
+      """WITH q(query_id, token) AS (VALUES (1, 'sort'), (1, 'merge'),
+        |    (2, 'hash'), (2, 'join'), (3, 'scan'), (3, 'filter')),
+        |d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |    FROM documents WHERE length(trim(text)) > 0),
+        |l AS (SELECT doc_id, len(toks)::BIGINT AS len FROM d),
+        |av AS (SELECT count(*) AS n,
+        |    greatest(1, (sum(len) * 1000) // greatest(count(*), 1)) AS avml FROM l),
+        |t AS (SELECT doc_id, unnest(toks) AS token FROM d),
+        |tf AS (SELECT token, t.doc_id, count(*) AS tf, max(l.len) AS len
+        |    FROM t JOIN l USING (doc_id)
+        |    WHERE token IN ('sort', 'merge', 'hash', 'join', 'scan', 'filter')
+        |    GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |s AS (SELECT q.query_id, tf.doc_id,
+        |    sum(((av.n * 1000) // df.df) *
+        |        ((tf * 2200 * 1000) //
+        |         (tf * 1000 + (1200 * ((1000 - 750) +
+        |           (750 * len * 1000) // av.avml)) // 1000)))::BIGINT AS score_micro
+        |  FROM tf JOIN df USING (token) JOIN q USING (token) CROSS JOIN av
+        |  GROUP BY 1, 2),
+        |lk AS (SELECT * FROM (SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_micro DESC, doc_id) AS bm25_rank FROM s)
+        |  WHERE bm25_rank <= 20),
+        |cs AS (SELECT qe.vec_id AS query_id, c.vec_id AS doc_id,
+        |    round(list_cosine_similarity(c.embedding::DOUBLE[],
+        |      qe.embedding::DOUBLE[]), 6) AS cos
+        |  FROM embeddings c JOIN embeddings qe
+        |    ON qe.vec_id IN (1, 2, 3) AND c.vec_id <> qe.vec_id),
+        |ck AS (SELECT * FROM (SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, doc_id) AS cos_rank FROM cs)
+        |  WHERE cos_rank <= 20),
+        |f AS (SELECT coalesce(lk.query_id, ck.query_id)::BIGINT AS query_id,
+        |    coalesce(lk.doc_id, ck.doc_id) AS doc_id,
+        |    coalesce(lk.bm25_rank, 0)::INT AS bm25_rank,
+        |    coalesce(ck.cos_rank, 0)::INT AS cos_rank
+        |  FROM lk FULL JOIN ck
+        |    ON lk.query_id = ck.query_id AND lk.doc_id = ck.doc_id),
+        |g AS (SELECT *,
+        |    ((CASE WHEN bm25_rank > 0 THEN 1000000 // (60 + bm25_rank) ELSE 0 END) +
+        |     (CASE WHEN cos_rank > 0 THEN 1000000 // (60 + cos_rank) ELSE 0 END)
+        |    )::BIGINT AS rrf_micros FROM f),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_micros DESC, doc_id) AS rank FROM g)
+        |SELECT query_id, doc_id, bm25_rank, cos_rank, rrf_micros,
+        |  rank::INT AS rank
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   )
 
   /** q103: unrolled synchronous label propagation over q99's dense
     * 500-node synthetic graph (same edge synthesis).
     */
+  /** q106: BPE merge training — `merges` unrolled rounds over the w0
+    * word-type CTE. Round i: p_i counts adjacent symbol pairs (list
+    * index + unnest(generate_series), weighted by word count), b_i is
+    * the (pc desc, l, r) arg-max, w_i rewrites via literal `replace`
+    * (left-to-right non-overlapping — identical to Spark's
+    * StringReplace, the op's contract), t_i totals the corpus tokens
+    * after the rewrite.
+    */
+  private def q106Sql(merges: Int): String = {
+    val rounds = (1 to merges).map { i =>
+      val prev = s"w${i - 1}"
+      s"""p$i AS (SELECT lst[i] AS l, lst[i + 1] AS r, sum(cnt)::BIGINT AS pc
+         |  FROM (SELECT cnt, lst, unnest(generate_series(1, len(lst) - 1)) AS i
+         |        FROM (SELECT cnt, string_split(trim(sym), ' ') AS lst FROM $prev))
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT l, r, pc FROM p$i ORDER BY pc DESC, l, r LIMIT 1),
+         |w$i AS (SELECT w, cnt,
+         |    replace(sym, ' ' || b$i.l || ' ' || b$i.r || ' ',
+         |            ' ' || b$i.l || b$i.r || ' ') AS sym
+         |  FROM $prev CROSS JOIN b$i),
+         |t$i AS (SELECT sum(cnt * len(string_split(trim(sym), ' ')))::BIGINT AS tok
+         |  FROM w$i)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to merges).map { i =>
+      s"""SELECT $i::INT AS merge_rank, l AS lhs, r AS rhs,
+         |  pc AS pair_count, l || r AS new_symbol,
+         |  (SELECT tok FROM t$i) AS corpus_tokens_after FROM b$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH w0 AS (SELECT w, count(*)::BIGINT AS cnt,
+       |    ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS sym
+       |  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |        FROM documents)
+       |  WHERE w <> '' GROUP BY 1),
+       |$rounds
+       |SELECT * FROM (
+       |$union
+       |) ORDER BY merge_rank""".stripMargin
+  }
+
   private def q103Sql(iters: Int): String = {
     val rounds = (1 to iters).map { i =>
       s"""w$i AS (SELECT a, min({'nc': -cnt, 'l': label})['l'] AS new_label

@@ -1383,6 +1383,28 @@ object Queries {
     Dedup.cdcChunkDedup(t(spark, dir, "documents"), window = 8, divisor = 16)
       .orderBy("doc_id")
 
+  // q106 — BPE merge-pair training: the first 6 merges learned from
+  // the corpus word-type table (pair counts weighted by word
+  // frequency, ties lexicographic), plus the post-merge corpus token
+  // total per round — the tokenizer-trainer q59's vocab encoding
+  // presupposes. One corpus scan; every round is vocabulary-sized.
+  def q106BpeMerges(spark: SparkSession, dir: String): DataFrame =
+    Curation.bpeMerges(t(spark, dir, "documents"), merges = 6)
+      .orderBy("merge_rank")
+
+  // q107 — hybrid retrieval, reciprocal-rank fusion: 3 queries, each a
+  // term set (lexical BM25 leg, ONE shared corpus scan) + a query
+  // vector (dense cosine leg, q28's broadcast brute force), fused as
+  // rrf = Σ 10⁶ DIV (60 + rank) with per-modality ranks kept in the
+  // output. Top-10 per query by (rrf desc, doc asc).
+  def q107HybridRrf(spark: SparkSession, dir: String): DataFrame =
+    graft.datatools.InvertedIndex.hybridRrf(
+        t(spark, dir, "documents"), t(spark, dir, "embeddings"),
+        Seq(1L -> Seq("sort", "merge"), 2L -> Seq("hash", "join"),
+          3L -> Seq("scan", "filter")),
+        k = 10)
+      .orderBy("query_id", "rank")
+
   /** name → query, in SURVEY.md §2 coverage order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_agg_pushdown" -> (q01AggPushdown _),
@@ -1489,6 +1511,8 @@ object Queries {
     "q102_dsir_weights" -> (q102DsirWeights _),
     "q103_label_prop" -> (q103LabelProp _),
     "q104_host_mirrors" -> (q104HostMirrors _),
-    "q105_cdc_chunks" -> (q105CdcChunks _)
+    "q105_cdc_chunks" -> (q105CdcChunks _),
+    "q106_bpe_merges" -> (q106BpeMerges _),
+    "q107_hybrid_rrf" -> (q107HybridRrf _)
   )
 }

@@ -11,10 +11,8 @@ object ExplainNew {
       .config("spark.ui.enabled", false).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
-    println("==== q104 host_mirrors ====")
-    graft.queries.Queries.q104HostMirrors(spark, dir).explain("formatted")
-    println("==== q105 cdc_chunks ====")
-    graft.queries.Queries.q105CdcChunks(spark, dir).explain("formatted")
+    println("==== q107 hybrid_rrf ====")
+    graft.queries.Queries.q107HybridRrf(spark, dir).explain("formatted")
     spark.stop()
   }
 }

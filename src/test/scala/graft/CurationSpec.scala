@@ -923,4 +923,32 @@ class CurationSpec extends SparkSpec {
     // gap = 0 - (5·10⁶)//5 = -10⁶ per occurrence
     assert(got === Seq((2L, 1L, -1000000L), (3L, 4L, -4000000L)))
   }
+
+  // ---- bpeMerges ----
+
+  test("bpeMerges learns pair ranks by weighted count with lexicographic ties") {
+    import spark.implicits._
+    // word types: aa ×3, ab ×1. Round 1: (a,a) count 3 beats (a,b) 1;
+    // round 2 merges the leftover (a,b); round 3 finds nothing and the
+    // output stops at 2 rows even though merges=3.
+    val docs = Seq((1L, "aa ab"), (2L, "aa aa")).toDF("doc_id", "text")
+    val got = Curation.bpeMerges(docs, merges = 3)
+      .as[(Int, String, String, Long, String, Long)].collect().toSeq
+    assert(got === Seq(
+      (1, "a", "a", 3L, "aa", 5L),  // 3 one-symbol 'aa' words + 'a b'
+      (2, "a", "b", 1L, "ab", 4L)))
+  }
+
+  test("bpeMerges non-overlap contract: 'aaa' merges one pair per round") {
+    import spark.implicits._
+    // canonical BPE would take 'a a a' → 'aa a' too (leftmost-greedy),
+    // but the count for round 1 sees BOTH adjacent pairs (weight 2);
+    // the replace rewrite then merges only the non-overlapping first
+    val docs = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val got = Curation.bpeMerges(docs, merges = 2)
+      .as[(Int, String, String, Long, String, Long)].collect().toSeq
+    assert(got === Seq(
+      (1, "a", "a", 2L, "aa", 2L),    // ' a a a ' → ' aa a ' (2 tokens)
+      (2, "aa", "a", 1L, "aaa", 1L))) // the leftover pair merges next
+  }
 }
