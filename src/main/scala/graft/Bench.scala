@@ -199,7 +199,10 @@ object Bench {
       "q104_host_mirrors", "q105_cdc_chunks",
       // BPE merge training (iterative, vocabulary-sized rounds),
       // hybrid BM25 + dense RRF fusion (one-scan multi-query lexical leg)
-      "q106_bpe_merges", "q107_hybrid_rrf")
+      "q106_bpe_merges", "q107_hybrid_rrf",
+      // BPE encode (train + one map-only corpus apply), leakage-safe
+      // split (component roots + hash-bucket projection)
+      "q108_bpe_encode", "q109_leakage_split")
     val qmap = SparkEntry.queries
     val spark = newSession(cpus)
     def median(xs: Seq[Double]): Double = {

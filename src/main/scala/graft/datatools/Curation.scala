@@ -1001,4 +1001,81 @@ object Curation {
     out.result().toDF("merge_rank", "lhs", "rhs", "pair_count",
       "new_symbol", "corpus_tokens_after")
   }
+
+  /** Apply a [[bpeMerges]]-trained merge table to the corpus — the
+    * tokenizer ENCODE step: each document is symbolized (one char per
+    * symbol, words separated by a double space so no merge can cross a
+    * word boundary), every merge rule rewrites in rank order, and the
+    * output reports per-doc word/symbol counts plus the compression
+    * ratio in ppm (symbols after merges ÷ base chars).
+    *
+    * Symbolization is PURE string algebra — whitespace runs collapse
+    * to a  sentinel, `(.)` → `$1 ` spaces every char, the
+    * sentinel+space pair collapses to the word gap — so the whole
+    * encode (symbolize + `merges` chained literal replaces + two
+    * counts) is ONE whole-stage-codegen projection over the corpus: no
+    * explode, no shuffle, nothing but the final per-doc row. The text
+    * must not contain U+0001 (true of any sane corpus; the char is
+    * stripped of meaning by the \s+ collapse anyway).
+    *
+    * Scale shape (100 TB): training reads the corpus once
+    * ([[bpeMerges]]); encoding is a second single scan emitting
+    * fixed-width rows — the map-only floor for corpus tokenization.
+    */
+  def bpeEncode(docs: DataFrame, merges: Int = 6, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val rules = bpeMerges(docs, merges).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val sep = "\u0001"
+    val sym0 = concat(lit(" "),
+      replace(
+        regexp_replace(
+          regexp_replace(trim(col(textCol)), "\\s+", sep), "(.)", "$1 "),
+        lit(sep + " "), lit(" ")))
+    val symN = rules.foldLeft(sym0) { case (s, (l, r)) =>
+      replace(s, lit(s" $l $r "), lit(s" $l$r "))
+    }
+    val nonEmpty: Column => Column =
+      a => size(filter(a, x => x =!= ""))
+    docs.select(col(idCol),
+      nonEmpty(split(trim(col(textCol)), "\\s+")).cast("long").as("n_words"),
+      length(regexp_replace(trim(col(textCol)), "\\s+", ""))
+        .cast("long").as("n_base"),
+      nonEmpty(split(symN, " ")).cast("long").as("n_symbols"))
+      .withColumn("compression_ppm",
+        expr("CASE WHEN n_base > 0 THEN n_symbols * 1000000 DIV n_base ELSE 0 END"))
+  }
+
+  /** Leakage-safe train/valid/test split: the split is a hash of the
+    * document's NEAR-DUP CLUSTER ROOT, not of the document — so two
+    * near-duplicates can never straddle train and test (the eval-set
+    * contamination every dedup paper warns about; splitting by doc id
+    * leaks whenever near-dups survive). Cluster roots come from
+    * [[GraphOps.connectedComponents]] over a near-dup pair frame
+    * (q26/q46's SimHash pairs in the driver query); singletons root at
+    * their own id. Buckets are md5-48(root) mod 1000 with
+    * train < `trainPerMille` ≤ valid < `validPerMille` ≤ test.
+    *
+    * Scale shape (100 TB): the cluster map is (clustered docs)-sized —
+    * a corpus where 2% of docs near-dup joins a 2%-sized frame; the
+    * split itself is a projection. One join, no window, no sort.
+    */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
+                       trainPerMille: Int = 800, validPerMille: Int = 900,
+                       idCol: String = "doc_id"): DataFrame = {
+    require(0 < trainPerMille && trainPerMille <= validPerMille &&
+      validPerMille <= 1000, "need 0 < train <= valid <= 1000")
+    val comp = GraphOps.connectedComponents(pairs)
+      .withColumnRenamed("id", idCol)
+    docs.select(col(idCol))
+      .join(comp, Seq(idCol), "left")
+      .withColumn("cluster_root", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("bucket",
+        graft.functions.MinHashExprs.md5Low48Col(
+          col("cluster_root").cast("string")) % 1000)
+      .select(col(idCol), col("cluster_root"), col("bucket"),
+        when(col("bucket") < trainPerMille, "train")
+          .when(col("bucket") < validPerMille, "valid")
+          .otherwise("test").as("split"))
+  }
 }

@@ -1796,8 +1796,95 @@ object OracleSql {
         |    ORDER BY rrf_micros DESC, doc_id) AS rank FROM g)
         |SELECT query_id, doc_id, bm25_rank, cos_rank, rrf_micros,
         |  rank::INT AS rank
-        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // q108: BPE encode — retrain q106's merge table (same CTE chain,
+    // same argmax tie-break), then apply the rules in rank order to
+    // each document's symbol form (leading space, chars space-joined,
+    // words separated by a DOUBLE space so no merge crosses a word
+    // boundary — replace is left-to-right non-overlapping in both
+    // engines). Per doc: word/base-char/post-merge-symbol counts and
+    // the floor-div compression ppm.
+    "q108_bpe_encode" -> q108Sql(merges = 6),
+
+    // q109: leakage-safe split — q46's SimHash-pair transitive closure
+    // (recursive CTE, min-id component labels), every doc rooted at
+    // its component (or itself), bucket = md5-48(root) mod 1000 with
+    // train < 800 <= valid < 900 <= test.
+    "q109_leakage_split" -> q109Sql
   )
+
+  /** q108: q106's training chain (minus the token totals) + a per-doc
+    * symbolization chain d_i that applies the same rank-i rule each
+    * round. Doc symbol form mirrors Curation.bpeEncode: whitespace
+    * runs collapse to chr(1), every char gains a trailing space, the
+    * sentinel+space pair collapses to a space — words end up separated
+    * by two spaces, chars by one, with a leading space.
+    */
+  private def q108Sql(merges: Int): String = {
+    val rounds = (1 to merges).map { i =>
+      val prev = s"w${i - 1}"
+      s"""p$i AS (SELECT lst[i] AS l, lst[i + 1] AS r, sum(cnt)::BIGINT AS pc
+         |  FROM (SELECT cnt, lst, unnest(generate_series(1, len(lst) - 1)) AS i
+         |        FROM (SELECT cnt, string_split(trim(sym), ' ') AS lst FROM $prev))
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT l, r FROM p$i ORDER BY pc DESC, l, r LIMIT 1),
+         |w$i AS (SELECT w, cnt,
+         |    replace(sym, ' ' || b$i.l || ' ' || b$i.r || ' ',
+         |            ' ' || b$i.l || b$i.r || ' ') AS sym
+         |  FROM $prev CROSS JOIN b$i),
+         |d$i AS (SELECT doc_id, n_words, n_base,
+         |    replace(sym, ' ' || b$i.l || ' ' || b$i.r || ' ',
+         |            ' ' || b$i.l || b$i.r || ' ') AS sym
+         |  FROM d${i - 1} CROSS JOIN b$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w0 AS (SELECT w, count(*)::BIGINT AS cnt,
+       |    ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS sym
+       |  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |        FROM documents)
+       |  WHERE w <> '' GROUP BY 1),
+       |d0 AS (SELECT doc_id,
+       |    len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |        x -> x <> ''))::BIGINT AS n_words,
+       |    length(regexp_replace(trim(text), '\\s+', '', 'g'))::BIGINT AS n_base,
+       |    ' ' || replace(regexp_replace(regexp_replace(trim(text), '\\s+',
+       |        chr(1), 'g'), '(.)', '\\1 ', 'g'), chr(1) || ' ', ' ') AS sym
+       |  FROM documents),
+       |$rounds,
+       |enc AS (SELECT doc_id, n_words, n_base,
+       |    len(list_filter(string_split(sym, ' '), x -> x <> ''))::BIGINT
+       |      AS n_symbols
+       |  FROM d$merges)
+       |SELECT doc_id, n_words, n_base, n_symbols,
+       |  (CASE WHEN n_base > 0 THEN (n_symbols * 1000000) // n_base
+       |        ELSE 0 END)::BIGINT AS compression_ppm
+       |FROM enc ORDER BY doc_id""".stripMargin
+  }
+
+  /** q109: q46's component labels (recursive-CTE transitive closure of
+    * the SimHash pair set, min-id label — the unique fixpoint the
+    * Spark label-propagation loop converges to), singletons rooted at
+    * their own id, then the md5-48 per-mille bucket split.
+    */
+  private def q109Sql: String =
+    s"""WITH RECURSIVE ${simhashCtes(bands = 4, bitsPerBand = 16, probeHamming = 0)},
+       |good AS (SELECT id_a, id_b FROM pairs WHERE bit_count(xor(sa, sb)) <= 6),
+       |e AS (SELECT id_a AS u, id_b AS v FROM good
+       |      UNION SELECT id_b, id_a FROM good),
+       |reach(id, lbl) AS (
+       |  SELECT u, u FROM e
+       |  UNION
+       |  SELECT e2.u, r.lbl FROM e e2 JOIN reach r ON r.id = e2.v),
+       |comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+       |j AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_root
+       |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+       |b AS (SELECT doc_id, cluster_root,
+       |    (CAST(md5_number_lower(cluster_root::VARCHAR)
+       |          & 281474976710655 AS BIGINT) % 1000) AS bucket FROM j)
+       |SELECT doc_id, cluster_root, bucket,
+       |  CASE WHEN bucket < 800 THEN 'train'
+       |       WHEN bucket < 900 THEN 'valid' ELSE 'test' END AS split
+       |FROM b ORDER BY doc_id""".stripMargin
 
   /** q103: unrolled synchronous label propagation over q99's dense
     * 500-node synthetic graph (same edge synthesis).

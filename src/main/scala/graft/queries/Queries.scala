@@ -1405,6 +1405,26 @@ object Queries {
         k = 10)
       .orderBy("query_id", "rank")
 
+  // q108 — BPE encode: apply q106's trained merge table corpus-wide.
+  // Training reads the corpus once; encoding is a second map-only scan
+  // (symbolize + chained literal replaces + counts, one codegen
+  // projection — no explode, no shuffle). Per doc: words, base chars,
+  // post-merge symbols, compression ppm.
+  def q108BpeEncode(spark: SparkSession, dir: String): DataFrame =
+    Curation.bpeEncode(t(spark, dir, "documents"), merges = 6)
+      .orderBy("doc_id")
+
+  // q109 — leakage-safe split: train/valid/test assignment hashed from
+  // the near-dup CLUSTER ROOT (q46's SimHash-pair connected
+  // components), so near-duplicates can never straddle splits — the
+  // eval-contamination guard a doc-id hash split lacks.
+  def q109LeakageSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    Curation.leakageSafeSplit(docs,
+        Dedup.simhashPairs(docs, maxDist = 6))
+      .orderBy("doc_id")
+  }
+
   /** name → query, in SURVEY.md §2 coverage order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_agg_pushdown" -> (q01AggPushdown _),
@@ -1513,6 +1533,8 @@ object Queries {
     "q104_host_mirrors" -> (q104HostMirrors _),
     "q105_cdc_chunks" -> (q105CdcChunks _),
     "q106_bpe_merges" -> (q106BpeMerges _),
-    "q107_hybrid_rrf" -> (q107HybridRrf _)
+    "q107_hybrid_rrf" -> (q107HybridRrf _),
+    "q108_bpe_encode" -> (q108BpeEncode _),
+    "q109_leakage_split" -> (q109LeakageSplit _)
   )
 }

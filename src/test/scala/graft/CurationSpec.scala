@@ -951,4 +951,52 @@ class CurationSpec extends SparkSpec {
       (1, "a", "a", 2L, "aa", 2L),    // ' a a a ' → ' aa a ' (2 tokens)
       (2, "aa", "a", 1L, "aaa", 1L))) // the leftover pair merges next
   }
+
+  // ---- bpeEncode ----
+
+  test("bpeEncode applies trained merges per doc without crossing word gaps") {
+    import spark.implicits._
+    // training (same corpus as the bpeMerges spec + a rule-free doc):
+    // rank 1 (a,a)→aa, rank 2 (a,b)→ab. Doc 1 ' a a  a b ' → ' aa  ab '
+    // (2 symbols over 4 base chars); doc 3's whitespace run collapses
+    // to ONE word gap and no rule touches 'b'/'c'.
+    val docs = Seq((1L, "aa ab"), (2L, "aa aa"), (3L, " b  c "))
+      .toDF("doc_id", "text")
+    val got = Curation.bpeEncode(docs, merges = 2).orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 2L, 4L, 2L, 500000L),
+      (2L, 2L, 4L, 2L, 500000L),
+      (3L, 2L, 2L, 2L, 1000000L)))
+  }
+
+  // ---- leakageSafeSplit ----
+
+  test("leakageSafeSplit roots docs at their near-dup component") {
+    import spark.implicits._
+    // pairs chain 1~2~3 into one component rooted at min id 1; docs 4
+    // and 5 are singletons rooted at themselves. Buckets are
+    // md5-48(root) mod 1000: '1'→29, '4'→561 (train), '5'→847 (valid).
+    val docs = (1L to 5L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Curation.leakageSafeSplit(docs, pairs).orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, 29L, "train"), (2L, 1L, 29L, "train"),
+      (3L, 1L, 29L, "train"), (4L, 4L, 561L, "train"),
+      (5L, 5L, 847L, "valid")))
+    // the leakage guard itself: every pair lands in ONE split
+    val bySplit = got.groupBy(_._2).map { case (_, rs) => rs.map(_._4).toSet }
+    assert(bySplit.forall(_.size == 1))
+  }
+
+  test("leakageSafeSplit rejects inverted thresholds") {
+    import spark.implicits._
+    val docs = Seq((1L, "x")).toDF("doc_id", "text")
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Curation.leakageSafeSplit(docs, pairs,
+        trainPerMille = 900, validPerMille = 800).collect()
+    }
+  }
 }
