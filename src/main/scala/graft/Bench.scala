@@ -202,7 +202,10 @@ object Bench {
       "q106_bpe_merges", "q107_hybrid_rrf",
       // BPE encode (train + one map-only corpus apply), leakage-safe
       // split (component roots + hash-bucket projection)
-      "q108_bpe_encode", "q109_leakage_split")
+      "q108_bpe_encode", "q109_leakage_split",
+      // banding audit (one all-pairs cross join, per-config agg passes),
+      // host-coarsened weighted PageRank (quotient collapse + 3 rounds)
+      "q110_lsh_audit", "q111_host_rank")
     val qmap = SparkEntry.queries
     val spark = newSession(cpus)
     def median(xs: Seq[Double]): Double = {

@@ -538,6 +538,59 @@ object Dedup {
       .distinct()
   }
 
+  /** SimHash BANDING-PARAMETER AUDIT: for each candidate (bands,
+    * bitsPerBand) config, measure recall and precision of the band
+    * join against exact hamming ground truth — the tuning pass a team
+    * runs on a SAMPLE before committing a banding to a 100-TB dedup
+    * (recall is the fraction of true ≤maxDist pairs the banding would
+    * surface; precision is the fraction of surfaced candidates that
+    * verify, i.e. the wasted-verify cost of a too-coarse banding).
+    *
+    * Ground truth needs every pair's hamming BY DEFINITION, so the
+    * input must be a sample (the all-pairs frame is |docs|²/2 rows of
+    * 17 bytes — 10⁵ docs ≈ 85 GB, the practical ceiling). Candidacy
+    * per config is a pure bit predicate on the signature pair — ∃band:
+    * equal masked slices — so the audit is ONE cross join + one
+    * aggregation pass per config over the persisted pair frame: no
+    * per-config shuffle, no bucket explode at all.
+    */
+  def simhashBandingAudit(docs: DataFrame, maxDist: Int = 3,
+                          configs: Seq[(Int, Int)] = Seq((2, 32), (4, 16), (8, 8)),
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(configs.nonEmpty, "need at least one banding config")
+    configs.foreach { case (b, w) =>
+      require(b > 0 && w > 0 && b * w <= 64,
+        s"banding must fit the 64-bit signature: $b x $w") }
+    val withSig = docs.select(col(idCol).as("id"),
+      graft.functions.MinHashExprs.simhashCol(col(textCol)).as("sig"))
+    val pairsAll = withSig.as("a").join(withSig.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.sig").as("sa"), col("b.sig").as("sb"))
+      .withColumn("hd", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .persist()
+    val truth = col("hd") <= maxDist
+    val rows = configs.map { case (bands, w) =>
+      val mask = if (w == 64) -1L else (1L << w) - 1
+      // ∃ band with equal masked slices — sign extension is irrelevant
+      // under the mask, but shiftrightunsigned matches the UBIGINT twin
+      val isCand = (0 until bands).map { b =>
+        shiftrightunsigned(col("sa"), b * w).bitwiseAND(lit(mask)) ===
+          shiftrightunsigned(col("sb"), b * w).bitwiseAND(lit(mask))
+      }.reduce(_ || _)
+      pairsAll.agg(
+          coalesce(sum(when(truth, 1L).otherwise(0L)), lit(0L)).as("n_truth"),
+          coalesce(sum(when(isCand, 1L).otherwise(0L)), lit(0L)).as("n_candidates"),
+          coalesce(sum(when(isCand && truth, 1L).otherwise(0L)), lit(0L)).as("tp"))
+        .select(lit(bands).as("bands"), lit(w).as("bits_per_band"),
+          col("n_truth"), col("n_candidates"), col("tp"))
+    }.reduce(_ unionByName _)
+    rows.select(col("bands"), col("bits_per_band"),
+      col("n_truth"), col("n_candidates"), col("tp"),
+      expr("CASE WHEN n_truth > 0 THEN (tp * 1000000) DIV n_truth ELSE 0 END")
+        .as("recall_ppm"),
+      expr("CASE WHEN n_candidates > 0 THEN (tp * 1000000) DIV n_candidates ELSE 0 END")
+        .as("precision_ppm"))
+  }
+
   // -----------------------------------------------------------------
   // Embedding-cosine near-dup via hyperplane LSH
   // -----------------------------------------------------------------

@@ -160,6 +160,54 @@ object GraphOps {
     ranks
   }
 
+  /** WEIGHTED authority over a COARSENED graph — the host-level (or
+    * domain-level) PageRank a crawler actually budgets by: page edges
+    * are first collapsed to their quotient graph (the caller maps ids
+    * to groups; parallel edges become ONE weighted edge, self-loops —
+    * intra-host links — drop), then rank flows along edges
+    * PROPORTIONALLY to weight: share(e) = (rank·w_e) div out_w(src).
+    * Same fixed-point integer discipline as [[linkAuthority]] (ppm
+    * scale, floor division, eager per-round checkpoint release).
+    *
+    * Scale shape (100 TB): the collapse is the whole point — a 10¹¹-
+    * edge page graph quotients to a ~10⁷-host graph in ONE (src,dst)
+    * aggregation, and every PR round thereafter joins host-sized
+    * frames. Iterating on the page graph and aggregating ranks after
+    * would cost 10⁴× more per round for the same host signal.
+    * Overflow bound: Σrank ≈ |hosts|·scale ≤ 10¹³ and rank·w ≤
+    * Σrank·w_max — within int64 for any realistic host fanout.
+    */
+  def weightedAuthority(edges: DataFrame, iters: Int = 3, dampingPct: Int = 85,
+                        scale: Long = 1000000L,
+                        srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    val we = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val nodes = we.select(col("src").as("id"))
+      .unionByName(we.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    val outw = we.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+    val eW = we.join(outw, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    val base = scale * (100 - dampingPct) / 100
+    var ranks = nodes.select(col("id"), lit(scale).as("rank")).localCheckpoint(true)
+    (1 to iters).foreach { _ =>
+      val contrib = eW.join(ranks, eW("src") === ranks("id"))
+        .select(col("dst"), expr("(rank * w) DIV outw").as("share"))
+        .groupBy(col("dst")).agg(sum(col("share")).as("m"))
+      val prev = ranks
+      ranks = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+        .select(col("id"),
+          (lit(base) + expr(s"(bigint($dampingPct) * coalesce(m, bigint(0))) DIV 100"))
+            .as("rank"))
+        .localCheckpoint(true)
+      Checkpoints.release(prev)
+    }
+    eW.unpersist()
+    Checkpoints.release(nodes)
+    ranks
+  }
+
   /** TrustRank (Gyöngyi et al., VLDB'04): [[linkAuthority]] with the
     * teleport restricted to a TRUSTED SEED SET — trust flows out from
     * hand-verified pages, so link-spam clusters that sustain ordinary

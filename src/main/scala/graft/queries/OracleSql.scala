@@ -1811,8 +1811,73 @@ object OracleSql {
     // (recursive CTE, min-id component labels), every doc rooted at
     // its component (or itself), bucket = md5-48(root) mod 1000 with
     // train < 800 <= valid < 900 <= test.
-    "q109_leakage_split" -> q109Sql
+    "q109_leakage_split" -> q109Sql,
+
+    // q110: banding audit — the shared signature CTE feeds one
+    // all-pairs frame (id_a < id_b, exact hamming); per config a pair
+    // is a candidate iff ANY band's masked slices match (bool_or over
+    // a band series bounded by the config's band count); recall and
+    // precision are floor-div ppm against truth (hamming <= 6).
+    "q110_lsh_audit" ->
+      s"""WITH ${simhashCtes(bands = 4, bitsPerBand = 16, probeHamming = 0)},
+         |ap AS (SELECT a.id AS ia, b.id AS ib, a.s AS sa, b.s AS sb,
+         |    bit_count(xor(a.s, b.s)) AS hd
+         |  FROM sig a JOIN sig b ON a.id < b.id),
+         |cfg(bands, bpb) AS (VALUES (2, 32), (4, 16), (8, 8)),
+         |c AS (SELECT cfg.bands, cfg.bpb, ap.ia, ap.ib,
+         |    any_value(ap.hd) AS hd,
+         |    max(CASE WHEN ((ap.sa >> (g.b * cfg.bpb)) &
+         |                   ((1::UBIGINT << cfg.bpb) - 1)) =
+         |                  ((ap.sb >> (g.b * cfg.bpb)) &
+         |                   ((1::UBIGINT << cfg.bpb) - 1))
+         |        THEN 1 ELSE 0 END) AS is_cand
+         |  FROM ap CROSS JOIN cfg
+         |  JOIN generate_series(0, 7) g(b) ON g.b < cfg.bands
+         |  GROUP BY 1, 2, 3, 4),
+         |agg AS (SELECT bands, bpb AS bits_per_band,
+         |    sum(CASE WHEN hd <= 6 THEN 1 ELSE 0 END)::BIGINT AS n_truth,
+         |    sum(is_cand)::BIGINT AS n_candidates,
+         |    sum(CASE WHEN is_cand = 1 AND hd <= 6 THEN 1 ELSE 0 END)::BIGINT AS tp
+         |  FROM c GROUP BY 1, 2)
+         |SELECT bands, bits_per_band, n_truth, n_candidates, tp,
+         |  (CASE WHEN n_truth > 0 THEN (tp * 1000000) // n_truth
+         |        ELSE 0 END)::BIGINT AS recall_ppm,
+         |  (CASE WHEN n_candidates > 0 THEN (tp * 1000000) // n_candidates
+         |        ELSE 0 END)::BIGINT AS precision_ppm
+         |FROM agg ORDER BY bands""".stripMargin,
+
+    // q111: host-coarsened weighted PageRank — q48's edge synthesis
+    // mapped to host = id mod 50, self-loops dropped, parallel edges
+    // collapsed to weights; 3 unrolled rounds with share =
+    // (rank·w) // out_w, q48's fixed-point discipline.
+    "q111_host_rank" -> q111Sql(iters = 3)
   )
+
+  /** q111: weighted-PageRank rounds unrolled as CTEs (q48Sql with a
+    * weighted share); nodes come from the COLLAPSED edge list so both
+    * engines agree on which hosts exist after the self-loop drop.
+    */
+  private def q111Sql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""s$i AS (SELECT we.dst AS id, sum((r.r * we.w) // o.ow) AS mm
+         |  FROM we JOIN outw o USING (src) JOIN r${i - 1} r ON r.id = we.src
+         |  GROUP BY 1),
+         |r$i AS (SELECT n.id, (150000 + (85 * coalesce(s.mm, 0)) // 100)::BIGINT AS r
+         |  FROM nodes n LEFT JOIN s$i s USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+       |pe AS (SELECT (l_orderkey % 50) AS src,
+       |    (((l_orderkey + l_partkey * 7) % m) + 1) % 50 AS dst
+       |  FROM lineitem, mx),
+       |we AS (SELECT src, dst, count(*)::BIGINT AS w FROM pe
+       |  WHERE src <> dst GROUP BY 1, 2),
+       |outw AS (SELECT src, sum(w)::BIGINT AS ow FROM we GROUP BY 1),
+       |nodes AS (SELECT src AS id FROM we UNION SELECT dst FROM we),
+       |r0 AS (SELECT id, 1000000::BIGINT AS r FROM nodes),
+       |$rounds
+       |SELECT id AS host_key, r AS authority FROM r$iters
+       |ORDER BY authority DESC, host_key""".stripMargin
+  }
 
   /** q108: q106's training chain (minus the token totals) + a per-doc
     * symbolization chain d_i that applies the same rank-i rule each

@@ -1425,6 +1425,32 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  // q110 — SimHash banding-parameter audit: recall/precision of three
+  // candidate bandings against exact hamming ground truth (all-pairs
+  // on the sample corpus, one cross join reused by every config's
+  // aggregation — candidacy is a pure bit predicate, no bucket
+  // explode). The tuning pass before committing a banding at 100 TB.
+  def q110LshAudit(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashBandingAudit(t(spark, dir, "documents"), maxDist = 6,
+      configs = Seq((2, 32), (4, 16), (8, 8)))
+      .orderBy("bands")
+
+  // q111 — host-level weighted authority: the q48 page graph coarsened
+  // to its host quotient (host = id mod 50; parallel edges collapse to
+  // weights, intra-host self-loops drop), then 3 fixed-point rounds of
+  // WEIGHTED PageRank — rank flows proportionally to edge weight. The
+  // crawl-budget allocator's host signal.
+  def q111HostRank(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val mx = orders.agg(max("o_orderkey")).first().getLong(0)
+    val hostEdges = t(spark, dir, "lineitem").select(
+      (col("l_orderkey") % 50).as("src"),
+      ((pmod(col("l_orderkey") + col("l_partkey") * 7, lit(mx)) + 1) % 50).as("dst"))
+    GraphOps.weightedAuthority(hostEdges, iters = 3)
+      .select(col("id").as("host_key"), col("rank").as("authority"))
+      .orderBy(col("authority").desc, col("host_key"))
+  }
+
   /** name → query, in SURVEY.md §2 coverage order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_agg_pushdown" -> (q01AggPushdown _),
@@ -1535,6 +1561,8 @@ object Queries {
     "q106_bpe_merges" -> (q106BpeMerges _),
     "q107_hybrid_rrf" -> (q107HybridRrf _),
     "q108_bpe_encode" -> (q108BpeEncode _),
-    "q109_leakage_split" -> (q109LeakageSplit _)
+    "q109_leakage_split" -> (q109LeakageSplit _),
+    "q110_lsh_audit" -> (q110LshAudit _),
+    "q111_host_rank" -> (q111HostRank _)
   )
 }

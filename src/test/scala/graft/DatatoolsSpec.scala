@@ -631,4 +631,36 @@ class DatatoolsSpec extends SparkSpec {
     assert(out(2L)._1 === 0L) // empty ⇒ no chunks, ppm 0
     assert(out(3L)._1 >= 2L)  // long doc ⇒ content boundaries fired
   }
+
+  // ---- simhashBandingAudit ----
+
+  test("simhashBandingAudit: identical docs are truth AND candidates at every banding") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "totally different words here")).toDF("doc_id", "text")
+    val got = Dedup.simhashBandingAudit(docs, maxDist = 0,
+        configs = Seq((1, 64), (8, 8)))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // 1×64 banding = full-signature equality: exactly the identical pair,
+    // perfect recall AND precision at maxDist 0
+    assert(got((1, 64)) === ((1L, 1L, 1L, 1000000L, 1000000L)))
+    // any banding catches a hamming-0 pair (all slices equal)
+    val (t8, c8, tp8, r8, _) = got((8, 8))
+    assert(t8 === 1L && tp8 === 1L && r8 === 1000000L && c8 >= 1L)
+  }
+
+  test("simhashBandingAudit: nested bandings are monotone in candidates and recall") {
+    import spark.implicits._
+    // a 16-bit slice match implies both 8-bit halves match, so the
+    // candidate set can only GROW as bands split: 2×32 ⊆ 4×16 ⊆ 8×8
+    val docs = (1L to 14L)
+      .map(i => (i, s"shared prefix tokens for all docs variant ${i % 4} tail $i"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.simhashBandingAudit(docs, maxDist = 8)
+      .orderBy("bands")
+      .collect().map(r => (r.getLong(3), r.getLong(4))) // (n_candidates, tp)
+    assert(rows.sliding(2).forall { case Array((c1, t1), (c2, t2)) =>
+      c1 <= c2 && t1 <= t2 })
+  }
 }

@@ -424,4 +424,46 @@ class GraphOpsSpec extends SparkSpec {
     // rather than "until converged")
     assert(got(1L) === 1L && got(2L) === 2L)
   }
+
+  /** Brute weighted PageRank over the collapsed quotient graph —
+    * parallel edges → weight, self-loops dropped, share = r·w / outw.
+    */
+  private def bruteWeightedPagerank(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val we = edges.filter(e => e._1 != e._2)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nodes = we.keys.flatMap(e => Seq(e._1, e._2)).toSeq.distinct
+    val outw = we.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    var r = nodes.map(_ -> 1000000L).toMap
+    (1 to iters).foreach { _ =>
+      val m = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      we.foreach { case ((u, v), w) => m(v) += r(u) * w / outw(u) }
+      r = nodes.map(n => n -> (150000L + 85L * m(n) / 100L)).toMap
+    }
+    r
+  }
+
+  test("weightedAuthority: multiplicity weights the flow, self-loops drop") {
+    // A sends 2/3 of its mass to B (double edge) and 1/3 to C; B sends
+    // all to C; C's self-loop contributes nothing
+    val edges = Seq((1L, 2L), (1L, 2L), (1L, 3L), (2L, 3L), (3L, 3L))
+      .toDF("src", "dst")
+    val got = GraphOps.weightedAuthority(edges, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(
+      1L -> 150000L,                             // no inlinks
+      2L -> (150000L + 85L * (2000000L / 3) / 100L),  // 716666
+      3L -> (150000L + 85L * (1000000L / 3 + 1000000L) / 100L))) // 1283333
+    assert(got(2L) === 716666L && got(3L) === 1283333L)
+  }
+
+  test("property: weightedAuthority equals brute weighted PageRank on random multigraphs") {
+    val edgeGen = Gen.listOfN(30, Gen.zip(Gen.choose(0L, 12L), Gen.choose(0L, 12L)))
+    sample(edgeGen, 6) { es =>
+      if (es.exists(e => e._1 != e._2)) {
+        val got = GraphOps.weightedAuthority(es.toDF("src", "dst"), iters = 3)
+          .as[(Long, Long)].collect().toMap
+        assert(got === bruteWeightedPagerank(es, 3), s"edges: $es")
+      }
+    }
+  }
 }
