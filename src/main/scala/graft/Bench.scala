@@ -205,7 +205,10 @@ object Bench {
       "q108_bpe_encode", "q109_leakage_split",
       // banding audit (one all-pairs cross join, per-config agg passes),
       // host-coarsened weighted PageRank (quotient collapse + 3 rounds)
-      "q110_lsh_audit", "q111_host_rank")
+      "q110_lsh_audit", "q111_host_rank",
+      // exact repeated-substring spans (window fingerprint shuffle +
+      // per-doc gaps-and-islands merge)
+      "q112_repeated_spans")
     val qmap = SparkEntry.queries
     val spark = newSession(cpus)
     def median(xs: Seq[Double]): Double = {

@@ -164,6 +164,67 @@ object Dedup {
       .select("id_a", "id_b", "containment")
   }
 
+  /** EXACT repeated-substring spans (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — the ExactSubstr
+    * pass): every `windowTokens`-token window is fingerprinted; a
+    * window whose fingerprint occurs ≥ `minCount` times CORPUS-WIDE
+    * (same doc or not — self-repetition is duplication too) marks its
+    * token interval [pos, pos+L) as repeated; per doc, overlapping and
+    * adjacent marked intervals merge into MAXIMAL repeated spans
+    * (gaps-and-islands over the position order). Any repeat of length
+    * ≥ L tokens contains a repeated L-window at every offset, so the
+    * merged spans are exactly the ≥L-token repeated regions — the
+    * suffix-array result, without the suffix array.
+    *
+    * Scale shape (100 TB): windows ≈ token count, so the fingerprint
+    * count is one wordcount-shaped shuffle of 8-byte keys (md5-48, not
+    * the window text); only REPEATED windows (a small fraction of a
+    * healthy corpus) flow into the per-doc island pass, whose sort is
+    * per-doc-sized. Nothing is quadratic; the doc bodies are read once.
+    */
+  def repeatedWindowSpans(docs: DataFrame, windowTokens: Int = 8, minCount: Int = 2,
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(windowTokens >= 1 && minCount >= 2,
+      "need windowTokens >= 1 and minCount >= 2")
+    val L = windowTokens
+    val base = docs.select(col(idCol).as("id"),
+        filter(split(trim(col(textCol)), "\\s+"), x => x =!= "").as("l"))
+      .select(col("id"), col("l"), size(col("l")).cast("long").as("n_tokens"))
+    val wins = base.filter(col("n_tokens") >= L)
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), size(col("l")) - L),
+          i => graft.functions.MinHashExprs.md5Low48Col(
+            concat_ws(" ", slice(col("l"), i + 1, lit(L))))))
+          .as(Seq("pos", "fp")))
+    val repeatedFps = wins.groupBy("fp").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount).select("fp")
+    val marked = wins.join(repeatedFps, Seq("fp")).select("id", "pos")
+    // gaps-and-islands: a window starts a new span iff its start lies
+    // beyond every earlier window's end (running max over pos order)
+    val w = Window.partitionBy("id").orderBy("pos")
+    val islands = marked
+      .withColumn("prev_end", max(col("pos") + L)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("is_new",
+        when(col("pos") > coalesce(col("prev_end"), lit(-1L)), 1L).otherwise(0L))
+      .withColumn("island", sum(col("is_new")).over(w))
+      .groupBy(col("id"), col("island"))
+      .agg(count(lit(1)).as("win_cnt"),
+        (max(col("pos")) + L - min(col("pos"))).cast("long").as("span_len"))
+    val perDoc = islands.groupBy("id").agg(
+      sum(col("win_cnt")).as("repeated_windows"),
+      count(lit(1)).as("n_spans"),
+      sum(col("span_len")).as("repeated_tokens"))
+    base.select(col("id"), col("n_tokens"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"),
+        coalesce(col("repeated_windows"), lit(0L)).as("repeated_windows"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("repeated_tokens"), lit(0L)).as("repeated_tokens"))
+      .withColumn("repeated_ppm",
+        expr("CASE WHEN n_tokens > 0 THEN (repeated_tokens * 1000000) DIV n_tokens ELSE 0 END"))
+  }
+
   /** Exact-Jaccard verification of candidate pairs, with a SIZE
     * prefilter so the heavy shingle arrays only ship for pairs that can
     * possibly qualify: J(A,B) ≤ min/max, so `min ≥ t·max` is necessary.

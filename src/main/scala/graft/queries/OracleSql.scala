@@ -1850,7 +1850,49 @@ object OracleSql {
     // mapped to host = id mod 50, self-loops dropped, parallel edges
     // collapsed to weights; 3 unrolled rounds with share =
     // (rank·w) // out_w, q48's fixed-point discipline.
-    "q111_host_rank" -> q111Sql(iters = 3)
+    "q111_host_rank" -> q111Sql(iters = 3),
+
+    // q112: repeated-substring spans — every 8-token window md5-48
+    // fingerprinted, corpus-wide count >= 2 marks [pos, pos+8) as
+    // repeated, per-doc gaps-and-islands merge (running max-end window)
+    // yields maximal repeated spans; zero rows restored by the final
+    // left join. pos stays 0-based to match Spark's posexplode.
+    "q112_repeated_spans" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x <> '') AS toks FROM documents),
+        |nt AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens, toks FROM d),
+        |w AS (SELECT doc_id, toks,
+        |    unnest(generate_series(0, n_tokens - 8)) AS pos
+        |  FROM nt WHERE n_tokens >= 8),
+        |wf AS (SELECT doc_id, pos,
+        |    CAST(md5_number_lower(
+        |        array_to_string(list_slice(toks, pos + 1, pos + 8), ' '))
+        |      & 281474976710655 AS BIGINT) AS fp FROM w),
+        |rep AS (SELECT fp FROM wf GROUP BY fp HAVING count(*) >= 2),
+        |m AS (SELECT wf.doc_id, wf.pos FROM wf JOIN rep USING (fp)),
+        |isl AS (SELECT doc_id, pos,
+        |    CASE WHEN pos > coalesce(max(pos + 8) OVER (
+        |        PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |      THEN 1 ELSE 0 END AS is_new FROM m),
+        |i2 AS (SELECT doc_id, pos,
+        |    sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM isl),
+        |sp AS (SELECT doc_id, island, count(*)::BIGINT AS win_cnt,
+        |    (max(pos) + 8 - min(pos))::BIGINT AS span_len
+        |  FROM i2 GROUP BY 1, 2),
+        |pd AS (SELECT doc_id, sum(win_cnt)::BIGINT AS repeated_windows,
+        |    count(*)::BIGINT AS n_spans,
+        |    sum(span_len)::BIGINT AS repeated_tokens FROM sp GROUP BY 1)
+        |SELECT n.doc_id, n.n_tokens,
+        |  coalesce(pd.repeated_windows, 0)::BIGINT AS repeated_windows,
+        |  coalesce(pd.n_spans, 0)::BIGINT AS n_spans,
+        |  coalesce(pd.repeated_tokens, 0)::BIGINT AS repeated_tokens,
+        |  (CASE WHEN n.n_tokens > 0
+        |        THEN (coalesce(pd.repeated_tokens, 0) * 1000000) // n.n_tokens
+        |        ELSE 0 END)::BIGINT AS repeated_ppm
+        |FROM nt n LEFT JOIN pd USING (doc_id) ORDER BY n.doc_id""".stripMargin
   )
 
   /** q111: weighted-PageRank rounds unrolled as CTEs (q48Sql with a

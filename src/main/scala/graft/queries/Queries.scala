@@ -1451,6 +1451,15 @@ object Queries {
       .orderBy(col("authority").desc, col("host_key"))
   }
 
+  // q112 — exact repeated-substring spans (Lee et al. 2022 ExactSubstr):
+  // corpus-wide repeated 8-token windows merged into maximal per-doc
+  // repeated intervals (gaps-and-islands) — the suffix-array dedup
+  // result from one wordcount-shaped fingerprint shuffle.
+  def q112RepeatedSpans(spark: SparkSession, dir: String): DataFrame =
+    Dedup.repeatedWindowSpans(t(spark, dir, "documents"),
+        windowTokens = 8, minCount = 2)
+      .orderBy("doc_id")
+
   /** name → query, in SURVEY.md §2 coverage order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_agg_pushdown" -> (q01AggPushdown _),
@@ -1563,6 +1572,7 @@ object Queries {
     "q108_bpe_encode" -> (q108BpeEncode _),
     "q109_leakage_split" -> (q109LeakageSplit _),
     "q110_lsh_audit" -> (q110LshAudit _),
-    "q111_host_rank" -> (q111HostRank _)
+    "q111_host_rank" -> (q111HostRank _),
+    "q112_repeated_spans" -> (q112RepeatedSpans _)
   )
 }

@@ -650,6 +650,38 @@ class DatatoolsSpec extends SparkSpec {
     assert(t8 === 1L && tp8 === 1L && r8 === 1000000L && c8 >= 1L)
   }
 
+  // ---- repeatedWindowSpans ----
+
+  test("repeatedWindowSpans merges overlapping/adjacent repeats into maximal spans") {
+    import spark.implicits._
+    // 'p q' repeats at doc1 pos {0,2} (adjacent → ONE span covering all
+    // 4 tokens) and doc2 pos {0,3} (disjoint → TWO spans); 'z z' and
+    // the short/empty docs have no repeated window at all
+    val docs = Seq(
+      (1L, "p q p q r"), (2L, "p q x p q"), (3L, "z z"),
+      (4L, ""), (5L, "solo")).toDF("doc_id", "text")
+    val got = Dedup.repeatedWindowSpans(docs, windowTokens = 2, minCount = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 5L, 2L, 1L, 4L, 800000L),
+      (2L, 5L, 2L, 2L, 4L, 800000L),
+      (3L, 2L, 0L, 0L, 0L, 0L),
+      (4L, 0L, 0L, 0L, 0L, 0L),
+      (5L, 1L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("repeatedWindowSpans counts in-doc self-repetition as duplication") {
+    import spark.implicits._
+    // the same window twice INSIDE one doc is a corpus-wide count of 2
+    val docs = Seq((1L, "a b c a b c a b")).toDF("doc_id", "text")
+    val got = Dedup.repeatedWindowSpans(docs, windowTokens = 3, minCount = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    // windows: abc@0 bca@1 cab@2 abc@3 bca@4 cab@5 — ALL repeat; one
+    // island [0, 8) covers the whole doc
+    assert(got === ((1L, 8L, 6L, 1L, 8L, 1000000L)))
+  }
+
   test("simhashBandingAudit: nested bandings are monotone in candidates and recall") {
     import spark.implicits._
     // a 16-bit slice match implies both 8-bit halves match, so the
