@@ -1046,6 +1046,47 @@ object Curation {
         expr("CASE WHEN n_base > 0 THEN n_symbols * 1000000 DIV n_base ELSE 0 END"))
   }
 
+  /** TOKEN-BUDGET corpus selection — the quality-pruning step of a
+    * training recipe: keep the highest-quality documents whose
+    * cumulative token count fits the budget (`budgetPerMille` of the
+    * corpus total). The greedy quality-ordered prefix is computed
+    * WITHOUT a global sort: a (quality → token mass) histogram (one
+    * aggregation; at round-6 ppm resolution the histogram is
+    * vocabulary-sized, like q59's model) gives each quality class its
+    * tokens-above-me offset via one tiny window; each document then
+    * needs only its WITHIN-CLASS running sum (per-class window,
+    * doc-id order — no cross-class sort ever touches corpus-sized
+    * data). selected ⇔ class offset + within-class running ≤ budget.
+    *
+    * Scale shape (100 TB): one scoring scan, one histogram exchange,
+    * one broadcast join + per-class window. The equivalent global
+    * ORDER BY quality would range-shuffle the whole corpus.
+    */
+  def budgetSelect(docs: DataFrame, budgetPerMille: Int = 250,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(budgetPerMille > 0 && budgetPerMille <= 1000,
+      "budgetPerMille must be in (0, 1000]")
+    val scored = docs.select(col(idCol),
+        TextAnalysis.qualityScore(col(textCol)).as("quality"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .persist()
+    val budgetDf = scored.agg(
+      expr(s"(sum(n_tokens) * $budgetPerMille) DIV 1000").as("budget"))
+    val hist = scored.groupBy("quality").agg(sum("n_tokens").as("class_tok"))
+    val wHist = Window.orderBy(col("quality").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val classCum = hist
+      .withColumn("cum_before", coalesce(sum(col("class_tok")).over(wHist), lit(0L)))
+      .select("quality", "cum_before")
+    val wClass = Window.partitionBy("quality").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    scored.join(broadcast(classCum), Seq("quality"))
+      .crossJoin(broadcast(budgetDf))
+      .withColumn("cum_tokens", col("cum_before") + sum(col("n_tokens")).over(wClass))
+      .select(col(idCol), col("quality"), col("n_tokens"), col("cum_tokens"),
+        (col("cum_tokens") <= col("budget")).as("selected"))
+  }
+
   /** Leakage-safe train/valid/test split: the split is a hash of the
     * document's NEAR-DUP CLUSTER ROOT, not of the document — so two
     * near-duplicates can never straddle train and test (the eval-set

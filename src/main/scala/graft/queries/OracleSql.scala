@@ -1892,7 +1892,46 @@ object OracleSql {
         |  (CASE WHEN n.n_tokens > 0
         |        THEN (coalesce(pd.repeated_tokens, 0) * 1000000) // n.n_tokens
         |        ELSE 0 END)::BIGINT AS repeated_ppm
-        |FROM nt n LEFT JOIN pd USING (doc_id) ORDER BY n.doc_id""".stripMargin
+        |FROM nt n LEFT JOIN pd USING (doc_id) ORDER BY n.doc_id""".stripMargin,
+
+    // q113: token-budget selection — q30's per-doc round-6 quality, a
+    // (quality → token mass) histogram whose descending-quality window
+    // gives each class its tokens-above-me offset, then the per-class
+    // doc-id-ordered running sum; selected ⇔ offset + running ≤ budget
+    // (25% of total tokens, floor-div).
+    "q113_budget_select" ->
+      """WITH raw AS (SELECT doc_id,
+        |  length(text)::DOUBLE AS len,
+        |  (CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT AS toks,
+        |  length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE AS punct,
+        |  length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS alpha,
+        |  (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5.0
+        |    + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' a ', ''))) / 3.0
+        |    + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' and ', ''))) / 5.0 AS stop
+        |  FROM documents),
+        |s AS (SELECT doc_id, toks AS n_tokens, round(
+        |    least(len / 500.0, 1.0) * 0.3
+        |    + least(punct / greatest(toks::DOUBLE, 1.0) * 5.0, 1.0) * 0.2
+        |    + alpha / greatest(len, 1.0) * 0.3
+        |    + least(stop / greatest(toks::DOUBLE, 1.0) * 10.0, 1.0) * 0.2, 6) AS quality
+        |  FROM raw),
+        |b AS (SELECT ((sum(n_tokens) * 250) // 1000)::BIGINT AS budget FROM s),
+        |h AS (SELECT quality, sum(n_tokens)::BIGINT AS class_tok
+        |  FROM s GROUP BY 1),
+        |hc AS (SELECT quality, coalesce(sum(class_tok) OVER (
+        |    ORDER BY quality DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |    AS cum_before FROM h),
+        |r AS (SELECT s.doc_id, s.quality, s.n_tokens,
+        |    (hc.cum_before + sum(s.n_tokens) OVER (PARTITION BY s.quality
+        |      ORDER BY s.doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |      AS cum_tokens
+        |  FROM s JOIN hc USING (quality))
+        |SELECT doc_id, quality, n_tokens, cum_tokens,
+        |  cum_tokens <= (SELECT budget FROM b) AS selected
+        |FROM r ORDER BY doc_id""".stripMargin
   )
 
   /** q111: weighted-PageRank rounds unrolled as CTEs (q48Sql with a

@@ -1460,6 +1460,14 @@ object Queries {
         windowTokens = 8, minCount = 2)
       .orderBy("doc_id")
 
+  // q113 — token-budget selection: keep the highest-quality docs whose
+  // cumulative tokens fit 25% of the corpus — computed WITHOUT a
+  // global quality sort (quality-class histogram offsets + per-class
+  // running sums).
+  def q113BudgetSelect(spark: SparkSession, dir: String): DataFrame =
+    Curation.budgetSelect(t(spark, dir, "documents"), budgetPerMille = 250)
+      .orderBy("doc_id")
+
   /** name → query, in SURVEY.md §2 coverage order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_agg_pushdown" -> (q01AggPushdown _),
@@ -1573,6 +1581,7 @@ object Queries {
     "q109_leakage_split" -> (q109LeakageSplit _),
     "q110_lsh_audit" -> (q110LshAudit _),
     "q111_host_rank" -> (q111HostRank _),
-    "q112_repeated_spans" -> (q112RepeatedSpans _)
+    "q112_repeated_spans" -> (q112RepeatedSpans _),
+    "q113_budget_select" -> (q113BudgetSelect _)
   )
 }

@@ -970,6 +970,32 @@ class CurationSpec extends SparkSpec {
       (3L, 2L, 2L, 2L, 1000000L)))
   }
 
+  // ---- budgetSelect ----
+
+  test("budgetSelect equals the greedy quality-ordered prefix under the budget") {
+    import spark.implicits._
+    val docs = (1L to 20L).map { i =>
+      // four repeating text shapes → four quality classes with ties,
+      // different lengths → unequal token masses
+      (i, Seq("the cat sat, and the dog ran.",
+        "aaa bbb ccc ddd eee fff ggg hhh iii jjj",
+        "a and the, a and the, a and the!",
+        "x y")(i.toInt % 4) * (1 + (i % 3)).toInt)
+    }.toDF("doc_id", "text")
+    val got = Curation.budgetSelect(docs, budgetPerMille = 500)
+      .as[(Long, Double, Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    val budget = got.map(_._3).sum * 500 / 1000
+    // brute greedy prefix over (quality desc, doc_id asc) — selection
+    // logic only; the scorer itself is pinned by the q30/q113 oracles
+    var cum = 0L
+    val brute = got.sortBy(r => (-r._2, r._1)).map { r =>
+      cum += r._3
+      (r._1, cum, cum <= budget)
+    }.sortBy(_._1)
+    assert(got.map(r => (r._1, r._4, r._5)) === brute)
+    assert(got.exists(_._5) && got.exists(!_._5)) // budget actually bites
+  }
+
   // ---- leakageSafeSplit ----
 
   test("leakageSafeSplit roots docs at their near-dup component") {
