@@ -208,7 +208,10 @@ object Bench {
       "q110_lsh_audit", "q111_host_rank",
       // exact repeated-substring spans (window fingerprint shuffle +
       // per-doc gaps-and-islands merge)
-      "q112_repeated_spans")
+      "q112_repeated_spans",
+      // token-budget selection (quality histogram offsets + per-class
+      // running sums; no global quality sort)
+      "q113_budget_select")
     val qmap = SparkEntry.queries
     val spark = newSession(cpus)
     def median(xs: Seq[Double]): Double = {
