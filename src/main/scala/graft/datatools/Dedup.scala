@@ -498,16 +498,28 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxDist: Int = 3,
                    bands: Int = 4, bitsPerBand: Int = 16, probeRadius: Int = 0,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(bands > 0 && bitsPerBand > 0 && bands * bitsPerBand <= 64,
-      s"banding must fit the 64-bit signature: $bands x $bitsPerBand")
-    require(probeRadius >= 0 && probeRadius <= 2, "probeRadius ∈ {0, 1, 2}")
-    val mask = if (bitsPerBand == 64) -1L else (1L << bitsPerBand) - 1
     // native codegen signature (fused tokenize+md5+fold; the scalar-UDF
     // twin [[simhash64]] it replaced stays as the parity anchor the
     // q26/q37 oracles were verified against — MinHashParitySpec pins
     // expression↔UDF equality)
     val withSig = docs.select(col(idCol).as("id"),
       graft.functions.MinHashExprs.simhashCol(col(textCol)).as("sig"))
+    sigBandPairs(withSig, maxDist, bands, bitsPerBand, probeRadius)
+  }
+
+  /** Banded near-dup pairs over an arbitrary 64-bit signature frame
+    * `(id, sig)` — the (band, bucket) candidate machinery shared by the
+    * text path ([[simhashPairs]]) and the image perceptual-hash path
+    * ([[Multimodal.imageNearDup]]). Same contract: pairs with hamming
+    * ≤ `maxDist`, candidates only ever form inside (band, bucket)
+    * groups, optional radius-≤2 multi-probe.
+    */
+  def sigBandPairs(withSig: DataFrame, maxDist: Int,
+                   bands: Int, bitsPerBand: Int, probeRadius: Int = 0): DataFrame = {
+    require(bands > 0 && bitsPerBand > 0 && bands * bitsPerBand <= 64,
+      s"banding must fit the 64-bit signature: $bands x $bitsPerBand")
+    require(probeRadius >= 0 && probeRadius <= 2, "probeRadius ∈ {0, 1, 2}")
+    val mask = if (bitsPerBand == 64) -1L else (1L << bitsPerBand) - 1
     val exact = withSig.select(col("id"), col("sig"),
       posexplode(array((0 until bands).map(b =>
         shiftrightunsigned(col("sig"), b * bitsPerBand).bitwiseAND(lit(mask))): _*))
@@ -645,6 +657,81 @@ object Dedup {
           col("n_truth"), col("n_candidates"), col("tp"))
     }.reduce(_ unionByName _)
     rows.select(col("bands"), col("bits_per_band"),
+      col("n_truth"), col("n_candidates"), col("tp"),
+      expr("CASE WHEN n_truth > 0 THEN (tp * 1000000) DIV n_truth ELSE 0 END")
+        .as("recall_ppm"),
+      expr("CASE WHEN n_candidates > 0 THEN (tp * 1000000) DIV n_candidates ELSE 0 END")
+        .as("precision_ppm"))
+  }
+
+  /** Banding-parameter audit for the MinHash family — the q110
+    * (SimHash) audit's sibling, so BOTH sketch families get their
+    * parameters tuned against exact ground truth before a banding is
+    * committed at scale. Uses the salted-min md5-48 slot construction
+    * ([[setResemblance]]'s, which has an exact DuckDB twin — the
+    * murmur3 production signature of [[minhashSignature]] audits
+    * identically but is not oracle-replayable): ONE `slots`-wide
+    * signature per doc over its k-gram shingle set, and each
+    * `(bands, rowsPerBand)` config (bands·rowsPerBand = slots) is
+    * evaluated as a pure slot-equality predicate over the SAME persisted
+    * all-pairs frame — no bucket explode, no per-config join, no second
+    * text pass. Ground truth = exact shingle-set Jaccard ≥ `tauPpm`
+    * (intersections via one shingle-keyed equi-join, left-joined so
+    * disjoint pairs count as Jaccard 0).
+    *
+    * Like the SimHash audit this is the TUNING operator, deliberately
+    * quadratic in its input: run it on a hash-sampled slice; the
+    * winning config parameterizes the production band-bucket path
+    * ([[minhashLshPairs]]), which never generates all pairs.
+    */
+  def minhashBandingAudit(docs: DataFrame, slots: Int = 12,
+                          configs: Seq[(Int, Int)] = Seq((2, 6), (3, 4), (6, 2)),
+                          tauPpm: Long = 500000L, k: Int = 2,
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(configs.nonEmpty, "need at least one banding config")
+    configs.foreach { case (b, r) =>
+      require(b > 0 && r > 0 && b * r == slots,
+        s"bands x rowsPerBand must equal slots=$slots: $b x $r") }
+    val elems = docs.select(col(idCol).as("id"),
+        explode(graft.functions.MinHashExprs.shinglesCol(col(textCol), k)).as("e"))
+      .persist()
+    // slot i = min md5_48("i:shingle") — i is salt, so the slots are
+    // independent hash functions over the same shingle set (q104's rule)
+    val slotCols = (0 until slots).map(i =>
+      min(graft.functions.MinHashExprs.md5Low48Col(
+        concat_ws(":", lit(i.toString), col("e")))).as(s"m$i"))
+    val sigs = elems.groupBy(col("id"))
+      .agg(count(lit(1)).as("n"), slotCols: _*)
+    val pairCols: Seq[Column] =
+      Seq(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b")) ++
+      (0 until slots).flatMap(i =>
+        Seq(col(s"a.m$i").as(s"ma$i"), col(s"b.m$i").as(s"mb$i")))
+    val pairsAll = sigs.as("a").join(sigs.as("b"), col("a.id") < col("b.id"))
+      .select(pairCols: _*)
+    val inter = elems.as("x").join(elems.as("y"),
+        col("x.e") === col("y.e") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    val joined = pairsAll.join(inter, Seq("id_a", "id_b"), "left")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .withColumn("jppm", expr("inter * 1000000 DIV (n_a + n_b - inter)"))
+      .persist()
+    val truth = col("jppm") >= tauPpm
+    val rows = configs.map { case (bands, r) =>
+      // ∃ band whose rowsPerBand slots ALL match — tuple equality
+      val isCand = (0 until bands).map { b =>
+        (b * r until (b + 1) * r)
+          .map(i => col(s"ma$i") === col(s"mb$i")).reduce(_ && _)
+      }.reduce(_ || _)
+      joined.agg(
+          coalesce(sum(when(truth, 1L).otherwise(0L)), lit(0L)).as("n_truth"),
+          coalesce(sum(when(isCand, 1L).otherwise(0L)), lit(0L)).as("n_candidates"),
+          coalesce(sum(when(isCand && truth, 1L).otherwise(0L)), lit(0L)).as("tp"))
+        .select(lit(bands).as("bands"), lit(r).as("rows_per_band"),
+          col("n_truth"), col("n_candidates"), col("tp"))
+    }.reduce(_ unionByName _)
+    rows.select(col("bands"), col("rows_per_band"),
       col("n_truth"), col("n_candidates"), col("tp"),
       expr("CASE WHEN n_truth > 0 THEN (tp * 1000000) DIV n_truth ELSE 0 END")
         .as("recall_ppm"),

@@ -208,6 +208,42 @@ object GraphOps {
     ranks
   }
 
+  /** Largest-remainder (Hamilton) apportionment of an integer crawl
+    * budget across hosts proportional to a score column — the step that
+    * turns [[weightedAuthority]]'s host signal into per-host fetch
+    * quotas the politeness layer can enforce. Exactly `budget` units
+    * are allocated (Σalloc = budget by construction): every host gets
+    * `floor(score·budget / Σscore)`, and the leftover seats go to the
+    * largest fractional remainders (ties to the smaller id — the
+    * deterministic, oracle-replayable tie-break).
+    *
+    * Scale shape: two scalar aggregates (Σscore, Σbase — broadcast
+    * back, the q113 pattern) + one projection; the only non-map step is
+    * the remainder-rank window, which runs over the HOST-count-sized
+    * frame — bounded by |hosts|, never page-count-sized (same argument
+    * as q113's class-histogram window). All arithmetic is integer
+    * (`DIV`/`%` on positive operands ≡ DuckDB `//`/`%`), so the
+    * allocation replays bit-for-bit in the oracle.
+    */
+  def budgetApportion(scores: DataFrame, budget: Long,
+                      idCol: String = "id", scoreCol: String = "rank"): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val s = scores.select(col(idCol).as("id"),
+      col(scoreCol).cast("long").as("score"))
+    val tot = s.agg(sum("score").as("total"))
+    val base = s.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"(score * $budget) DIV total"))
+      .withColumn("rem", expr(s"(score * $budget) % total"))
+    val seats = base.agg((lit(budget) - sum("base")).as("extra_seats"))
+    val byRemainder = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("id").asc)
+    base.crossJoin(broadcast(seats))
+      .withColumn("rk", row_number().over(byRemainder))
+      .select(col("id"), col("score"), col("base"),
+        when(col("rk") <= col("extra_seats"), 1L).otherwise(0L).as("extra"))
+      .withColumn("alloc", col("base") + col("extra"))
+  }
+
   /** TrustRank (Gyöngyi et al., VLDB'04): [[linkAuthority]] with the
     * teleport restricted to a TRUSTED SEED SET — trust flows out from
     * hand-verified pages, so link-spam clusters that sustain ordinary

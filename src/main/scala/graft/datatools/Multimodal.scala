@@ -104,4 +104,72 @@ object Multimodal {
           .otherwise(lit(maxDim).cast("double") / greatest(col("width"), col("height"))))
       .withColumn("new_width", floor(col("width") * col("scale")).cast("int"))
       .withColumn("new_height", floor(col("height") * col("scale")).cast("int"))
+
+  // -----------------------------------------------------------------
+  // Image perceptual-hash (average-hash) near-dup
+  // -----------------------------------------------------------------
+
+  /** Decoded image feature row: the 64-bit average-hash computed at
+    * decode time (bit j = cell j of the 8×8 downscaled luma grid above
+    * the mid-level) — the standard aHash perceptual fingerprint.
+    */
+  final case class ImageFeat(media_ref: String, ahash: Long)
+
+  private val LumaMask = 0xffffffffffffL        // 48-bit luma values
+  private val LumaMid = 1L << 47                // grid mid-level
+
+  /** ??? DECODE STUB ??? — a real build decodes `bytes`, downscales to
+    * an 8×8 luma grid and thresholds at the grid mean. The stub derives
+    * the grid deterministically from the ref's CONTENT KEY (the part
+    * before the variant suffix, `img://<key>/v<n>`), with each variant
+    * inverting the ~1/16 of cells its salt selects — the re-encode /
+    * recompress artifact that makes variants of one image NEAR
+    * duplicates (small hamming) while distinct images stay ~32 apart.
+    * md5-only arithmetic, so the q116 oracle replays every bit.
+    */
+  def imageFeatStub(mediaRef: String, bytes: Array[Byte]): ImageFeat = {
+    val body = mediaRef.stripPrefix("img://")
+    val slash = body.lastIndexOf("/v")
+    val (key, variant) =
+      if (slash < 0) (body, 0)
+      else (body.substring(0, slash), body.substring(slash + 2).toInt)
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      val base = TextAnalysis.md5Lower64(s"$key:$j") & LumaMask
+      val flip = variant > 0 &&
+        (TextAnalysis.md5Lower64(s"$key:$variant:$j") & 15L) == 0L
+      val luma = if (flip) LumaMask - base else base
+      if (luma > LumaMid) sig |= (1L << j)
+      j += 1
+    }
+    ImageFeat(mediaRef, sig)
+  }
+
+  /** Decode-time feature extraction over a refs frame — same plumbing
+    * as [[withMediaMeta]] (distinct refs, per-partition batch decode via
+    * mapPartitions; the decoder instance and its scratch buffers
+    * initialize once per partition in a real build).
+    */
+  def withImageFeatures(spark: SparkSession, refs: DataFrame,
+                        refCol: String = "media_ref"): Dataset[ImageFeat] = {
+    import spark.implicits._
+    refs.select(col(refCol)).distinct().as[String].mapPartitions { it =>
+      it.map { ref => imageFeatStub(ref, syntheticBytes(ref)) }
+    }
+  }
+
+  /** Image near-dup pairs: hamming ≤ `maxDist` over the decode-time
+    * aHash, candidates generated by the SAME (band, bucket) machinery
+    * as the text SimHash path ([[Dedup.sigBandPairs]]) — the sketch is
+    * per-modality, the banded candidate join is not. 8×8 banding
+    * guarantees hamming ≤ 7 with no probing; output is
+    * (ref_a, ref_b, hamming).
+    */
+  def imageNearDup(feats: Dataset[ImageFeat], maxDist: Int = 7,
+                   bands: Int = 8, bitsPerBand: Int = 8): DataFrame =
+    Dedup.sigBandPairs(
+        feats.toDF().select(col("media_ref").as("id"), col("ahash").as("sig")),
+        maxDist, bands, bitsPerBand)
+      .select(col("id_a").as("ref_a"), col("id_b").as("ref_b"), col("hamming"))
 }

@@ -1931,14 +1931,27 @@ object OracleSql {
         |  FROM s JOIN hc USING (quality))
         |SELECT doc_id, quality, n_tokens, cum_tokens,
         |  cum_tokens <= (SELECT budget FROM b) AS selected
-        |FROM r ORDER BY doc_id""".stripMargin
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // q114: MinHash banding audit — generated from the SAME
+    // (slots, configs, tauPpm) the Spark entry passes
+    "q114_minhash_audit" ->
+      q114Sql(slots = 12, configs = Seq((2, 6), (3, 4), (6, 2)),
+        tauPpm = 500000L),
+
+    // q115: crawl-budget apportionment over q111's authority chain
+    "q115_budget_apportion" -> q115Sql(iters = 3, budget = 10000L),
+
+    // q116: image aHash near-dup — decode-stub grid replayed in SQL,
+    // banded candidates + hamming verify (q26's join shape)
+    "q116_image_neardup" -> q116Sql(maxDist = 7, bands = 8, bitsPerBand = 8)
   )
 
   /** q111: weighted-PageRank rounds unrolled as CTEs (q48Sql with a
     * weighted share); nodes come from the COLLAPSED edge list so both
     * engines agree on which hosts exist after the self-loop drop.
     */
-  private def q111Sql(iters: Int): String = {
+  private def q111Ctes(iters: Int): String = {
     val rounds = (1 to iters).map { i =>
       s"""s$i AS (SELECT we.dst AS id, sum((r.r * we.w) // o.ow) AS mm
          |  FROM we JOIN outw o USING (src) JOIN r${i - 1} r ON r.id = we.src
@@ -1946,7 +1959,7 @@ object OracleSql {
          |r$i AS (SELECT n.id, (150000 + (85 * coalesce(s.mm, 0)) // 100)::BIGINT AS r
          |  FROM nodes n LEFT JOIN s$i s USING (id))""".stripMargin
     }.mkString(",\n")
-    s"""WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+    s"""mx AS (SELECT max(o_orderkey) AS m FROM orders),
        |pe AS (SELECT (l_orderkey % 50) AS src,
        |    (((l_orderkey + l_partkey * 7) % m) + 1) % 50 AS dst
        |  FROM lineitem, mx),
@@ -1955,9 +1968,121 @@ object OracleSql {
        |outw AS (SELECT src, sum(w)::BIGINT AS ow FROM we GROUP BY 1),
        |nodes AS (SELECT src AS id FROM we UNION SELECT dst FROM we),
        |r0 AS (SELECT id, 1000000::BIGINT AS r FROM nodes),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def q111Sql(iters: Int): String =
+    s"""WITH ${q111Ctes(iters)}
        |SELECT id AS host_key, r AS authority FROM r$iters
        |ORDER BY authority DESC, host_key""".stripMargin
+
+  /** q115: q111's authority chain + largest-remainder apportionment of
+    * 10 000 fetch slots — floor shares from integer division, leftover
+    * seats by remainder rank (ties to the smaller host), all BIGINT so
+    * both engines allocate identically.
+    */
+  private def q115Sql(iters: Int, budget: Long): String =
+    s"""WITH ${q111Ctes(iters)},
+       |auth AS (SELECT id, r AS score FROM r$iters),
+       |tot AS (SELECT sum(score)::BIGINT AS total FROM auth),
+       |b AS (SELECT id, score, ((score * $budget) // total)::BIGINT AS base,
+       |    ((score * $budget) % total)::BIGINT AS rem FROM auth, tot),
+       |se AS (SELECT ($budget - sum(base))::BIGINT AS extra_seats FROM b),
+       |rk AS (SELECT b.*, row_number() OVER (ORDER BY rem DESC, id) AS rk
+       |  FROM b)
+       |SELECT rk.id AS host_key, rk.score, rk.base,
+       |  (CASE WHEN rk.rk <= se.extra_seats THEN 1 ELSE 0 END)::BIGINT AS extra,
+       |  (rk.base + CASE WHEN rk.rk <= se.extra_seats THEN 1 ELSE 0 END)::BIGINT
+       |    AS alloc
+       |FROM rk, se ORDER BY host_key""".stripMargin
+
+  /** q114: MinHash banding audit — the q110 pattern over the md5-48
+    * salted-min slot signature (q104's construction). One shingle-set
+    * CTE feeds sizes, slot signatures and exact intersections; the
+    * all-pairs frame left-joins intersections (disjoint pairs = Jaccard
+    * 0); per config candidacy is slot-list equality over the band's
+    * rows, generated as literal predicates.
+    */
+  private def q114Sql(slots: Int, configs: Seq[(Int, Int)], tauPpm: Long): String = {
+    val cfgSelects = configs.map { case (bands, r) =>
+      val cand = (0 until bands).map { b =>
+        (b * r until (b + 1) * r)
+          .map(i => s"ma[${i + 1}] = mb[${i + 1}]").mkString("(", " AND ", ")")
+      }.mkString("(", " OR ", ")")
+      s"""SELECT $bands AS bands, $r AS rows_per_band,
+         |  coalesce(sum(CASE WHEN jppm >= $tauPpm THEN 1 ELSE 0 END), 0)::BIGINT
+         |    AS n_truth,
+         |  coalesce(sum(CASE WHEN $cand THEN 1 ELSE 0 END), 0)::BIGINT
+         |    AS n_candidates,
+         |  coalesce(sum(CASE WHEN $cand AND jppm >= $tauPpm THEN 1 ELSE 0 END), 0)::BIGINT
+         |    AS tp
+         |FROM j""".stripMargin
+    }
+    s"""WITH toks AS (
+       |  SELECT doc_id AS id, string_split($normText, ' ') AS tk FROM documents),
+       |d AS (SELECT id, list_distinct(list_transform(generate_series(1, len(tk) - 1),
+       |      i -> tk[i] || ' ' || tk[i + 1])) AS sh FROM toks),
+       |e AS (SELECT id, unnest(sh) AS s FROM d),
+       |sizes AS (SELECT id, count(*)::BIGINT AS n FROM e GROUP BY 1),
+       |sg AS (SELECT id, i,
+       |    min(CAST(md5_number_lower(i::VARCHAR || ':' || s)
+       |        & 281474976710655 AS BIGINT)) AS m
+       |  FROM e, range($slots) r(i) GROUP BY 1, 2),
+       |sl AS (SELECT id, list(m ORDER BY i) AS ms FROM sg GROUP BY 1),
+       |pa AS (SELECT a.id AS id_a, b.id AS id_b, a.ms AS ma, b.ms AS mb,
+       |    na.n AS n_a, nb.n AS n_b
+       |  FROM sl a JOIN sl b ON a.id < b.id
+       |  JOIN sizes na ON na.id = a.id JOIN sizes nb ON nb.id = b.id),
+       |it AS (SELECT x.id AS id_a, y.id AS id_b, count(*)::BIGINT AS inter
+       |  FROM e x JOIN e y ON x.s = y.s AND x.id < y.id GROUP BY 1, 2),
+       |j AS (SELECT pa.*,
+       |    (coalesce(it.inter, 0) * 1000000)
+       |      // (n_a + n_b - coalesce(it.inter, 0)) AS jppm
+       |  FROM pa LEFT JOIN it ON it.id_a = pa.id_a AND it.id_b = pa.id_b),
+       |cfg AS (${cfgSelects.mkString("\nUNION ALL\n")})
+       |SELECT bands, rows_per_band, n_truth, n_candidates, tp,
+       |  (CASE WHEN n_truth > 0 THEN (tp * 1000000) // n_truth
+       |        ELSE 0 END)::BIGINT AS recall_ppm,
+       |  (CASE WHEN n_candidates > 0 THEN (tp * 1000000) // n_candidates
+       |        ELSE 0 END)::BIGINT AS precision_ppm
+       |FROM cfg ORDER BY bands""".stripMargin
+  }
+
+  /** q116: image aHash near-dup — replay the decode stub's md5-derived
+    * 8×8 luma grid (48-bit cells, variant salt inverts ~1/16 of cells),
+    * assemble the 64-bit aHash as UBIGINT, then the q26-style banded
+    * candidate join + hamming verify.
+    */
+  private def q116Sql(maxDist: Int, bands: Int, bitsPerBand: Int): String = {
+    val mask = (1L << bitsPerBand) - 1
+    s"""WITH refs AS (SELECT DISTINCT
+       |    'img://g' || (doc_id % 40)::VARCHAR || '/v' || (doc_id % 3)::VARCHAR
+       |      AS ref,
+       |    'g' || (doc_id % 40)::VARCHAR AS key, (doc_id % 3) AS v
+       |  FROM documents),
+       |cells AS (SELECT ref, key, v, unnest(range(64)) AS j FROM refs),
+       |luma AS (SELECT ref, j,
+       |    CASE WHEN v > 0 AND (md5_number_lower(key || ':' || v || ':' || j)
+       |        & 15) = 0
+       |      THEN 281474976710655 - (md5_number_lower(key || ':' || j)
+       |        & 281474976710655)
+       |      ELSE (md5_number_lower(key || ':' || j) & 281474976710655)
+       |    END AS l
+       |  FROM cells),
+       |sig AS (SELECT ref,
+       |    sum(CASE WHEN l > 140737488355328 THEN (1::UBIGINT << j)
+       |        ELSE 0::UBIGINT END)::UBIGINT AS s
+       |  FROM luma GROUP BY 1),
+       |banded AS (SELECT ref, s, g.band,
+       |    (s >> (g.band * $bitsPerBand)) & $mask AS bucket
+       |  FROM sig CROSS JOIN generate_series(0, ${bands - 1}) AS g(band)),
+       |pairs AS (SELECT DISTINCT a.ref AS ref_a, b.ref AS ref_b,
+       |    a.s AS sa, b.s AS sb
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.ref < b.ref)
+       |SELECT ref_a, ref_b, bit_count(xor(sa, sb))::INT AS hamming
+       |FROM pairs WHERE bit_count(xor(sa, sb)) <= $maxDist
+       |ORDER BY ref_a, ref_b""".stripMargin
   }
 
   /** q108: q106's training chain (minus the token totals) + a per-doc

@@ -1468,6 +1468,46 @@ object Queries {
     Curation.budgetSelect(t(spark, dir, "documents"), budgetPerMille = 250)
       .orderBy("doc_id")
 
+  // q114 — MinHash banding-parameter audit: q110's sibling for the
+  // OTHER sketch family — recall/precision of three (bands, rows)
+  // groupings of one 12-slot salted-min signature against exact
+  // shingle-set Jaccard ground truth. Candidacy is pure slot equality
+  // over one persisted all-pairs frame; the winning config drives the
+  // production band-bucket path.
+  def q114MinhashAudit(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashBandingAudit(t(spark, dir, "documents"), slots = 12,
+      configs = Seq((2, 6), (3, 4), (6, 2)), tauPpm = 500000L)
+      .orderBy("bands")
+
+  // q115 — crawl-budget apportionment: q111's host authority turned
+  // into per-host fetch quotas by largest-remainder (Hamilton)
+  // apportionment — exactly 10 000 fetch slots, floor shares + leftover
+  // seats to the biggest remainders (ties to the smaller host).
+  def q115BudgetApportion(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val mx = orders.agg(max("o_orderkey")).first().getLong(0)
+    val hostEdges = t(spark, dir, "lineitem").select(
+      (col("l_orderkey") % 50).as("src"),
+      ((pmod(col("l_orderkey") + col("l_partkey") * 7, lit(mx)) + 1) % 50).as("dst"))
+    GraphOps.budgetApportion(
+        GraphOps.weightedAuthority(hostEdges, iters = 3), budget = 10000L)
+      .withColumnRenamed("id", "host_key")
+      .orderBy("host_key")
+  }
+
+  // q116 — image perceptual-hash near-dup: decode-time aHash (8×8 luma
+  // grid, stubbed deterministically — no codec libs in the sandbox)
+  // banded through the SAME (band, bucket) machinery as text SimHash.
+  // Refs carry 40 image groups × 3 re-encode variants; variants land
+  // within hamming ≤ 7, distinct images stay ~32 apart.
+  def q116ImageNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val refs = t(spark, dir, "documents").select(
+      concat(lit("img://g"), (col("doc_id") % 40).cast("string"),
+        lit("/v"), (col("doc_id") % 3).cast("string")).as("media_ref"))
+    Multimodal.imageNearDup(Multimodal.withImageFeatures(spark, refs))
+      .orderBy("ref_a", "ref_b")
+  }
+
   /** name → query, in SURVEY.md §2 coverage order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_agg_pushdown" -> (q01AggPushdown _),
@@ -1582,6 +1622,9 @@ object Queries {
     "q110_lsh_audit" -> (q110LshAudit _),
     "q111_host_rank" -> (q111HostRank _),
     "q112_repeated_spans" -> (q112RepeatedSpans _),
-    "q113_budget_select" -> (q113BudgetSelect _)
+    "q113_budget_select" -> (q113BudgetSelect _),
+    "q114_minhash_audit" -> (q114MinhashAudit _),
+    "q115_budget_apportion" -> (q115BudgetApportion _),
+    "q116_image_neardup" -> (q116ImageNearDup _)
   )
 }

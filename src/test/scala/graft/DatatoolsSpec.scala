@@ -695,4 +695,84 @@ class DatatoolsSpec extends SparkSpec {
     assert(rows.sliding(2).forall { case Array((c1, t1), (c2, t2)) =>
       c1 <= c2 && t1 <= t2 })
   }
+
+  // ---- minhashBandingAudit ----
+
+  test("minhashBandingAudit matches a brute-force reference; candidacy nests with band count") {
+    import spark.implicits._
+    import org.apache.spark.unsafe.types.UTF8String
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docsSeq = Seq(
+      (1L, base),
+      (2L, base + " tail"),
+      (3L, "completely different words here entirely unrelated token stream"),
+      (4L, base),
+      (5L, "another separate document with its own vocabulary set"))
+    val configs = Seq((2, 6), (3, 4), (6, 2))
+    val out = Dedup.minhashBandingAudit(docsSeq.toDF("doc_id", "text"),
+        slots = 12, configs = configs, tauPpm = 500000L)
+      .orderBy("bands").collect()
+
+    // brute force with the same scalar md5-48 slot construction
+    def shingleSet(t: String): Seq[String] = {
+      val toks = t.toLowerCase.trim.split("\\s+").toSeq
+      if (toks.length < 2) Seq.empty
+      else toks.sliding(2).map(_.mkString(" ")).toSeq.distinct
+    }
+    def slotSig(sh: Seq[String]): IndexedSeq[Long] =
+      (0 until 12).map(i => sh.map(x =>
+        graft.functions.MinHashExprs.md5Low48(UTF8String.fromString(s"$i:$x"))).min)
+    val sets = docsSeq.map { case (id, t) => id -> shingleSet(t) }.toMap
+    val sigs = sets.map { case (id, sh) => id -> slotSig(sh) }
+    val pairs = for {
+      a <- docsSeq.map(_._1); b <- docsSeq.map(_._1) if a < b
+    } yield {
+      val (sa, sb) = (sets(a).toSet, sets(b).toSet)
+      val inter = (sa & sb).size.toLong
+      val jppm = inter * 1000000L / (sa.size + sb.size - inter)
+      (a, b, jppm)
+    }
+    def cand(a: Long, b: Long, bands: Int, r: Int): Boolean =
+      (0 until bands).exists(bd =>
+        (bd * r until (bd + 1) * r).forall(i => sigs(a)(i) == sigs(b)(i)))
+    configs.zipWithIndex.foreach { case ((bands, r), idx) =>
+      val row = out(idx)
+      assert(row.getInt(0) === bands)
+      val nTruth = pairs.count(_._3 >= 500000L).toLong
+      val nCand = pairs.count(p => cand(p._1, p._2, bands, r)).toLong
+      val tp = pairs.count(p => p._3 >= 500000L && cand(p._1, p._2, bands, r)).toLong
+      assert(row.getAs[Long]("n_truth") === nTruth, s"n_truth at $bands x $r")
+      assert(row.getAs[Long]("n_candidates") === nCand, s"n_candidates at $bands x $r")
+      assert(row.getAs[Long]("tp") === tp, s"tp at $bands x $r")
+    }
+    // finer bandings (shorter rows) can only ADD candidates: a matching
+    // 4-slot band implies both of its 2-slot sub-bands match
+    val cands = out.map(_.getAs[Long]("n_candidates"))
+    assert(cands(0) <= cands(1) && cands(1) <= cands(2))
+    // the exact dup (1,4) is truth AND candidate under every config
+    assert(out.forall(_.getAs[Long]("tp") >= 1L))
+  }
+
+  // ---- image aHash near-dup ----
+
+  test("image near-dup: banded pairs equal brute force over the decode stub; groups separate") {
+    import spark.implicits._
+    val refs = (0 until 120).map(i => s"img://g${i % 10}/v${i % 3}")
+    val feats = Multimodal.withImageFeatures(spark, refs.toDF("media_ref"))
+    val out = Multimodal.imageNearDup(feats).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    // brute force: 8x8 banding guarantees recall at hamming <= 7
+    val sig = refs.distinct.map(r =>
+      r -> Multimodal.imageFeatStub(r, Array.emptyByteArray).ahash).toMap
+    val ks = sig.keys.toSeq.sorted
+    val brute = (for {
+      a <- ks; b <- ks if a < b
+      hd = java.lang.Long.bitCount(sig(a) ^ sig(b)) if hd <= 7
+    } yield (a, b, hd)).toSet
+    assert(out === brute)
+    assert(brute.nonEmpty, "variant re-encodes should land within hamming 7")
+    // near-dup pairs only ever form within one image group
+    def group(r: String): String = r.stripPrefix("img://").takeWhile(_ != '/')
+    brute.foreach { case (a, b, _) => assert(group(a) === group(b)) }
+  }
 }

@@ -466,4 +466,49 @@ class GraphOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("budgetApportion: exact budget, brute-force Hamilton parity, monotone in score") {
+    val rows = Seq((1L, 7L), (2L, 3L), (3L, 13L), (4L, 1L), (5L, 13L), (6L, 25L))
+    val budget = 100L
+    val out = GraphOps.budgetApportion(rows.toDF("id", "rank"), budget)
+      .orderBy("id").collect()
+    assert(out.map(_.getAs[Long]("alloc")).sum === budget)
+    // brute-force largest remainder with the same (rem DESC, id) tie-break
+    val tot = rows.map(_._2).sum
+    val base = rows.map { case (id, s) => (id, s, s * budget / tot, s * budget % tot) }
+    val seats = (budget - base.map(_._3).sum).toInt
+    val extraIds = base.sortBy { case (id, _, _, rem) => (-rem, id) }
+      .take(seats).map(_._1).toSet
+    base.foreach { case (id, _, b, _) =>
+      val got = out.find(_.getLong(0) == id).get
+      assert(got.getAs[Long]("base") === b, s"base for $id")
+      assert(got.getAs[Long]("alloc") === b + (if (extraIds(id)) 1L else 0L),
+        s"alloc for $id")
+    }
+    // Hamilton at a FIXED budget is monotone: a higher score never
+    // receives a smaller allocation (equal base forces rem ordering)
+    val byScore = out.map(r => (r.getAs[Long]("score"), r.getAs[Long]("alloc")))
+    for ((s1, a1) <- byScore; (s2, a2) <- byScore if s1 > s2)
+      assert(a1 >= a2, s"monotonicity: score $s1 alloc $a1 vs score $s2 alloc $a2")
+  }
+
+  test("property: budgetApportion sums to budget and matches brute force on random scores") {
+    val gen = Gen.listOfN(8, Gen.choose(1L, 50L))
+    (1 to 6).foreach { round =>
+      val scores = gen(Gen.Parameters.default.withSize(10),
+        org.scalacheck.rng.Seed(4200L + round)).get
+      val budget = 37L + 13L * round
+      val rows = scores.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val out = GraphOps.budgetApportion(rows.toDF("id", "rank"), budget)
+        .collect().map(r => r.getLong(0) -> r.getAs[Long]("alloc")).toMap
+      assert(out.values.sum === budget, s"round $round total")
+      val tot = rows.map(_._2).sum
+      val base = rows.map { case (id, s) => (id, s * budget / tot, s * budget % tot) }
+      val seats = (budget - base.map(_._2).sum).toInt
+      val extraIds = base.sortBy { case (id, _, rem) => (-rem, id) }
+        .take(seats).map(_._1).toSet
+      base.foreach { case (id, b, _) =>
+        assert(out(id) === b + (if (extraIds(id)) 1L else 0L), s"round $round id $id") }
+    }
+  }
 }
