@@ -211,7 +211,10 @@ object Bench {
       "q112_repeated_spans",
       // token-budget selection (quality histogram offsets + per-class
       // running sums; no global quality sort)
-      "q113_budget_select")
+      "q113_budget_select",
+      // MinHash banding audit (all-pairs predicate aggs), Hamilton
+      // budget apportionment, image aHash near-dup (shared band join)
+      "q114_minhash_audit", "q115_budget_apportion", "q116_image_neardup")
     val qmap = SparkEntry.queries
     val spark = newSession(cpus)
     def median(xs: Seq[Double]): Double = {

@@ -167,9 +167,15 @@ object Multimodal {
     * (ref_a, ref_b, hamming).
     */
   def imageNearDup(feats: Dataset[ImageFeat], maxDist: Int = 7,
-                   bands: Int = 8, bitsPerBand: Int = 8): DataFrame =
-    Dedup.sigBandPairs(
-        feats.toDF().select(col("media_ref").as("id"), col("ahash").as("sig")),
-        maxDist, bands, bitsPerBand)
+                   bands: Int = 8, bitsPerBand: Int = 8): DataFrame = {
+    // persist the decoded signatures: both sides of the band-bucket
+    // self-join read this frame, and with a REAL decoder the decode is
+    // by far the most expensive stage — it must run once, not twice
+    // (8 bytes/image cached, not the pixels). Callers release it after
+    // consuming the result (clearCache, the containmentPairs contract).
+    val sigs = feats.toDF()
+      .select(col("media_ref").as("id"), col("ahash").as("sig")).persist()
+    Dedup.sigBandPairs(sigs, maxDist, bands, bitsPerBand)
       .select(col("id_a").as("ref_a"), col("id_b").as("ref_b"), col("hamming"))
+  }
 }

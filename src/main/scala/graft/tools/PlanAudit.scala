@@ -124,6 +124,12 @@ object PlanAudit {
       graft.queries.Queries.q112RepeatedSpans(spark, dir).explain("formatted") }
     audit("q113 budget_select (quality histogram offsets, per-class windows)") {
       graft.queries.Queries.q113BudgetSelect(spark, dir).explain("formatted") }
+    audit("q114 minhash_audit (slot-equality predicates over one persisted all-pairs frame)") {
+      graft.queries.Queries.q114MinhashAudit(spark, dir).explain("formatted") }
+    audit("q115 budget_apportion (scalar broadcasts + host-sized remainder window)") {
+      graft.queries.Queries.q115BudgetApportion(spark, dir).explain("formatted") }
+    audit("q116 image_neardup (decode-time aHash through the shared band-bucket join)") {
+      graft.queries.Queries.q116ImageNearDup(spark, dir).explain("formatted") }
     spark.stop()
   }
 }
