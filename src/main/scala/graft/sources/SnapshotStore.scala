@@ -156,7 +156,7 @@ final class SnapshotStore(val root: String) {
       _.filter(Files.isDirectory(_)).map(_.getFileName.toString)
         .filterNot(_.startsWith(".")).toSeq).sorted
 
-  def commit(id: Int, round: Int, meta: Map[String, String] = Map.empty): Unit = {
+  private def writeManifestFile(id: Int, round: Int, meta: Map[String, String]): Unit = {
     Files.createDirectories(Paths.get(snapshotDir(id)))
     val tables = listedTables(id)
     val metaJson = (meta + ("round" -> round.toString))
@@ -164,10 +164,61 @@ final class SnapshotStore(val root: String) {
     val manifest =
       s"""{"snapshot_id": $id, "round": $round, "tables": [${tables.map(t => s""""$t"""").mkString(", ")}], "meta": {$metaJson}}"""
     Files.writeString(Paths.get(snapshotDir(id), "MANIFEST.json"), manifest)
+  }
+
+  private def advanceCurrent(id: Int): Unit = {
     val tmp = rootPath.resolve("CURRENT.tmp")
     Files.writeString(tmp, id.toString)
     Files.move(tmp, currentFile, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def commit(id: Int, round: Int, meta: Map[String, String] = Map.empty): Unit = {
+    writeManifestFile(id, round, meta)
+    advanceCurrent(id)
+  }
+
+  // -------------------------------------------------------------------
+  // Write–Audit–Publish (Iceberg WAP): stage a fully-written snapshot
+  // behind a `staged` manifest flag WITHOUT advancing CURRENT. Every
+  // committed-view code path — union reads, metadata tables, rollback,
+  // expiry, [[committedSnapshots]] — ignores staged snapshots; only an
+  // explicit `read(spark, id, table)` (the auditor) sees the data.
+  // Validation queries run against the staged id, then either
+  // [[publish]] (drop the flag + atomic CURRENT swap — the same two
+  // steps as [[commit]]) or [[abandon]] (delete the dir). A crash
+  // between stage and publish leaves CURRENT — and thus every reader —
+  // on the old snapshot; resume re-audits and decides.
+  // -------------------------------------------------------------------
+
+  /** True iff `id` has a manifest carrying the staged flag. */
+  def isStaged(id: Int): Boolean =
+    Files.exists(Paths.get(snapshotDir(id), "MANIFEST.json")) &&
+      manifestMeta(id).get("staged").contains("true")
+
+  /** Describe snapshot `id` (already written via [[write]]) as STAGED:
+    * manifest lands, CURRENT does not move.
+    */
+  def stage(id: Int, round: Int, meta: Map[String, String] = Map.empty): Unit =
+    writeManifestFile(id, round, meta + ("staged" -> "true"))
+
+  /** Promote a staged snapshot: rewrite its manifest without the flag,
+    * then advance CURRENT atomically. After this the snapshot is
+    * indistinguishable from one created by [[commit]].
+    */
+  def publish(id: Int): Unit = {
+    require(isStaged(id), s"snapshot $id is not staged")
+    writeManifestFile(id, snapshotRound(id), manifestMeta(id) - "staged" - "round")
+    advanceCurrent(id)
+  }
+
+  /** Drop a staged snapshot that failed its audit. Refuses non-staged
+    * ids — committed history is only removed via [[rollbackTo]] /
+    * [[expireSnapshots]].
+    */
+  def abandon(id: Int): Unit = {
+    require(isStaged(id), s"snapshot $id is not staged")
+    deleteRecursively(Paths.get(snapshotDir(id)))
   }
 
   def readManifest(id: Int): String =
@@ -510,7 +561,9 @@ final class SnapshotStore(val root: String) {
     */
   def readDeltas(spark: SparkSession, upTo: Int, table: String,
                  rounds: Option[(Int, Int)] = None): DataFrame = {
-    val all = (0 to upTo).filter(hasTable(_, table))
+    // staged (WAP) snapshots are invisible to the union read even when
+    // their dirs sit inside the id range — only publish admits them
+    val all = (0 to upTo).filter(id => hasTable(id, table) && !isStaged(id))
     // a compacted snapshot subsumes every earlier delta of this table:
     // start the union at the NEWEST such base ≤ upTo (expired v<i> dirs
     // below it have already dropped out of `all`)
@@ -561,7 +614,7 @@ final class SnapshotStore(val root: String) {
     else listed(rootPath)(_.map(_.getFileName.toString)
       .collect { case s if s.startsWith("v") && s.drop(1).forall(_.isDigit) => s.drop(1).toInt }
       .filter(id => Files.exists(Paths.get(snapshotDir(id), "MANIFEST.json")))
-      .toSeq).sorted
+      .toSeq).sorted.filterNot(isStaged)
 
   /** Iceberg-style `snapshots` metadata table: one row per committed
     * snapshot — (snapshot_id, round, is_current, tables). Built from

@@ -279,4 +279,64 @@ class SnapshotStoreSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet ===
       before.filter(d => d.startsWith("d0-") || d.startsWith("d1-")))
   }
+
+  test("WAP: staged snapshot is invisible until publish; audit reads see it by id") {
+    import spark.implicits._
+    val store = freshStore()
+    store.write(Seq(("https://a/0", 10L, 0)).toDF("url_canon", "url_hash", "round_first_seen"),
+      0, "url_seen_delta")
+    store.commit(0, 0)
+    // stage v1 — fully written, manifest present, CURRENT untouched
+    store.write(Seq(("https://a/1", 11L, 1)).toDF("url_canon", "url_hash", "round_first_seen"),
+      1, "url_seen_delta")
+    store.stage(1, 1, Map("audit" -> "pending"))
+    assert(store.isStaged(1))
+    assert(store.currentSnapshot === Some(0), "CURRENT must not move on stage")
+    assert(store.committedSnapshots === Seq(0), "committed view excludes staged")
+    assert(store.snapshotsTable(spark).count() === 1)
+    // the union read is bounded by the committed view even when asked
+    // past the staged id
+    assert(store.readSeen(spark, 1).count() === 1)
+    // the AUDITOR reads the staged snapshot explicitly
+    val audit = store.read(spark, 1, "url_seen_delta")
+    assert(audit.count() === 1)
+    assert(audit.select("url_canon").head().getString(0) === "https://a/1")
+    // publish: flag drops, CURRENT advances, rows join the union read
+    store.publish(1)
+    assert(!store.isStaged(1))
+    assert(store.currentSnapshot === Some(1))
+    assert(store.committedSnapshots === Seq(0, 1))
+    assert(store.readSeen(spark, 1).count() === 2)
+    assert(store.manifestMeta(1).get("audit") === Some("pending"),
+      "publish keeps the staged manifest's other meta")
+  }
+
+  test("WAP: abandon deletes only staged snapshots; crash-before-publish leaves readers intact") {
+    import spark.implicits._
+    val store = freshStore()
+    store.write(Seq(("https://b/0", 20L, 0)).toDF("url_canon", "url_hash", "round_first_seen"),
+      0, "url_seen_delta")
+    store.commit(0, 0)
+    store.write(Seq(("https://b/1", 21L, 1)).toDF("url_canon", "url_hash", "round_first_seen"),
+      1, "url_seen_delta")
+    store.stage(1, 1)
+    // crash model: nothing published — a fresh store handle (resume)
+    // still serves the old snapshot and sees the staged one as staged
+    val resumed = new SnapshotStore(store.root)
+    assert(resumed.currentSnapshot === Some(0))
+    assert(resumed.isStaged(1))
+    assert(resumed.readSeen(spark, 1).count() === 1)
+    // failed audit: abandon removes the dir; committed history refuses
+    resumed.abandon(1)
+    assert(!Files.exists(java.nio.file.Paths.get(resumed.snapshotDir(1))))
+    intercept[IllegalArgumentException] { resumed.abandon(0) }
+    assert(resumed.readSeen(spark, 0).count() === 1)
+    // the id is reusable: stage again, publish this time
+    resumed.write(Seq(("https://b/1b", 22L, 1)).toDF("url_canon", "url_hash", "round_first_seen"),
+      1, "url_seen_delta")
+    resumed.stage(1, 1)
+    resumed.publish(1)
+    assert(resumed.currentSnapshot === Some(1))
+    assert(resumed.readSeen(spark, 1).count() === 2)
+  }
 }
