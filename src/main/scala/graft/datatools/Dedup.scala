@@ -634,7 +634,11 @@ object Dedup {
     configs.foreach { case (b, w) =>
       require(b > 0 && w > 0 && b * w <= 64,
         s"banding must fit the 64-bit signature: $b x $w") }
-    val withSig = docs.select(col(idCol).as("id"),
+    // small-file corpora arrive as ONE partition; the all-pairs BNL
+    // join inherits the left side's partitioning, so without a spread
+    // the whole quadratic audit runs on a single task (measured 170 s
+    // vs ~2 s at sf0.1). Same medicine as ngramJaccardPairs.
+    val withSig = docs.repartition(col(idCol)).select(col(idCol).as("id"),
       graft.functions.MinHashExprs.simhashCol(col(textCol)).as("sig"))
     val pairsAll = withSig.as("a").join(withSig.as("b"), col("a.id") < col("b.id"))
       .select(col("a.sig").as("sa"), col("b.sig").as("sb"))
@@ -692,7 +696,9 @@ object Dedup {
     configs.foreach { case (b, r) =>
       require(b > 0 && r > 0 && b * r == slots,
         s"bands x rowsPerBand must equal slots=$slots: $b x $r") }
-    val elems = docs.select(col(idCol).as("id"),
+    // spread the one-partition source before the heavy narrow stage
+    // (shingle explode + 12 md5s per element) — the q110/ngram rule
+    val elems = docs.repartition(col(idCol)).select(col(idCol).as("id"),
         explode(graft.functions.MinHashExprs.shinglesCol(col(textCol), k)).as("e"))
       .persist()
     // slot i = min md5_48("i:shingle") — i is salt, so the slots are
@@ -702,13 +708,20 @@ object Dedup {
         concat_ws(":", lit(i.toString), col("e")))).as(s"m$i"))
     val sigs = elems.groupBy(col("id"))
       .agg(count(lit(1)).as("n"), slotCols: _*)
-    val pairCols: Seq[Column] =
-      Seq(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.n").as("n_a"), col("b.n").as("n_b")) ++
-      (0 until slots).flatMap(i =>
-        Seq(col(s"a.m$i").as(s"ma$i"), col(s"b.m$i").as(s"mb$i")))
+    // evaluate every config's candidacy INSIDE the pair projection —
+    // the persisted frame then carries one boolean per config plus the
+    // Jaccard, not 2·slots signature columns per pair (12.5M pairs at
+    // sf0.1: ~250 MB cached instead of ~3 GB, and each config's agg
+    // scans 4 narrow columns)
+    val candCols = configs.zipWithIndex.map { case ((bands, r), ci) =>
+      (0 until bands).map { b =>
+        (b * r until (b + 1) * r)
+          .map(i => col(s"a.m$i") === col(s"b.m$i")).reduce(_ && _)
+      }.reduce(_ || _).as(s"cand$ci")
+    }
     val pairsAll = sigs.as("a").join(sigs.as("b"), col("a.id") < col("b.id"))
-      .select(pairCols: _*)
+      .select(Seq(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b")) ++ candCols: _*)
     val inter = elems.as("x").join(elems.as("y"),
         col("x.e") === col("y.e") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
@@ -716,14 +729,11 @@ object Dedup {
     val joined = pairsAll.join(inter, Seq("id_a", "id_b"), "left")
       .withColumn("inter", coalesce(col("inter"), lit(0L)))
       .withColumn("jppm", expr("inter * 1000000 DIV (n_a + n_b - inter)"))
+      .select(col("jppm") +: configs.indices.map(ci => col(s"cand$ci")): _*)
       .persist()
     val truth = col("jppm") >= tauPpm
-    val rows = configs.map { case (bands, r) =>
-      // ∃ band whose rowsPerBand slots ALL match — tuple equality
-      val isCand = (0 until bands).map { b =>
-        (b * r until (b + 1) * r)
-          .map(i => col(s"ma$i") === col(s"mb$i")).reduce(_ && _)
-      }.reduce(_ || _)
+    val rows = configs.zipWithIndex.map { case ((bands, r), ci) =>
+      val isCand = col(s"cand$ci")
       joined.agg(
           coalesce(sum(when(truth, 1L).otherwise(0L)), lit(0L)).as("n_truth"),
           coalesce(sum(when(isCand, 1L).otherwise(0L)), lit(0L)).as("n_candidates"),
