@@ -153,7 +153,16 @@ final case class CrawlConfig(
     // superseded per-round STATE (old frontier/pending/sketch
     // snapshots — exactly what Iceberg expiry drops). Keeps the
     // delta-union read O(rounds-since-compaction); 0 = off by default.
-    compactEvery: Int = 0
+    compactEvery: Int = 0,
+    // OPT-IN write-audit-publish: each round's snapshot is STAGED
+    // (manifest flagged, CURRENT untouched), a structural audit runs
+    // against the staged id (seen-delta row count reconciles with the
+    // admission count; no null/foreign-round rows), and only a passing
+    // audit PUBLISHES. A failing audit abandons the staged snapshot
+    // and fails the round with readers still on the last good
+    // snapshot — Iceberg's WAP pattern as a crawl-round gate. Off by
+    // default: the audit is one extra count job per round.
+    wapAudit: Boolean = false
 )
 
 /** Split options (`pkg/gotenberg/pdfengine.go:140-160`): mode ∈

@@ -541,8 +541,13 @@ object CrawlJob {
       val outlinkCount = metricRows.map(r => if (r.isNullAt(9)) 0L else r.getLong(9)).sum
       Seq(fetchLogFut, seenFut, bloomFut, cuckooFut, pendingFut, dedupFut).foreach(await)
 
-      // 12. atomic commit → resumable checkpoint
-      store.commit(round, round, Map(
+      // 12. atomic commit → resumable checkpoint. With cfg.wapAudit the
+      // commit splits into Iceberg's write–audit–publish: stage the
+      // snapshot (CURRENT untouched — readers and a crashed/resumed run
+      // still see the last good round), audit the staged seen delta by
+      // explicit id, and publish only on a pass; a failure abandons the
+      // staged dir and fails the round with durable state intact.
+      val commitMeta = Map(
         "admitted" -> admittedCount.toString,
         "seen_total" -> (seenCount + admittedCount).toString,
         "cuckoo_buckets" -> cuckooBuckets.toString,
@@ -551,7 +556,31 @@ object CrawlJob {
         "bloom_sharded" -> bloomSharded.toString) ++
         (if (cfg.dedupDocs) Map(
           "dedup_k" -> dedupShingleK.toString,
-          "dedup_threshold" -> dedupThreshold.toString) else Map.empty))
+          "dedup_threshold" -> dedupThreshold.toString) else Map.empty)
+      if (cfg.wapAudit) {
+        store.stage(round, round, commitMeta)
+        spark.sparkContext.setJobDescription("wap-audit")
+        // structural audit over the STAGED snapshot: the seen delta must
+        // carry exactly the admitted rows, every row canonical and
+        // stamped with this round — one count-shaped aggregate
+        val audited =
+          if (!store.hasTable(round, "url_seen_delta")) (0L, 0L)
+          else {
+            val r = store.read(spark, round, "url_seen_delta").agg(
+              count(lit(1)),
+              coalesce(sum(when(col("url_canon").isNull ||
+                col("round_first_seen") =!= round, 1L).otherwise(0L)), lit(0L))).head()
+            (r.getLong(0), r.getLong(1))
+          }
+        if (audited._1 != admittedCount || audited._2 != 0L) {
+          store.abandon(round)
+          throw new IllegalStateException(
+            s"WAP audit failed for round $round: delta rows ${audited._1} " +
+              s"(expected $admittedCount), bad rows ${audited._2}; " +
+              "snapshot abandoned, CURRENT unchanged")
+        }
+        store.publish(round)
+      } else store.commit(round, round, commitMeta)
 
       stats += RoundStats(round, candidateCount, deniedCount,
         admittedCount + deferredCount, admittedCount, deferredCount,

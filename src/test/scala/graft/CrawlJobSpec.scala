@@ -281,4 +281,42 @@ class CrawlJobSpec extends SparkSpec {
       }
     }
   }
+
+  test("WAP-gated rounds produce the same crawl as plain commits; no staged leftovers") {
+    import spark.implicits._
+    summary // baseline run (plain commits) forced
+    val wapRoot = Files.createTempDirectory("crawl-wap").toString
+    val wapSummary = CrawlJob.run(spark, seeds.toDS(), robots, hostMap.toDS(),
+      universe, cfg.copy(wapAudit = true), wapRoot)
+    assert(wapSummary.rounds.map(r => (r.round, r.admitted, r.fetched, r.seenTotal)) ===
+      summary.rounds.map(r => (r.round, r.admitted, r.fetched, r.seenTotal)))
+    // fixed expectations, not the shared baseline store — the resume
+    // test extends storeRoot past cfg.maxRounds when the suite runs in
+    // full, so its CURRENT is order-dependent
+    val store = new SnapshotStore(wapRoot)
+    assert(store.currentSnapshot === Some(cfg.maxRounds - 1))
+    assert(store.committedSnapshots === (0 until cfg.maxRounds))
+    assert(store.committedSnapshots.forall(id => !store.isStaged(id)),
+      "every published round must have dropped the staged flag")
+    val last = store.currentSnapshot.get
+    val wapSeen = store.readSeen(spark, last)
+      .select("url_canon", "round_first_seen")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(wapSeen === model.seen)
+    // the audit gate actually bites: a staged snapshot whose delta is
+    // tampered with must be abandoned, not published
+    val store2root = Files.createTempDirectory("crawl-wap-tamper").toString
+    val store2 = new SnapshotStore(store2root)
+    store2.write(Seq(("https://t/0", 1L, 0)).toDF("url_canon", "url_hash", "round_first_seen"),
+      0, "url_seen_delta")
+    store2.commit(0, 0)
+    store2.write(Seq((null.asInstanceOf[String], 2L, 1))
+      .toDF("url_canon", "url_hash", "round_first_seen"), 1, "url_seen_delta")
+    store2.stage(1, 1)
+    val badRows = store2.read(spark, 1, "url_seen_delta")
+      .filter(col("url_canon").isNull).count()
+    assert(badRows === 1L)
+    store2.abandon(1)
+    assert(store2.currentSnapshot === Some(0))
+  }
 }
