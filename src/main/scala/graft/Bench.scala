@@ -214,7 +214,9 @@ object Bench {
       "q113_budget_select",
       // MinHash banding audit (all-pairs predicate aggs), Hamilton
       // budget apportionment, image aHash near-dup (shared band join)
-      "q114_minhash_audit", "q115_budget_apportion", "q116_image_neardup")
+      "q114_minhash_audit", "q115_budget_apportion", "q116_image_neardup",
+      // hyperplane banding audit (third sketch family's tuning op)
+      "q117_hyperplane_audit")
     val qmap = SparkEntry.queries
     val spark = newSession(cpus)
     def median(xs: Seq[Double]): Double = {

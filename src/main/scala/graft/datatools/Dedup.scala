@@ -826,6 +826,66 @@ object Dedup {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Banding-parameter audit for the hyperplane-LSH family — the third
+    * and last sketch family gets the q110/q114 treatment, so EVERY
+    * candidate-generation layer in the engine (SimHash, MinHash,
+    * embedding LSH) can be tuned against exact ground truth before its
+    * parameters are committed at scale. Each config spends the SAME
+    * total plane budget (`tables × planes` constant) differently:
+    * fewer/wider tables = higher precision, more/narrower tables =
+    * higher recall — the audit measures exactly that trade. Per config
+    * the signatures ride the fused codegen expression (one sign-matrix
+    * reference object per table); candidacy is pure bucket-string
+    * equality evaluated INSIDE the all-pairs projection (the q114
+    * discipline: the persisted frame is round-6 cosine + one boolean
+    * per config). Ground truth = exact cosine ≥ `tau`, the same
+    * round-6 convention the q27 production path verifies with.
+    * Quadratic by contract — run on a hash-sampled slice; the winning
+    * (tables, planes) parameterizes [[embeddingNearDupPairs]].
+    */
+  def hyperplaneBandingAudit(embeddings: DataFrame, dim: Int,
+                             configs: Seq[(Int, Int)] = Seq((2, 12), (4, 6), (6, 4)),
+                             tau: Double = 0.4, seed: Long = 42L,
+                             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(configs.nonEmpty, "need at least one banding config")
+    configs.foreach { case (t, p) =>
+      require(t > 0 && t <= 16 && p > 0, s"bad hyperplane config: $t tables x $p planes") }
+    // spread the single-partition source before the quadratic stage
+    // (the q110 lesson), and compute every config's table signatures
+    // once per vector
+    val sigCols: Seq[Column] = configs.zipWithIndex.flatMap { case ((tbls, planes), ci) =>
+      (0 until tbls).map(t =>
+        graft.functions.HyperplaneExprs.signatureCol(col("vd"),
+          hyperplaneSigns(dim, planes, tableSeed(seed, ci * 16 + t))).as(s"s${ci}_$t"))
+    }
+    val withSig = embeddings.repartition(col(idCol))
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vd"))
+      .select(col("id") +: col("vd") +: sigCols: _*)
+    val candCols = configs.zipWithIndex.map { case ((tbls, _), ci) =>
+      (0 until tbls).map(t => col(s"a.s${ci}_$t") === col(s"b.s${ci}_$t"))
+        .reduce(_ || _).as(s"cand$ci")
+    }
+    val joined = withSig.as("a").join(withSig.as("b"), col("a.id") < col("b.id"))
+      .select(round(cosine(col("a.vd"), col("b.vd")), 6).as("cos") +: candCols: _*)
+      .persist()
+    val truth = col("cos") >= tau
+    val rows = configs.zipWithIndex.map { case ((tbls, planes), ci) =>
+      val isCand = col(s"cand$ci")
+      joined.agg(
+          coalesce(sum(when(truth, 1L).otherwise(0L)), lit(0L)).as("n_truth"),
+          coalesce(sum(when(isCand, 1L).otherwise(0L)), lit(0L)).as("n_candidates"),
+          coalesce(sum(when(isCand && truth, 1L).otherwise(0L)), lit(0L)).as("tp"))
+        .select(lit(tbls).as("tables"), lit(planes).as("planes"),
+          col("n_truth"), col("n_candidates"), col("tp"))
+    }.reduce(_ unionByName _)
+    rows.select(col("tables"), col("planes"),
+      col("n_truth"), col("n_candidates"), col("tp"),
+      expr("CASE WHEN n_truth > 0 THEN (tp * 1000000) DIV n_truth ELSE 0 END")
+        .as("recall_ppm"),
+      expr("CASE WHEN n_candidates > 0 THEN (tp * 1000000) DIV n_candidates ELSE 0 END")
+        .as("precision_ppm"))
+  }
+
   /** SET-resemblance near-dup pairs at GROUP granularity — the
     * host-mirror detector: two hosts whose PATH SETS are nearly
     * identical are mirrors (www/m. twins, CDN clones, scraped copies),

@@ -40,6 +40,51 @@ object OracleSql {
        |SELECT id_a, id_b, cos FROM j WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** q117: hyperplane banding audit — per config the table buckets are
+    * generated from the SAME sign matrices as the Spark signatures
+    * (seed scheme `tableSeed(seed, ci*16 + t)`), candidacy is bucket
+    * equality OR'd over the config's tables, truth is round-6 cosine ≥
+    * tau over the all-pairs frame.
+    */
+  private def q117Sql(dim: Int, configs: Seq[(Int, Int)], tau: Double,
+                      seed: Long): String = {
+    val bucketCols = configs.zipWithIndex.flatMap { case ((tbls, planes), ci) =>
+      (0 until tbls).map { t =>
+        val b = hyperBucketSql("v", dim, planes,
+          graft.datatools.Dedup.tableSeed(seed, ci * 16 + t))
+        s"$b AS b${ci}_$t"
+      }
+    }.mkString(",\n    ")
+    val candCols = configs.zipWithIndex.map { case ((tbls, _), ci) =>
+      (0 until tbls).map(t => s"a.b${ci}_$t = b.b${ci}_$t")
+        .mkString("(", " OR ", s") AS cand$ci")
+    }.mkString(",\n    ")
+    val cfgSelects = configs.zipWithIndex.map { case ((tbls, planes), ci) =>
+      s"""SELECT $tbls AS tables, $planes AS planes,
+         |  coalesce(sum(CASE WHEN cos >= $tau THEN 1 ELSE 0 END), 0)::BIGINT
+         |    AS n_truth,
+         |  coalesce(sum(CASE WHEN cand$ci THEN 1 ELSE 0 END), 0)::BIGINT
+         |    AS n_candidates,
+         |  coalesce(sum(CASE WHEN cand$ci AND cos >= $tau THEN 1 ELSE 0 END), 0)::BIGINT
+         |    AS tp
+         |FROM j""".stripMargin
+    }
+    s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |s AS (SELECT id, v,
+       |    $bucketCols
+       |  FROM v),
+       |j AS (SELECT round(list_cosine_similarity(a.v, b.v), 6) AS cos,
+       |    $candCols
+       |  FROM s a JOIN s b ON a.id < b.id),
+       |cfg AS (${cfgSelects.mkString("\nUNION ALL\n")})
+       |SELECT tables, planes, n_truth, n_candidates, tp,
+       |  (CASE WHEN n_truth > 0 THEN (tp * 1000000) // n_truth
+       |        ELSE 0 END)::BIGINT AS recall_ppm,
+       |  (CASE WHEN n_candidates > 0 THEN (tp * 1000000) // n_candidates
+       |        ELSE 0 END)::BIGINT AS precision_ppm
+       |FROM cfg ORDER BY tables""".stripMargin
+  }
+
   // shared fragments
   private val normText =
     """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
@@ -1944,7 +1989,12 @@ object OracleSql {
 
     // q116: image aHash near-dup — decode-stub grid replayed in SQL,
     // banded candidates + hamming verify (q26's join shape)
-    "q116_image_neardup" -> q116Sql(maxDist = 7, bands = 8, bitsPerBand = 8)
+    "q116_image_neardup" -> q116Sql(maxDist = 7, bands = 8, bitsPerBand = 8),
+
+    // q117: hyperplane banding audit — same (dim, configs, tau, seed)
+    // as the Spark entry
+    "q117_hyperplane_audit" -> q117Sql(dim = 64,
+      configs = Seq((2, 12), (4, 6), (6, 4)), tau = 0.4, seed = 42L)
   )
 
   /** q111: weighted-PageRank rounds unrolled as CTEs (q48Sql with a

@@ -1508,6 +1508,15 @@ object Queries {
       .orderBy("ref_a", "ref_b")
   }
 
+  // q117 — hyperplane-LSH banding audit: the third sketch family gets
+  // the q110/q114 treatment. Three ways to spend a 24-plane budget
+  // (2×12, 4×6, 6×4 tables×planes) audited against exact round-6
+  // cosine ≥ 0.4 over one persisted all-pairs frame.
+  def q117HyperplaneAudit(spark: SparkSession, dir: String): DataFrame =
+    Dedup.hyperplaneBandingAudit(t(spark, dir, "embeddings"), dim = 64,
+      configs = Seq((2, 12), (4, 6), (6, 4)), tau = 0.4)
+      .orderBy("tables")
+
   /** name → query, in SURVEY.md §2 coverage order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_agg_pushdown" -> (q01AggPushdown _),
@@ -1625,6 +1634,7 @@ object Queries {
     "q113_budget_select" -> (q113BudgetSelect _),
     "q114_minhash_audit" -> (q114MinhashAudit _),
     "q115_budget_apportion" -> (q115BudgetApportion _),
-    "q116_image_neardup" -> (q116ImageNearDup _)
+    "q116_image_neardup" -> (q116ImageNearDup _),
+    "q117_hyperplane_audit" -> (q117HyperplaneAudit _)
   )
 }

@@ -130,6 +130,8 @@ object PlanAudit {
       graft.queries.Queries.q115BudgetApportion(spark, dir).explain("formatted") }
     audit("q116 image_neardup (decode-time aHash through the shared band-bucket join)") {
       graft.queries.Queries.q116ImageNearDup(spark, dir).explain("formatted") }
+    audit("q117 hyperplane_audit (per-config bucket predicates over one persisted all-pairs frame)") {
+      graft.queries.Queries.q117HyperplaneAudit(spark, dir).explain("formatted") }
     spark.stop()
   }
 }

@@ -775,4 +775,57 @@ class DatatoolsSpec extends SparkSpec {
     def group(r: String): String = r.stripPrefix("img://").takeWhile(_ != '/')
     brute.foreach { case (a, b, _) => assert(group(a) === group(b)) }
   }
+
+  // ---- hyperplaneBandingAudit ----
+
+  test("hyperplaneBandingAudit matches a brute-force reference on jittered vectors") {
+    import spark.implicits._
+    val dim = 8
+    val vecs: Seq[(Long, Array[Double])] = (0 until 20).map { i =>
+      val base = (0 until dim).map(d => math.sin((i / 2) * 7.0 + d))
+      val v = if (i % 2 == 1) base.map(_ + 0.01 * (i % 5)) else base
+      (i.toLong, v.toArray)
+    }
+    val configs = Seq((2, 4), (4, 2))
+    val out = Dedup.hyperplaneBandingAudit(vecs.toDF("vec_id", "embedding"),
+        dim = dim, configs = configs, tau = 0.8)
+      .orderBy("tables").collect()
+    // brute force with the exact expression semantics: left-to-right
+    // dot per plane, '1' iff > 0; cosine = dot / (sqrt(nx)*sqrt(ny))
+    def sig(v: Array[Double], signs: Seq[Seq[Double]]): String =
+      signs.map { plane =>
+        var dot = 0.0; var d = 0
+        while (d < dim) { dot += v(d) * plane(d); d += 1 }
+        if (dot > 0) "1" else "0"
+      }.mkString
+    def cos6(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < dim) { dot += a(i) * b(i); nx += a(i) * a(i); ny += b(i) * b(i); i += 1 }
+      BigDecimal(dot / (math.sqrt(nx) * math.sqrt(ny)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val sigsByCfg = configs.zipWithIndex.map { case ((tbls, planes), ci) =>
+      vecs.map { case (id, v) =>
+        id -> (0 until tbls).map(t => sig(v,
+          Dedup.hyperplaneSigns(dim, planes, Dedup.tableSeed(42L, ci * 16 + t))))
+      }.toMap
+    }
+    val byId = vecs.toMap
+    val pairs = for { a <- vecs.map(_._1); b <- vecs.map(_._1) if a < b } yield (a, b)
+    configs.zipWithIndex.foreach { case ((tbls, planes), ci) =>
+      val row = out(ci)
+      assert(row.getInt(0) === tbls && row.getInt(1) === planes)
+      val truth = pairs.count { case (a, b) => cos6(byId(a), byId(b)) >= 0.8 }.toLong
+      val cand = pairs.count { case (a, b) =>
+        (0 until tbls).exists(t => sigsByCfg(ci)(a)(t) == sigsByCfg(ci)(b)(t)) }.toLong
+      val tp = pairs.count { case (a, b) =>
+        cos6(byId(a), byId(b)) >= 0.8 &&
+          (0 until tbls).exists(t => sigsByCfg(ci)(a)(t) == sigsByCfg(ci)(b)(t)) }.toLong
+      assert(row.getAs[Long]("n_truth") === truth, s"n_truth at $tbls x $planes")
+      assert(row.getAs[Long]("n_candidates") === cand, s"n_candidates at $tbls x $planes")
+      assert(row.getAs[Long]("tp") === tp, s"tp at $tbls x $planes")
+    }
+    // jittered even/odd twins must put SOME pairs in truth
+    assert(out.head.getAs[Long]("n_truth") > 0L)
+  }
 }
