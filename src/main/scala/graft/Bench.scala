@@ -216,7 +216,10 @@ object Bench {
       // budget apportionment, image aHash near-dup (shared band join)
       "q114_minhash_audit", "q115_budget_apportion", "q116_image_neardup",
       // hyperplane banding audit (third sketch family's tuning op)
-      "q117_hyperplane_audit")
+      "q117_hyperplane_audit",
+      // IVF probe-budget audit (fourth approximate layer's tuning op),
+      // char-distribution concentration (one codegen histogram pass)
+      "q118_ivf_audit", "q119_char_stats")
     val qmap = SparkEntry.queries
     val spark = newSession(cpus)
     def median(xs: Seq[Double]): Double = {
@@ -230,6 +233,13 @@ object Bench {
     headline.foreach { name =>
       qmap.get(name).foreach(fn => fn(spark, sfDir).write.format("noop").mode("overwrite").save())
     }
+    // drop the warmup's residue BEFORE the measured loop: ~90 queries'
+    // persisted frames + localCheckpoint blocks would otherwise sit
+    // under measured pass 1 of the FIRST query (the same LRU-churn /
+    // warm-cache skew the in-loop isolation below exists to prevent —
+    // with QUERY_REPS=1 that one contaminated sample IS the median)
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     // then ≥3 MEASURED warm passes per query, interleaved PASS-MAJOR
     // (pass 1 over every query, then pass 2, …) so each query's runs
     // sample different host-noise windows; the reported figure is the

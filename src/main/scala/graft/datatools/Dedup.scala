@@ -516,14 +516,8 @@ object Dedup {
     */
   def sigBandPairs(withSig: DataFrame, maxDist: Int,
                    bands: Int, bitsPerBand: Int, probeRadius: Int = 0): DataFrame = {
-    require(bands > 0 && bitsPerBand > 0 && bands * bitsPerBand <= 64,
-      s"banding must fit the 64-bit signature: $bands x $bitsPerBand")
-    require(probeRadius >= 0 && probeRadius <= 2, "probeRadius ∈ {0, 1, 2}")
-    val mask = if (bitsPerBand == 64) -1L else (1L << bitsPerBand) - 1
-    val exact = withSig.select(col("id"), col("sig"),
-      posexplode(array((0 until bands).map(b =>
-        shiftrightunsigned(col("sig"), b * bitsPerBand).bitwiseAND(lit(mask))): _*))
-        .as(Seq("band", "bucket")))
+    requireBanding(bands, bitsPerBand, probeRadius)
+    val exact = bandedBuckets(withSig, bands, bitsPerBand)
     val joined =
       if (probeRadius == 0)
         exact.as("a").join(exact.as("b"),
@@ -539,14 +533,7 @@ object Dedup {
         // once. Probe amplification is 1 + b + C(b,2) rows per (doc,
         // band) — at 2×32 radius 2 that is 529×, the honest algorithmic
         // cost of guaranteeing hamming ≤ bands·3−1 at extreme banding.
-        val probeMasks: Seq[Long] = Seq(0L) ++
-          (0 until bitsPerBand).map(i => 1L << i) ++
-          (if (probeRadius < 2) Nil
-           else for { i <- 0 until bitsPerBand; j <- i + 1 until bitsPerBand }
-             yield (1L << i) | (1L << j))
-        val probe = exact.select(col("id"), col("sig"), col("band"),
-          explode(array(probeMasks.map(m => col("bucket").bitwiseXOR(lit(m))): _*))
-            .as("bucket"))
+        val probe = probed(exact, bitsPerBand, probeRadius)
         probe.as("a").join(exact.as("b"),
             col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
               col("a.id") =!= col("b.id"))
@@ -558,6 +545,38 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming").distinct()
   }
+
+  // ---- shared banding machinery (self-join AND incremental paths) ----
+
+  private def requireBanding(bands: Int, bitsPerBand: Int, probeRadius: Int): Unit = {
+    require(bands > 0 && bitsPerBand > 0 && bands * bitsPerBand <= 64,
+      s"banding must fit the 64-bit signature: $bands x $bitsPerBand")
+    require(probeRadius >= 0 && probeRadius <= 2, "probeRadius ∈ {0, 1, 2}")
+  }
+
+  /** (id, sig) → one (id, sig, band, bucket) row per band. */
+  private def bandedBuckets(sigs: DataFrame, bands: Int, bitsPerBand: Int): DataFrame = {
+    val mask = if (bitsPerBand == 64) -1L else (1L << bitsPerBand) - 1
+    sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until bands).map(b =>
+        shiftrightunsigned(col("sig"), b * bitsPerBand).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "bucket")))
+  }
+
+  /** Every ≤probeRadius-bit XOR flip of a band value (incl. identity). */
+  private def probeMasksFor(bitsPerBand: Int, probeRadius: Int): Seq[Long] =
+    Seq(0L) ++
+      (if (probeRadius < 1) Nil else (0 until bitsPerBand).map(i => 1L << i)) ++
+      (if (probeRadius < 2) Nil
+       else for { i <- 0 until bitsPerBand; j <- i + 1 until bitsPerBand }
+         yield (1L << i) | (1L << j))
+
+  /** Expand a banded frame to its multi-probe bucket set. */
+  private def probed(banded: DataFrame, bitsPerBand: Int, probeRadius: Int): DataFrame =
+    if (probeRadius == 0) banded
+    else banded.select(col("id"), col("sig"), col("band"),
+      explode(array(probeMasksFor(bitsPerBand, probeRadius)
+        .map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
 
   /** SimHash signature index — (id, sig): 8 bytes per doc, the
     * cheapest incremental-dedup state of any sketch family, because
@@ -581,26 +600,12 @@ object Dedup {
   def simhashIncrementalPairs(delta: DataFrame, index: DataFrame, maxDist: Int = 3,
                               bands: Int = 4, bitsPerBand: Int = 16, probeRadius: Int = 0,
                               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(bands > 0 && bitsPerBand > 0 && bands * bitsPerBand <= 64,
-      s"banding must fit the 64-bit signature: $bands x $bitsPerBand")
-    require(probeRadius >= 0 && probeRadius <= 2, "probeRadius ∈ {0, 1, 2}")
-    val mask = if (bitsPerBand == 64) -1L else (1L << bitsPerBand) - 1
-    def banded(sigs: DataFrame): DataFrame = sigs.select(col("id"), col("sig"),
-      posexplode(array((0 until bands).map(b =>
-        shiftrightunsigned(col("sig"), b * bitsPerBand).bitwiseAND(lit(mask))): _*))
-        .as(Seq("band", "bucket")))
+    requireBanding(bands, bitsPerBand, probeRadius)
     val deltaSigs = simhashIndex(delta, idCol, textCol)
-    val exact = banded(index.select("id", "sig").unionByName(deltaSigs))
-    val probeMasks: Seq[Long] = Seq(0L) ++
-      (if (probeRadius < 1) Nil else (0 until bitsPerBand).map(i => 1L << i)) ++
-      (if (probeRadius < 2) Nil
-       else for { i <- 0 until bitsPerBand; j <- i + 1 until bitsPerBand }
-         yield (1L << i) | (1L << j))
-    val probe =
-      if (probeRadius == 0) banded(deltaSigs)
-      else banded(deltaSigs).select(col("id"), col("sig"), col("band"),
-        explode(array(probeMasks.map(m => col("bucket").bitwiseXOR(lit(m))): _*))
-          .as("bucket"))
+    val exact = bandedBuckets(index.select("id", "sig").unionByName(deltaSigs),
+      bands, bitsPerBand)
+    val probe = probed(bandedBuckets(deltaSigs, bands, bitsPerBand),
+      bitsPerBand, probeRadius)
     probe.as("a").join(exact.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") =!= col("b.id"))

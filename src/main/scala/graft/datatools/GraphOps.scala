@@ -215,7 +215,9 @@ object GraphOps {
     * are allocated (Σalloc = budget by construction): every host gets
     * `floor(score·budget / Σscore)`, and the leftover seats go to the
     * largest fractional remainders (ties to the smaller id — the
-    * deterministic, oracle-replayable tie-break).
+    * deterministic, oracle-replayable tie-break). Σscore = 0 degrades
+    * to uniform demand (every score treated as 1) so the contract
+    * holds even when the upstream signal is all-zero.
     *
     * Scale shape: two scalar aggregates (Σscore, Σbase — broadcast
     * back, the q113 pattern) + one projection; the only non-map step is
@@ -230,10 +232,17 @@ object GraphOps {
     require(budget >= 0, "budget must be non-negative")
     val s = scores.select(col(idCol).as("id"),
       col(scoreCol).cast("long").as("score"))
-    val tot = s.agg(sum("score").as("total"))
+    // Σscore = 0 (e.g. trustRank output where nothing is seed-reachable)
+    // would make every DIV/% null under non-ANSI division and silently
+    // allocate NOTHING — degrade to UNIFORM demand instead (every score
+    // treated as 1), which keeps the Σalloc = budget contract.
+    val tot = s.agg(coalesce(sum("score"), lit(0L)).as("total"),
+      count(lit(1)).as("n"))
     val base = s.crossJoin(broadcast(tot))
-      .withColumn("base", expr(s"(score * $budget) DIV total"))
-      .withColumn("rem", expr(s"(score * $budget) % total"))
+      .withColumn("__score", when(col("total") === 0, lit(1L)).otherwise(col("score")))
+      .withColumn("__total", when(col("total") === 0, col("n")).otherwise(col("total")))
+      .withColumn("base", expr(s"(__score * $budget) DIV __total"))
+      .withColumn("rem", expr(s"(__score * $budget) % __total"))
     val seats = base.agg((lit(budget) - sum("base")).as("extra_seats"))
     val byRemainder = org.apache.spark.sql.expressions.Window
       .orderBy(col("rem").desc, col("id").asc)
@@ -468,25 +477,6 @@ object GraphOps {
     out
   }
 
-  /** Anchor-text aggregation — the classic web-search signal: for each
-    * link TARGET, the top-k anchor terms pointing at it, by citation
-    * count (ties → lexicographically smaller term; rank ties are
-    * therefore unique). Search engines weight anchor text above body
-    * text (Brin & Page '98 §2.2); a crawl-derived corpus keeps it as
-    * per-target metadata.
-    *
-    * Scale shape: one (dst, term) count aggregation (map-side
-    * combine), then the per-target top-k as a bounded typed
-    * [[Aggregator]] over the AGGREGATED frame — each map task ships at
-    * most k (term, cnt) pairs per target, and nothing is ever sorted
-    * at corpus cardinality. The row_number-window formulation would
-    * shuffle AND sort every distinct (dst, term) pair; this ships
-    * O(k · targets).
-    *
-    * @param anchors one row per link occurrence: (dst, term)
-    * @return (dst, term, cnt, rank) — rank 1..k per target,
-    *         ordered (cnt desc, term asc)
-    */
   /** Co-citation similarity (Small 1973) — the "related pages" signal:
     * targets (a, b) are related when many of the SAME sources link to
     * both; `shared` = |{s : s→a ∧ s→b}|. PageRank/HITS rank single
@@ -629,6 +619,25 @@ object GraphOps {
     labels
   }
 
+  /** Anchor-text aggregation — the classic web-search signal: for each
+    * link TARGET, the top-k anchor terms pointing at it, by citation
+    * count (ties → lexicographically smaller term; rank ties are
+    * therefore unique). Search engines weight anchor text above body
+    * text (Brin & Page '98 §2.2); a crawl-derived corpus keeps it as
+    * per-target metadata.
+    *
+    * Scale shape: one (dst, term) count aggregation (map-side
+    * combine), then the per-target top-k as a bounded typed
+    * [[Aggregator]] over the AGGREGATED frame — each map task ships at
+    * most k (term, cnt) pairs per target, and nothing is ever sorted
+    * at corpus cardinality. The row_number-window formulation would
+    * shuffle AND sort every distinct (dst, term) pair; this ships
+    * O(k · targets).
+    *
+    * @param anchors one row per link occurrence: (dst, term)
+    * @return (dst, term, cnt, rank) — rank 1..k per target,
+    *         ordered (cnt desc, term asc)
+    */
   def anchorTopK(anchors: DataFrame, k: Int,
                  dstCol: String = "dst", termCol: String = "term"): DataFrame = {
     val counted = anchors

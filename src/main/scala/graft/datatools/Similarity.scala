@@ -73,7 +73,14 @@ object Similarity {
     * frame is rebuilt from the collected rows — no second corpus pass.
     */
   private def probesFor(q: DataFrame, centroids: Seq[(Long, Seq[Double])],
-                        nProbe: Int): DataFrame = {
+                        nProbe: Int): DataFrame =
+    probesRanked(q, centroids, nProbe).drop("prank")
+
+  /** [[probesFor]] keeping the probe rank — the audit path filters one
+    * widest-budget frame down to each narrower budget by `prank`.
+    */
+  private def probesRanked(q: DataFrame, centroids: Seq[(Long, Seq[Double])],
+                           nProbe: Int): DataFrame = {
     val spark = q.sparkSession
     import spark.implicits._
     val centsDf = centroids.toDF("cid", "centroid")
@@ -83,7 +90,7 @@ object Similarity {
       .withColumn("qsim", round(Dedup.cosine(col("qv"), col("centroid")), 6))
       .withColumn("prank", row_number().over(probeW))
       .filter(col("prank") <= nProbe)
-      .select(col("query_id"), col("qv"), col("cid").as("list_id"))
+      .select(col("query_id"), col("qv"), col("cid").as("list_id"), col("prank"))
   }
 
   /** corpus → nearest centroid in ONE narrow projection: the fused
@@ -115,6 +122,62 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "corpus_id", "cos", "rank")
+  }
+
+  /** Probe-budget audit for the IVF index — the q110/q114/q117
+    * banding-audit treatment applied to the engine's FOURTH
+    * candidate-pruning layer, so every approximate structure (three
+    * sketch families + the ANN index) can be tuned against exact
+    * ground truth before its parameters are committed at scale. Each
+    * budget probes the SAME index (the nList deterministic centroids):
+    * `scanned` counts the candidate rows the probed lists admit (the
+    * cost axis — what a 100 TB operator pays per query), `recall_ppm`
+    * is the probed top-k's overlap with the exact brute-force top-k
+    * (the quality axis). All budgets share ONE persisted candidate
+    * frame scored at the widest budget — a narrower budget's candidate
+    * set is exactly its `prank`-prefix — and the exact ground truth is
+    * computed once; only the cheap per-budget top-k rank and two
+    * count aggregates re-run per config. Queries are a bounded sample
+    * by contract (ground truth is a full corpus scan per query — the
+    * same reason the banding audits run on sampled slices).
+    */
+  def ivfProbeAudit(corpus: DataFrame, k: Int = 5, nList: Int = 16,
+                    probes: Seq[Int] = Seq(1, 2, 4, 8), nQueries: Int = 10,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(probes.nonEmpty && probes.forall(p => p > 0 && p <= nList),
+      s"probe budgets must be in [1, $nList]")
+    val queries = corpus.filter(col(idCol) < nQueries)
+    val centroids = collectCentroids(corpus, nList, idCol, vecCol)
+    if (centroids.isEmpty) { // empty corpus: a zero audit row per budget
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      return probes.map(p => (p, 0L, 0L, 0L, 0L))
+        .toDF("n_probe", "n_truth", "scanned", "n_hits", "recall_ppm")
+    }
+    val truth = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+      .select("query_id", "corpus_id").persist()
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).cast("array<double>").as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+    val assigned = assignLists(c, centroids, centroids.head._2.length)
+    val cand = assigned.join(probesRanked(q, centroids, probes.max), Seq("list_id"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        round(Dedup.cosine(col("cv"), col("qv")), 6).as("cos"), col("prank"))
+      .persist()
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id"))
+    val perBudget = probes.map { p =>
+      val mine = cand.filter(col("prank") <= p)
+      val hits = mine.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .join(truth, Seq("query_id", "corpus_id"))
+      mine.agg(count(lit(1)).as("scanned"))
+        .join(hits.agg(count(lit(1)).as("n_hits")))
+        .select(lit(p).as("n_probe"), col("scanned"), col("n_hits"))
+    }.reduce(_ unionByName _)
+    perBudget.join(truth.agg(count(lit(1)).as("n_truth")))
+      .select(col("n_probe"), col("n_truth"), col("scanned"), col("n_hits"),
+        expr("CASE WHEN n_truth > 0 THEN (n_hits * 1000000) DIV n_truth ELSE 0 END")
+          .as("recall_ppm"))
   }
 
   /** IVF with FLOAT32-compressed list payloads + exact re-rank — the

@@ -56,8 +56,15 @@ object JoinOps {
     val w = Window.partitionBy("__k")
       .orderBy(col("__t"), col("__side"), col("__rid"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // NULL keys: Spark windows place every NULL __k in ONE partition,
+    // which would hand a NULL-key left row the latest NULL-key right
+    // payload — but ASOF is an equi-join refinement, and NULL = NULL
+    // is false there (and in the DuckDB oracle). Null the match out.
     r.unionByName(l)
-      .withColumn("__match", last(col("__p"), ignoreNulls = true).over(w))
+      .withColumn("__match",
+        when(col("__k").isNotNull,
+          last(col("__p"), ignoreNulls = true).over(w))
+        .otherwise(lit(null).cast(pType)))
       .filter(col("__side") === 1)
       .select(leftCols.map(c => col(s"__l.$c").as(c)) ++
         rCols.map(c => col(s"__match.$c").as(s"matched_$c")): _*)

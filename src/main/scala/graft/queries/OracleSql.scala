@@ -85,6 +85,52 @@ object OracleSql {
        |FROM cfg ORDER BY tables""".stripMargin
   }
 
+  /** q118: IVF probe-budget audit — q35's index SQL with the probe rank
+    * kept, one shared scored-candidate CTE at the widest budget, exact
+    * brute-force ground truth; per budget a prank-prefix top-k and two
+    * counts (scanned = cost axis, recall vs truth = quality axis).
+    */
+  private def q118Sql(k: Int, nList: Int, probes: Seq[Int], nQueries: Int): String = {
+    val maxProbe = probes.max
+    val cfgSelects = probes.map { p =>
+      s"""SELECT $p AS n_probe,
+         |  (SELECT count(*) FROM cand WHERE prank <= $p)::BIGINT AS scanned,
+         |  (SELECT count(*) FROM (
+         |      SELECT query_id, corpus_id FROM (
+         |        SELECT query_id, corpus_id, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY cos DESC, corpus_id) AS rank
+         |        FROM cand WHERE prank <= $p) WHERE rank <= $k) t
+         |    JOIN truth USING (query_id, corpus_id))::BIGINT AS n_hits""".stripMargin
+    }
+    s"""WITH cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS centroid
+       |    FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $nList),
+       |c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+       |    WHERE vec_id < $nQueries),
+       |assign AS (SELECT corpus_id, cv, cid AS list_id FROM (
+       |  SELECT corpus_id, cv, cid, row_number() OVER (PARTITION BY corpus_id
+       |    ORDER BY round(list_cosine_similarity(cv, centroid), 6) DESC, cid) AS crank
+       |  FROM c CROSS JOIN cents) WHERE crank = 1),
+       |pr AS (SELECT query_id, qv, cid AS list_id, prank FROM (
+       |  SELECT query_id, qv, cid, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY round(list_cosine_similarity(qv, centroid), 6) DESC, cid) AS prank
+       |  FROM q CROSS JOIN cents) WHERE prank <= $maxProbe),
+       |cand AS (SELECT query_id, corpus_id,
+       |    round(list_cosine_similarity(cv, qv), 6) AS cos, prank
+       |  FROM assign JOIN pr USING (list_id) WHERE corpus_id <> query_id),
+       |truth AS (SELECT query_id, corpus_id FROM (
+       |  SELECT query_id, corpus_id, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY round(list_cosine_similarity(cv, qv), 6) DESC, corpus_id) AS rank
+       |  FROM c CROSS JOIN q WHERE corpus_id <> query_id) WHERE rank <= $k),
+       |cfg AS (${cfgSelects.mkString("\nUNION ALL\n")})
+       |SELECT n_probe, (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+       |  scanned, n_hits,
+       |  (CASE WHEN (SELECT count(*) FROM truth) > 0
+       |        THEN (n_hits * 1000000) // (SELECT count(*) FROM truth)
+       |        ELSE 0 END)::BIGINT AS recall_ppm
+       |FROM cfg ORDER BY n_probe""".stripMargin
+  }
+
   // shared fragments
   private val normText =
     """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
@@ -1994,7 +2040,31 @@ object OracleSql {
     // q117: hyperplane banding audit — same (dim, configs, tau, seed)
     // as the Spark entry
     "q117_hyperplane_audit" -> q117Sql(dim = 64,
-      configs = Seq((2, 12), (4, 6), (6, 4)), tau = 0.4, seed = 42L)
+      configs = Seq((2, 12), (4, 6), (6, 4)), tau = 0.4, seed = 42L),
+
+    // q118: IVF probe-budget audit — same (k, nList, probes, nQueries)
+    // as the Spark entry
+    "q118_ivf_audit" -> q118Sql(k = 5, nList = 16,
+      probes = Seq(1, 2, 4, 8), nQueries = 10),
+
+    // q119: char-distribution concentration — integer Simpson ppm over
+    // per-char counts (chars = bytes on the ASCII corpus; empty text
+    // pinned to (0, 0, 10^6) like the Spark expression)
+    "q119_char_stats" ->
+      """WITH nonempty AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
+        |cnt AS (SELECT doc_id, ch, count(*)::BIGINT AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM nonempty)
+        |  GROUP BY doc_id, ch),
+        |agg AS (SELECT doc_id, sum(c)::BIGINT AS n_chars,
+        |    count(*)::BIGINT AS distinct_chars, sum(c * c)::BIGINT AS ss
+        |  FROM cnt GROUP BY doc_id)
+        |SELECT doc_id, n_chars, distinct_chars,
+        |  ((ss * 1000000) // (n_chars * n_chars))::BIGINT AS simpson_ppm
+        |FROM agg
+        |UNION ALL
+        |SELECT doc_id, 0::BIGINT, 0::BIGINT, 1000000::BIGINT
+        |FROM documents WHERE length(text) = 0
+        |ORDER BY doc_id""".stripMargin
   )
 
   /** q111: weighted-PageRank rounds unrolled as CTEs (q48Sql with a

@@ -1517,6 +1517,30 @@ object Queries {
       configs = Seq((2, 12), (4, 6), (6, 4)), tau = 0.4)
       .orderBy("tables")
 
+  // q118 — IVF probe-budget audit: the fourth and last approximate
+  // layer (the ANN index) gets the banding-audit treatment. Four probe
+  // budgets against the q35 index, one shared scored-candidate frame,
+  // exact brute-force ground truth: scanned rows = the cost axis,
+  // recall_ppm = the quality axis. Tunes nProbe before a 100 TB commit.
+  def q118IvfAudit(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfProbeAudit(t(spark, dir, "embeddings"), k = 5, nList = 16,
+      probes = Seq(1, 2, 4, 8), nQueries = 10)
+      .orderBy("n_probe")
+
+  // q119 — char-distribution concentration: Simpson index over each
+  // document's byte histogram in ONE codegen pass — the gibberish /
+  // binary-spill / single-char-flood signal the token-level q30 can't
+  // see. Integer ppm arithmetic end-to-end, so the oracle replays
+  // every bit (no float entropy summation-order hazard).
+  def q119CharStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.CharStatsExprs.charStatsCol(col("text")).as("cs"))
+      .select(col("doc_id"), col("cs.n_chars").as("n_chars"),
+        col("cs.distinct_chars").as("distinct_chars"),
+        col("cs.simpson_ppm").as("simpson_ppm"))
+      .orderBy("doc_id")
+
   /** name → query, in SURVEY.md §2 coverage order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_agg_pushdown" -> (q01AggPushdown _),
@@ -1635,6 +1659,8 @@ object Queries {
     "q114_minhash_audit" -> (q114MinhashAudit _),
     "q115_budget_apportion" -> (q115BudgetApportion _),
     "q116_image_neardup" -> (q116ImageNearDup _),
-    "q117_hyperplane_audit" -> (q117HyperplaneAudit _)
+    "q117_hyperplane_audit" -> (q117HyperplaneAudit _),
+    "q118_ivf_audit" -> (q118IvfAudit _),
+    "q119_char_stats" -> (q119CharStats _)
   )
 }

@@ -132,6 +132,10 @@ object PlanAudit {
       graft.queries.Queries.q116ImageNearDup(spark, dir).explain("formatted") }
     audit("q117 hyperplane_audit (per-config bucket predicates over one persisted all-pairs frame)") {
       graft.queries.Queries.q117HyperplaneAudit(spark, dir).explain("formatted") }
+    audit("q118 ivf_audit (one persisted widest-budget candidate frame, prank-prefix per config)") {
+      graft.queries.Queries.q118IvfAudit(spark, dir).explain("formatted") }
+    audit("q119 char_stats (single codegen histogram pass, no exchange before the sort)") {
+      graft.queries.Queries.q119CharStats(spark, dir).explain("formatted") }
     spark.stop()
   }
 }

@@ -254,6 +254,53 @@ class DatatoolsSpec extends SparkSpec {
     assert(sq8full === brute, "SQ8 at full probe + exact re-rank must equal brute force")
   }
 
+  test("IVF probe-budget audit: recall monotone in probes, exact at full budget") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val rows = Similarity.ivfProbeAudit(emb, k = 5, nList = 8,
+        probes = Seq(1, 4, 8), nQueries = 5)
+      .orderBy("n_probe").collect()
+    assert(rows.map(_.getInt(0)).toSeq === Seq(1, 4, 8))
+    val recalls = rows.map(_.getLong(4))
+    // wider probe budgets only ever ADD candidates: recall is monotone,
+    // scanned strictly grows, and probing every list IS brute force
+    assert(recalls.sliding(2).forall(w => w(0) <= w(1)),
+      s"recall not monotone: ${recalls.toSeq}")
+    val scanned = rows.map(_.getLong(2))
+    assert(scanned.sliding(2).forall(w => w(0) < w(1)),
+      s"scanned not growing: ${scanned.toSeq}")
+    assert(recalls.last === 1000000L, "nProbe = nList must have recall 1")
+    val n = emb.count(); val nTruth = rows.head.getLong(1)
+    assert(nTruth === 5L * 5) // 5 queries × top-5
+    assert(scanned.last === 5L * (n - 1), "full budget scans the corpus per query")
+    // empty corpus: a zero audit row per budget, not a driver crash
+    val empty = Similarity.ivfProbeAudit(emb.filter(col("vec_id") < 0),
+      k = 5, nList = 8, probes = Seq(1, 8), nQueries = 5).collect()
+    assert(empty.map(r => (r.getInt(0), r.getLong(1), r.getLong(4))).toSeq ===
+      Seq((1, 0L, 0L), (8, 0L, 0L)))
+  }
+
+  test("char stats: integer Simpson concentration, empty/degenerate pinned") {
+    import spark.implicits._
+    import graft.functions.CharStatsExprs.charStatsCol
+    val df = Seq("aaaa", "ab", "", "abab", "the quick brown fox")
+      .toDF("text")
+      .select(charStatsCol(col("text")).as("cs"))
+      .select(col("cs.n_chars"), col("cs.distinct_chars"), col("cs.simpson_ppm"))
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got(0) === ((4L, 1L, 1000000L)))        // single-symbol flood
+    assert(got(1) === ((2L, 2L, 500000L)))          // two symbols, uniform
+    assert(got(2) === ((0L, 0L, 1000000L)))         // empty pinned degenerate
+    assert(got(3) === ((4L, 2L, 500000L)))          // Σc² independent of order
+    // natural text sits far below flood concentration
+    assert(got(4)._3 < 200000L)
+    // null propagates (UnaryExpression null semantics)
+    val withNull = Seq[(java.lang.Long, String)]((1L, "x"), (2L, null))
+      .toDF("id", "text")
+      .select(col("id"), charStatsCol(col("text")).as("cs"))
+      .orderBy("id").collect()
+    assert(!withNull(0).isNullAt(1) && withNull(1).isNullAt(1))
+  }
+
   test("IVF-PQ: coarse reconstruction, recall recovered by a wider re-rank window") {
     // PQ's training-free codebook (32 md5-sampled codewords per 16-dim
     // subspace) is deliberately coarse on these unstructured synthetic

@@ -492,6 +492,18 @@ class GraphOpsSpec extends SparkSpec {
       assert(a1 >= a2, s"monotonicity: score $s1 alloc $a1 vs score $s2 alloc $a2")
   }
 
+  test("budgetApportion: all-zero scores degrade to uniform demand, Σalloc = budget") {
+    // e.g. trustRank output where nothing is seed-reachable — a naive
+    // (score · budget) DIV Σscore would be NULL under non-ANSI division
+    // and silently allocate nothing
+    val rows = (1L to 5L).map(id => (id, 0L))
+    val out = GraphOps.budgetApportion(rows.toDF("id", "rank"), budget = 12L)
+      .orderBy("id").collect()
+    assert(out.map(_.getAs[Long]("alloc")).sum === 12L)
+    // uniform: base 12 DIV 5 = 2 each, remainder 2 to the smallest ids
+    assert(out.map(_.getAs[Long]("alloc")).toSeq === Seq(3L, 3L, 2L, 2L, 2L))
+  }
+
   test("property: budgetApportion sums to budget and matches brute force on random scores") {
     val gen = Gen.listOfN(8, Gen.choose(1L, 50L))
     (1 to 6).foreach { round =>

@@ -27,6 +27,23 @@ class JoinOpsSpec extends SparkSpec {
     assert(got(4L) === None)              // key never on the right
   }
 
+  test("asofJoin: NULL keys never match (equi-join semantics, both sides)") {
+    // Spark windows put every NULL partition key in ONE partition — an
+    // unguarded union-window form would hand a NULL-key left row the
+    // latest NULL-key right payload, where ASOF (and the q68 DuckDB
+    // oracle) treats NULL = NULL as false
+    val left = Seq((1L, Option("a"), 10L), (2L, Option.empty[String], 10L))
+      .toDF("lid", "k", "t")
+    val right = Seq((100L, Option("a"), 5L, 1.0), (101L, Option.empty[String], 5L, 2.0))
+      .toDF("rid", "k", "t", "v")
+    val got = JoinOps.asofJoin(left, right, "k", "t", "rid", Seq("v"))
+      .select("lid", "matched_rid")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got(1L) === Some(100L)) // real key still matches
+    assert(got(2L) === None)       // NULL key: no match, row survives (LEFT)
+  }
+
   test("asofJoin: right-ts ties break to the greatest rid (deterministic)") {
     val left = Seq((1L, "a", 10L)).toDF("lid", "k", "t")
     val right = Seq((5L, "a", 4L, 1.0), (9L, "a", 4L, 2.0), (7L, "a", 4L, 3.0))
