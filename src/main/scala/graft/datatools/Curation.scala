@@ -319,9 +319,11 @@ object Curation {
     * the tail, downweights the head. All FIXED-POINT integer
     * arithmetic (the q48 PageRank convention) so any engine replays it
     * bit-exactly: share_ppm = docs·10⁶ div total; w_raw =
-    * ⌊√(share_ppm·10⁶)⌋ (IEEE-754 sqrt is correctly rounded and the
-    * nearest integer boundary is ≥ 2⁻¹⁹ away for inputs ≤ 10¹², so
-    * floor agrees across engines); weight_ppm = w_raw·10⁶ div Σw_raw.
+    * max(⌊√(share_ppm·10⁶)⌋, 1) (IEEE-754 sqrt is correctly rounded
+    * and the nearest integer boundary is ≥ 2⁻¹⁹ away for inputs ≤
+    * 10¹², so floor agrees across engines; the 1-floor keeps Σw_raw
+    * > 0 when every stratum's share rounds to 0 ppm — domain-level
+    * strata at web scale); weight_ppm = w_raw·10⁶ div Σw_raw.
     *
     * Scale shape: one partial aggregation on the stratum key — the
     * corpus is scanned exactly ONCE. The corpus-total and
@@ -339,7 +341,12 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("total_docs", sum(col("n_docs")).over(all))
       .withColumn("share_ppm", expr("n_docs * 1000000L DIV total_docs"))
-      .withColumn("w_raw", floor(sqrt(col("share_ppm").cast("double") * 1e6)).cast("long"))
+      // floor at 1: with > 10⁶ strata (domain-level at web scale) every
+      // share_ppm rounds to 0, and an all-zero Σw_raw would NULL every
+      // weight under non-ANSI division — a sub-ppm stratum keeps a
+      // minimal draw instead (the oracle applies the same floor)
+      .withColumn("w_raw", greatest(
+        floor(sqrt(col("share_ppm").cast("double") * 1e6)).cast("long"), lit(1L)))
       .withColumn("weight_ppm", expr("w_raw * 1000000L DIV sum(w_raw) OVER ()"))
       .select("stratum", "n_docs", "share_ppm", "weight_ppm")
   }

@@ -955,7 +955,7 @@ object OracleSql {
       """WITH c AS (SELECT lang AS stratum, count(*) AS n_docs FROM documents GROUP BY 1),
         |t AS (SELECT sum(n_docs)::BIGINT AS total_docs FROM c),
         |s AS (SELECT stratum, n_docs, (n_docs * 1000000) // total_docs AS share_ppm FROM c, t),
-        |w AS (SELECT *, CAST(floor(sqrt(share_ppm * 1000000.0)) AS BIGINT) AS w_raw FROM s),
+        |w AS (SELECT *, greatest(CAST(floor(sqrt(share_ppm * 1000000.0)) AS BIGINT), 1) AS w_raw FROM s),
         |n AS (SELECT sum(w_raw)::BIGINT AS w_sum FROM w)
         |SELECT stratum, n_docs, share_ppm, (w_raw * 1000000) // w_sum AS weight_ppm
         |FROM w, n ORDER BY stratum""".stripMargin,
@@ -1437,7 +1437,7 @@ object OracleSql {
       """WITH c AS (SELECT lang AS stratum, count(*) AS n_docs FROM documents GROUP BY 1),
         |t AS (SELECT sum(n_docs)::BIGINT AS total_docs FROM c),
         |s AS (SELECT stratum, n_docs, (n_docs * 1000000) // total_docs AS share_ppm FROM c, t),
-        |w AS (SELECT *, CAST(floor(sqrt(share_ppm * 1000000.0)) AS BIGINT) AS w_raw FROM s),
+        |w AS (SELECT *, greatest(CAST(floor(sqrt(share_ppm * 1000000.0)) AS BIGINT), 1) AS w_raw FROM s),
         |n AS (SELECT sum(w_raw)::BIGINT AS w_sum FROM w),
         |q AS (SELECT stratum,
         |    least(n_docs, (40 * ((w_raw * 1000000) // w_sum)) // 1000000) AS quota
