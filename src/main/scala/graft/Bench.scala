@@ -220,6 +220,10 @@ object Bench {
       // IVF probe-budget audit (fourth approximate layer's tuning op),
       // char-distribution concentration (one codegen histogram pass)
       "q118_ivf_audit", "q119_char_stats")
+      // dev-loop filter: comma-separated substrings; a production/driver
+      // run leaves it unset and measures the full headline set
+      .filter(n => sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+        .forall(_.split(',').exists(n.contains)))
     val qmap = SparkEntry.queries
     val spark = newSession(cpus)
     def median(xs: Seq[Double]): Double = {

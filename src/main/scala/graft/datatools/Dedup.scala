@@ -989,7 +989,8 @@ object Dedup {
     * Within-doc repeats count as duplicates (pos breaks the tie).
     */
   def cdcChunkDedup(docs: DataFrame, window: Int = 8, divisor: Int = 16,
-                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                    idCol: String = "doc_id", textCol: String = "text",
+                    native: Boolean = true): DataFrame = {
     import org.apache.spark.sql.GraftBridge
     import org.apache.spark.sql.catalyst.expressions.Substring
     // catalyst Substring with COLUMN pos/len (SQL `substr` semantics —
@@ -1021,12 +1022,21 @@ object Dedup {
     // persist the compact occurrence frame (id, pos, len, 32-hex fp —
     // no text): the O(len·window) chunking projection feeds BOTH the
     // first-occurrence agg and the verdict join, and without the pin
-    // Spark re-runs it per consumer (audited: two full chunking scans)
-    val occ = chunked
+    // Spark re-runs it per consumer (audited: two full chunking scans).
+    // Default path: the fused CdcChunksExpr kernel (one codegen pass
+    // over the UTF-8 bytes); native=false keeps the original Column
+    // formulation it is bit-parity-pinned against (CdcParitySpec).
+    val occ = (if (native)
+      base.select(col("id"), posexplode(
+          graft.functions.CdcExprs.chunksCol(col("t"), w, divisor))
+        .as(Seq("pos", "c")))
+        .select(col("id"), col("pos"), col("c.clen").as("clen"),
+          col("c.fp").as("fp"))
+    else chunked
       .select(col("id"), posexplode(col("chunks")).as(Seq("pos", "chunk")))
       .select(col("id"), col("pos"),
         length(col("chunk")).cast("long").as("clen"),
-        md5(col("chunk")).as("fp"))
+        md5(col("chunk")).as("fp")))
       .persist()
     val firsts = occ.groupBy(col("fp"))
       .agg(min(struct(col("id"), col("pos"))).as("first"))
