@@ -221,9 +221,17 @@ object Bench {
       // char-distribution concentration (one codegen histogram pass)
       "q118_ivf_audit", "q119_char_stats")
       // dev-loop filter: comma-separated substrings; a production/driver
-      // run leaves it unset and measures the full headline set
-      .filter(n => sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      // run leaves it unset (or blank) and measures the full headline set
+      .filter(n => sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.trim)
+        .filter(_.nonEmpty)
         .forall(_.split(',').exists(n.contains)))
+    sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.trim).filter(_.nonEmpty)
+      .foreach { f =>
+        System.err.println(
+          s"BENCH_ONLY filter '$f' active: ${headline.size} queries survive")
+        require(headline.nonEmpty,
+          s"SPARK_GRAFT_BENCH_ONLY='$f' matched no headline query")
+      }
     val qmap = SparkEntry.queries
     val spark = newSession(cpus)
     def median(xs: Seq[Double]): Double = {

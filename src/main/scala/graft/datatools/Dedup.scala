@@ -991,6 +991,8 @@ object Dedup {
   def cdcChunkDedup(docs: DataFrame, window: Int = 8, divisor: Int = 16,
                     idCol: String = "doc_id", textCol: String = "text",
                     native: Boolean = true): DataFrame = {
+    require(window >= 1 && divisor >= 1,
+      s"cdcChunkDedup needs window >= 1 and divisor >= 1, got ($window, $divisor)")
     import org.apache.spark.sql.GraftBridge
     import org.apache.spark.sql.catalyst.expressions.Substring
     // catalyst Substring with COLUMN pos/len (SQL `substr` semantics —
@@ -1001,7 +1003,9 @@ object Dedup {
     val w = window
     val base = docs.select(col(idCol).as("id"), col(textCol).as("t"))
       .withColumn("len", length(col("t")))
-    val chunked = base
+    // the original Column formulation (kept lazily behind native=false
+    // as CdcParitySpec's bit-parity pin for the fused kernel)
+    def chunked = base
       .withColumn("bnds",
         when(col("len") >= w,
           filter(

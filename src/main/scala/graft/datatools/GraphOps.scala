@@ -446,20 +446,22 @@ object GraphOps {
       .localCheckpoint(true)
     // one normalized half-step: scores(id, s) ⋈ edges on `joinOn`,
     // summed per `outKey`, floor-normalized to total = scale. The
-    // 1-row total folds back through a broadcast cross-join instead of
-    // a driver `.head()` so the whole half-step is ONE eager-checkpoint
-    // job (the broadcast subtree materializes the persisted `raw`
-    // first; the node join then reads it from cache) — HITS was paying
-    // 2 actions per half-step where every sibling loop pays 1.
+    // 1-row total is a driver action folded back as a literal — two
+    // actions per half-step where the sibling loops pay one, but the
+    // alternative (folding the total back through a broadcast
+    // cross-join, measured: within noise at sf0.1) would put the
+    // entire raw computation under spark.sql.broadcastTimeout at the
+    // 10¹⁰-edge scale this loop targets. raw is persisted so the
+    // total and the output materialization share one computation.
     def halfStep(scores: DataFrame, joinOn: String, outKey: String): DataFrame = {
       val raw = e.join(scores, e(joinOn) === scores("id"))
         .groupBy(col(outKey).as("id")).agg(sum(col("s")).as("raw"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val total = raw.agg(coalesce(sum(col("raw")), lit(0L)).as("total"))
+      val total = Option(raw.agg(sum(col("raw"))).head().getAs[java.lang.Long](0))
+        .map(_.longValue()).getOrElse(0L) // null ⇔ no edges at all
       val out = nodes.join(raw, Seq("id"), "left")
-        .crossJoin(broadcast(total)) // 1 row; null-sum ⇔ no edges at all
         .select(col("id"),
-          expr(s"coalesce(raw, 0L) * ${scale}L DIV greatest(total, 1L)").as("s"))
+          expr(s"coalesce(raw, 0L) * ${scale}L DIV ${math.max(total, 1L)}L").as("s"))
         .localCheckpoint(true)
       raw.unpersist()
       out

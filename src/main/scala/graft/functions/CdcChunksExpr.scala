@@ -45,16 +45,12 @@ object CdcExprs {
 
   private val HexChars = "0123456789abcdef".toCharArray
 
-  /** Little-endian long over digest bytes [8,16), masked to 48 bits —
-    * byte-slice twin of [[MinHashExprs.md5Low48]].
+  /** Boundary hash — delegates to the sketch layer's byte-slice
+    * overload so the bit-parity-critical little-endian 48-bit
+    * extraction has exactly one home.
     */
-  private def md5Low48(bytes: Array[Byte], from: Int, len: Int): Long = {
-    val md = md5Digest.get()
-    md.update(bytes, from, len)
-    val d = md.digest()
-    java.nio.ByteBuffer.wrap(d, 8, 8)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong & ((1L << 48) - 1)
-  }
+  private def md5Low48(bytes: Array[Byte], from: Int, len: Int): Long =
+    MinHashExprs.md5Low48(bytes, from, len)
 
   /** Lowercase 32-hex MD5 of a byte slice — what Spark's `md5(string)`
     * (and the DuckDB oracle's `md5`) computes over the chunk text.
@@ -126,6 +122,8 @@ object CdcExprs {
   */
 case class CdcChunksExpr(child: Expression, window: Int, divisor: Int)
     extends UnaryExpression {
+  require(window >= 1 && divisor >= 1,
+    s"cdc_chunks needs window >= 1 and divisor >= 1, got ($window, $divisor)")
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("clen", LongType, nullable = false),
       StructField("fp", StringType, nullable = false))),

@@ -242,8 +242,18 @@ object MinHashExprs {
     * the parity).
     */
   def md5Low48(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    md5Low48(bytes, 0, bytes.length)
+  }
+
+  /** Byte-slice overload — the ONE home of the little-endian 48-bit
+    * extraction (CdcExprs' boundary hash delegates here so the
+    * bit-parity-critical masking cannot drift between the sketch and
+    * chunking layers).
+    */
+  def md5Low48(bytes: Array[Byte], from: Int, len: Int): Long = {
     val md = md5Digest.get()
-    md.update(s.getBytes)
+    md.update(bytes, from, len)
     val d = md.digest()
     java.nio.ByteBuffer.wrap(d, 8, 8)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong & ((1L << 48) - 1)
