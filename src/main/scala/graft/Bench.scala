@@ -219,7 +219,9 @@ object Bench {
       "q117_hyperplane_audit",
       // IVF probe-budget audit (fourth approximate layer's tuning op),
       // char-distribution concentration (one codegen histogram pass)
-      "q118_ivf_audit", "q119_char_stats")
+      "q118_ivf_audit", "q119_char_stats",
+      // second CDC config through the fused chunking kernel
+      "q120_cdc_bands")
       // dev-loop filter: comma-separated substrings; a production/driver
       // run leaves it unset (or blank) and measures the full headline set
       .filter(n => sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.trim)

@@ -1796,37 +1796,11 @@ object OracleSql {
     // pos stays 0-based to match Spark's posexplode. generate_series
     // with column bounds must be the SCALAR list form under unnest —
     // the lateral table-function form rejects column parameters.
-    "q105_cdc_chunks" ->
-      """WITH d AS (SELECT doc_id, text AS t, length(text) AS len
-        |  FROM documents),
-        |bi AS (SELECT doc_id, t,
-        |    unnest(generate_series(8, len)) AS i FROM d),
-        |b AS (SELECT doc_id, i FROM bi
-        |  WHERE (md5_number_lower(substr(t, i - 7, 8))
-        |         & 281474976710655) % 16 = 0),
-        |cuts AS (SELECT d.doc_id, d.t, d.len,
-        |    list_sort(list_distinct(list_prepend(0,
-        |      list_append(coalesce(list(b.i), []), d.len)))) AS c
-        |  FROM d LEFT JOIN b ON b.doc_id = d.doc_id GROUP BY 1, 2, 3),
-        |ck AS (SELECT doc_id, t, c,
-        |    unnest(generate_series(0, len(c) - 2)) AS k FROM cuts),
-        |occ AS (SELECT doc_id, k AS pos,
-        |    (c[k + 2] - c[k + 1])::BIGINT AS clen,
-        |    md5(substr(t, c[k + 1] + 1, c[k + 2] - c[k + 1])) AS fp
-        |  FROM ck),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY fp
-        |    ORDER BY doc_id, pos) AS rn FROM occ),
-        |pd AS (SELECT doc_id, count(*)::BIGINT AS n_chunks,
-        |    sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_chunks,
-        |    sum(CASE WHEN rn > 1 THEN clen ELSE 0 END)::BIGINT AS dup_chars
-        |  FROM r GROUP BY 1)
-        |SELECT d.doc_id, coalesce(pd.n_chunks, 0)::BIGINT AS n_chunks,
-        |  coalesce(pd.dup_chunks, 0)::BIGINT AS dup_chunks,
-        |  coalesce(pd.dup_chars, 0)::BIGINT AS dup_chars,
-        |  (CASE WHEN d.len > 0
-        |        THEN (coalesce(pd.dup_chars, 0) * 1000000) // d.len
-        |        ELSE 0 END)::BIGINT AS dedup_ppm
-        |FROM d LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    "q105_cdc_chunks" -> cdcSql(window = 8, divisor = 16),
+
+    // q120: the second CDC config (the q37 treatment — same replayed
+    // boundary rule, different (window, divisor) constants)
+    "q120_cdc_bands" -> cdcSql(window = 6, divisor = 8),
 
     // q106: BPE merge training, 6 unrolled rounds — each is one pair
     // count over the word-type table, an ORDER BY ... LIMIT 1 arg-max,
@@ -2288,6 +2262,44 @@ object OracleSql {
     * StringReplace, the op's contract), t_i totals the corpus tokens
     * after the rewrite.
     */
+  /** CDC chunk-dedup oracle at a given (window, divisor) — shared by
+    * q105 (8, 16) and q120 (6, 8). Replays the boundary rule (md5-48
+    * of each trailing `window`-char substring ≡ 0 mod `divisor`),
+    * cut-point lists, chunk fingerprints and the corpus-wide
+    * first-occurrence (doc, pos) dedup via row_number.
+    */
+  private def cdcSql(window: Int, divisor: Int): String =
+    s"""WITH d AS (SELECT doc_id, text AS t, length(text) AS len
+       |  FROM documents),
+       |bi AS (SELECT doc_id, t,
+       |    unnest(generate_series($window, len)) AS i FROM d),
+       |b AS (SELECT doc_id, i FROM bi
+       |  WHERE (md5_number_lower(substr(t, i - ${window - 1}, $window))
+       |         & 281474976710655) % $divisor = 0),
+       |cuts AS (SELECT d.doc_id, d.t, d.len,
+       |    list_sort(list_distinct(list_prepend(0,
+       |      list_append(coalesce(list(b.i), []), d.len)))) AS c
+       |  FROM d LEFT JOIN b ON b.doc_id = d.doc_id GROUP BY 1, 2, 3),
+       |ck AS (SELECT doc_id, t, c,
+       |    unnest(generate_series(0, len(c) - 2)) AS k FROM cuts),
+       |occ AS (SELECT doc_id, k AS pos,
+       |    (c[k + 2] - c[k + 1])::BIGINT AS clen,
+       |    md5(substr(t, c[k + 1] + 1, c[k + 2] - c[k + 1])) AS fp
+       |  FROM ck),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY fp
+       |    ORDER BY doc_id, pos) AS rn FROM occ),
+       |pd AS (SELECT doc_id, count(*)::BIGINT AS n_chunks,
+       |    sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_chunks,
+       |    sum(CASE WHEN rn > 1 THEN clen ELSE 0 END)::BIGINT AS dup_chars
+       |  FROM r GROUP BY 1)
+       |SELECT d.doc_id, coalesce(pd.n_chunks, 0)::BIGINT AS n_chunks,
+       |  coalesce(pd.dup_chunks, 0)::BIGINT AS dup_chunks,
+       |  coalesce(pd.dup_chars, 0)::BIGINT AS dup_chars,
+       |  (CASE WHEN d.len > 0
+       |        THEN (coalesce(pd.dup_chars, 0) * 1000000) // d.len
+       |        ELSE 0 END)::BIGINT AS dedup_ppm
+       |FROM d LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
   private def q106Sql(merges: Int): String = {
     val rounds = (1 to merges).map { i =>
       val prev = s"w${i - 1}"

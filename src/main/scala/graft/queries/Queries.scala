@@ -1541,6 +1541,14 @@ object Queries {
         col("cs.simpson_ppm").as("simpson_ppm"))
       .orderBy("doc_id")
 
+  // q120 — CDC chunk dedup at a SECOND (window, divisor) config — the
+  // q37 treatment applied to the chunking family: a shorter window and
+  // denser boundary rate (6, 8) drive different chunk frames through
+  // the same fused CdcChunksExpr kernel the q105 production config
+  // uses, proving the parameters are data, not constants.
+  def q120CdcBands(spark: SparkSession, dir: String): DataFrame =
+    Dedup.cdcChunkDedup(t(spark, dir, "documents"), window = 6, divisor = 8)
+
   /** name → query, in SURVEY.md §2 coverage order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_agg_pushdown" -> (q01AggPushdown _),
@@ -1661,6 +1669,7 @@ object Queries {
     "q116_image_neardup" -> (q116ImageNearDup _),
     "q117_hyperplane_audit" -> (q117HyperplaneAudit _),
     "q118_ivf_audit" -> (q118IvfAudit _),
-    "q119_char_stats" -> (q119CharStats _)
+    "q119_char_stats" -> (q119CharStats _),
+    "q120_cdc_bands" -> (q120CdcBands _)
   )
 }

@@ -34,7 +34,7 @@ class CdcParitySpec extends SparkSpec {
     texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
   }
 
-  for ((w, d) <- Seq((8, 16), (8, 4), (5, 8), (12, 32))) {
+  for ((w, d) <- Seq((8, 16), (6, 8), (8, 4), (5, 8), (12, 32))) {
     test(s"native cdcChunkDedup == Column formulation, window=$w divisor=$d") {
       val native = Dedup.cdcChunkDedup(docs, w, d).orderBy("doc_id")
         .collect().map(_.toSeq)
