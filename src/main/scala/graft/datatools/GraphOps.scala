@@ -430,9 +430,17 @@ object GraphOps {
     *
     * Scale shape: each half-step is one edges⋈scores equi-join + one
     * key-partial-agg sum + a 1-row total agg folded back as a literal
-    * (no cross join, no window); eager localCheckpoint truncates the
-    * iteration lineage and releases superseded rounds (the
-    * [[connectedComponents]] discipline).
+    * (no cross join, no window). Nodes absent from a scores frame
+    * behave EXACTLY as score 0 — they contribute nothing to any raw
+    * sum and nothing to the normalization total — so the intermediate
+    * vectors carry only the raw agg's keys and the nodes left-join
+    * that restores zero rows runs ONCE on the final output, not per
+    * half-step. Lineage is truncated per half-step by LAZY
+    * localCheckpoints that materialize inside the very next total-agg
+    * job (no dedicated checkpoint job), leaving the two 1-row total
+    * actions as the ONLY jobs per round — down from four, which at
+    * sf0.1 graph sizes was pure scheduling floor (round-4 VERDICT
+    * item 2; the [[connectedComponents]] discipline, folded tighter).
     *
     * @return (id, hub_ppm, auth_ppm) one row per node
     */
@@ -441,46 +449,66 @@ object GraphOps {
     require(iters >= 1)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id"))).distinct()
-      .localCheckpoint(true)
     // one normalized half-step: scores(id, s) ⋈ edges on `joinOn`,
     // summed per `outKey`, floor-normalized to total = scale. The
-    // 1-row total is a driver action folded back as a literal — two
-    // actions per half-step where the sibling loops pay one, but the
+    // 1-row total is a driver action folded back as a literal — the
     // alternative (folding the total back through a broadcast
     // cross-join, measured: within noise at sf0.1) would put the
     // entire raw computation under spark.sql.broadcastTimeout at the
     // 10¹⁰-edge scale this loop targets. raw is persisted so the
-    // total and the output materialization share one computation.
-    def halfStep(scores: DataFrame, joinOn: String, outKey: String): DataFrame = {
-      val raw = e.join(scores, e(joinOn) === scores("id"))
-        .groupBy(col(outKey).as("id")).agg(sum(col("s")).as("raw"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    // total action and the consumer of the normalized vector share
+    // one computation; the caller unpersists it once the (lazily
+    // checkpointed) vector has materialized.
+    def normalized(raw0: DataFrame): (DataFrame, DataFrame) = {
+      val raw = raw0.persist(StorageLevel.MEMORY_AND_DISK)
       val total = Option(raw.agg(sum(col("raw"))).head().getAs[java.lang.Long](0))
         .map(_.longValue()).getOrElse(0L) // null ⇔ no edges at all
-      val out = nodes.join(raw, Seq("id"), "left")
-        .select(col("id"),
-          expr(s"coalesce(raw, 0L) * ${scale}L DIV ${math.max(total, 1L)}L").as("s"))
-        .localCheckpoint(true)
-      raw.unpersist()
-      out
+      val out = raw
+        .select(col("id"), expr(s"raw * ${scale}L DIV ${math.max(total, 1L)}L").as("s"))
+        .localCheckpoint(false) // lazy: caches inside the next consumer's job
+      (out, raw)
     }
-    var hub = nodes.select(col("id"), lit(scale).as("s")).localCheckpoint(true)
+    def halfStep(scores: DataFrame, joinOn: String, outKey: String): (DataFrame, DataFrame) =
+      normalized(e.join(scores, e(joinOn) === scores("id"))
+        .groupBy(col(outKey).as("id")).agg(sum(col("s")).as("raw")))
+    var hub: DataFrame = null
     var auth: DataFrame = null
-    (1 to iters).foreach { _ =>
-      val prevAuth = auth
-      auth = halfStep(hub, joinOn = "src", outKey = "dst")
-      if (prevAuth != null) Checkpoints.release(prevAuth)
-      val prevHub = hub
-      hub = halfStep(auth, joinOn = "dst", outKey = "src")
-      Checkpoints.release(prevHub)
+    var hubRaw: DataFrame = null // backs `hub` until hub materializes next round
+    (1 to iters).foreach { i =>
+      // job 1 (auth total): materializes last round's lazy hub from its
+      // raw. Round 1's hub₀ is `scale` on EVERY node, so its half-step
+      // degenerates to a per-dst edge count (sum of hub₀(src) over in-
+      // edges = scale·indeg) — one exchange, no join, hub₀ never built.
+      val (a, ra) =
+        if (i == 1)
+          normalized(e.groupBy(col("dst").as("id"))
+            .agg((count(lit(1)) * scale).as("raw")))
+        else halfStep(hub, joinOn = "src", outKey = "dst")
+      if (hubRaw != null) hubRaw.unpersist()
+      // job 2 (hub total): materializes `a` from ra
+      val (h, rh) = halfStep(a, joinOn = "dst", outKey = "src")
+      ra.unpersist()
+      // a is consumed by job 2; the final round's stays for the output
+      if (i < iters) Checkpoints.release(a)
+      if (hub != null) Checkpoints.release(hub) // the PREVIOUS hub, consumed by job 1
+      auth = a; hub = h; hubRaw = rh
     }
+    // restore zero-score nodes ONCE, with no separate node-set frame:
+    // round 1's auth keys are ALL dst nodes (every dst has in-degree
+    // ≥ 1 by construction), so inductively every auth covers every dst
+    // and every hub every src — the FULL OUTER join of the two final
+    // vectors is exactly src ∪ dst, and a node missing from one side
+    // is a zero score on that side. The output job materializes the
+    // final lazy hub (from hubRaw) and reads the final auth's cache.
     val out = hub.select(col("id"), col("s").as("hub_ppm"))
-      .join(auth.select(col("id"), col("s").as("auth_ppm")), Seq("id"))
+      .join(auth.select(col("id"), col("s").as("auth_ppm")), Seq("id"), "full_outer")
+      .select(col("id"),
+        coalesce(col("hub_ppm"), lit(0L)).as("hub_ppm"),
+        coalesce(col("auth_ppm"), lit(0L)).as("auth_ppm"))
       .localCheckpoint(true)
+    hubRaw.unpersist()
     Checkpoints.release(hub); Checkpoints.release(auth)
-    Checkpoints.release(nodes); e.unpersist()
+    e.unpersist()
     out
   }
 

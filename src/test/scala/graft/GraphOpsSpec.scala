@@ -124,6 +124,50 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  /** Brute-force HITS: the fixed-point integer iteration straight from
+    * the scaladoc — sum-normalize (floor div to total = scale) after
+    * each half-step; nodes outside a half-step's key set score 0.
+    */
+  private def bruteHits(edges: Seq[(Long, Long)], iters: Int,
+                        scale: Long = 1000000L): Map[Long, (Long, Long)] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    var hub = nodes.map(_ -> scale).toMap
+    var auth = Map.empty[Long, Long]
+    (1 to iters).foreach { _ =>
+      val rawA = edges.groupBy(_._2).view
+        .mapValues(_.map(e => hub.getOrElse(e._1, 0L)).sum).toMap
+      val tA = math.max(rawA.values.sum, 1L)
+      auth = rawA.view.mapValues(r => r * scale / tA).toMap
+      val rawH = edges.groupBy(_._1).view
+        .mapValues(_.map(e => auth.getOrElse(e._2, 0L)).sum).toMap
+      val tH = math.max(rawH.values.sum, 1L)
+      hub = rawH.view.mapValues(r => r * scale / tH).toMap
+    }
+    nodes.map(n => n -> (hub.getOrElse(n, 0L), auth.getOrElse(n, 0L))).toMap
+  }
+
+  test("hits: directory hub out-scores leaves; authorities collect hub mass") {
+    // 1 links to {2,3,4}; 4 also links back to 1 — 1 is the hub, 2-4
+    // (and 1, via 4) are authorities
+    val es = Seq((1L, 2L), (1L, 3L), (1L, 4L), (4L, 1L))
+    val got = GraphOps.hits(es.toDF("src", "dst"), iters = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got === bruteHits(es, 3))
+    assert(got(1L)._1 > got(2L)._1, "hub 1 must out-score leaf 2")
+    assert(got(2L)._2 > 0L && got(2L)._1 === 0L, "pure leaf: authority only")
+  }
+
+  test("property: hits equals brute-force integer HITS on random multigraphs") {
+    val edgeGen = Gen.listOfN(30, Gen.zip(Gen.choose(0L, 12L), Gen.choose(0L, 12L)))
+    sample(edgeGen, 6) { es =>
+      if (es.nonEmpty) {
+        val got = GraphOps.hits(es.toDF("src", "dst"), iters = 3)
+          .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+        assert(got === bruteHits(es, 3), s"edges: $es")
+      }
+    }
+  }
+
   /** Brute-force TrustRank: brutePagerank with base mass only on seeds. */
   private def bruteTrust(edges: Seq[(Long, Long)], seeds: Set[Long],
                          iters: Int): Map[Long, Long] = {
@@ -291,6 +335,9 @@ class GraphOpsSpec extends SparkSpec {
     val b3 = live()
     GraphOps.bfsDepths(chain.toDF("src", "dst"), Seq(1L).toDF("id"), maxDepth = 8).collect()
     assert(live() - b3 <= 1, "bfsDepths leaked checkpoints")
+    val b4 = live()
+    GraphOps.hits(chain.toDF("src", "dst"), iters = 4).collect()
+    assert(live() - b4 <= 1, "hits leaked checkpoints")
   }
 
   // ---- anchorTopK ----
