@@ -223,7 +223,9 @@ object Bench {
       // char-distribution concentration (one codegen histogram pass)
       "q118_ivf_audit", "q119_char_stats",
       // second CDC config through the fused chunking kernel
-      "q120_cdc_bands")
+      "q120_cdc_bands",
+      // aHash banding audit (the image sketch family's tuning op)
+      "q121_ahash_audit")
       // dev-loop filter: comma-separated substrings; a production/driver
       // run leaves it unset (or blank) and measures the full headline set
       .filter(n => sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.trim)

@@ -1066,16 +1066,36 @@ object Curation {
     * data). selected ⇔ class offset + within-class running ≤ budget.
     *
     * Scale shape (100 TB): one scoring scan, one histogram exchange,
-    * one broadcast join + per-class window. The equivalent global
-    * ORDER BY quality would range-shuffle the whole corpus.
+    * one broadcast join + the within-class running sum. The equivalent
+    * global ORDER BY quality would range-shuffle the whole corpus.
+    *
+    * The within-class sum is NOT a naive per-class window — that is
+    * skew-bounded by the largest quality class, and a degenerate
+    * corpus (mass-identical docs all scoring exactly the same) would
+    * funnel one class through one reducer. It is [[shardPack]]'s
+    * two-level discipline applied per class: docs bucket by
+    * `idCol DIV bucketWidth` (arithmetic ranges, deterministic), a
+    * (class, bucket) token-total frame gives each bucket its exclusive
+    * within-class offset via a per-class window over BUCKET totals
+    * (corpus/bucketWidth rows worst case — the one-class 10¹⁰-doc
+    * corpus puts 10⁸ summary rows through that reducer, not 10¹⁰
+    * docs; recurse the discipline if even that binds), and the
+    * per-(class, bucket) running sum is bounded by `bucketWidth` rows.
+    * Bucket ranges are id-monotone, so (bucket, id) order ≡ id order
+    * and the result is IDENTICAL to the single-window form
+    * (BudgetSelect degenerate-skew spec pins it). `idCol` must be
+    * integral — the [[shardPack]] contract.
     */
   def budgetSelect(docs: DataFrame, budgetPerMille: Int = 250,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                   idCol: String = "doc_id", textCol: String = "text",
+                   bucketWidth: Long = 64L): DataFrame = {
     require(budgetPerMille > 0 && budgetPerMille <= 1000,
       "budgetPerMille must be in (0, 1000]")
+    require(bucketWidth > 0)
     val scored = docs.select(col(idCol),
         TextAnalysis.qualityScore(col(textCol)).as("quality"),
         TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("bucket", expr(s"$idCol DIV ${bucketWidth}L"))
       .persist()
     val budgetDf = scored.agg(
       expr(s"(sum(n_tokens) * $budgetPerMille) DIV 1000").as("budget"))
@@ -1085,11 +1105,24 @@ object Curation {
     val classCum = hist
       .withColumn("cum_before", coalesce(sum(col("class_tok")).over(wHist), lit(0L)))
       .select("quality", "cum_before")
-    val wClass = Window.partitionBy("quality").orderBy(idCol)
+    // level 1: exclusive within-class offsets of the id-range buckets
+    // (window over (class, bucket) TOTALS, never over docs)
+    val wBuckets = Window.partitionBy("quality").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketCum = scored.groupBy("quality", "bucket")
+      .agg(sum("n_tokens").as("bucket_tok"))
+      .withColumn("bucket_before",
+        coalesce(sum(col("bucket_tok")).over(wBuckets), lit(0L)))
+      .select("quality", "bucket", "bucket_before")
+    // level 2: running sum inside one ≤bucketWidth-id-wide bucket
+    val wInBucket = Window.partitionBy("quality", "bucket").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, 0)
     scored.join(broadcast(classCum), Seq("quality"))
+      .join(bucketCum, Seq("quality", "bucket"))
       .crossJoin(broadcast(budgetDf))
-      .withColumn("cum_tokens", col("cum_before") + sum(col("n_tokens")).over(wClass))
+      .withColumn("cum_tokens",
+        col("cum_before") + col("bucket_before") +
+          sum(col("n_tokens")).over(wInBucket))
       .select(col(idCol), col("quality"), col("n_tokens"), col("cum_tokens"),
         (col("cum_tokens") <= col("budget")).as("selected"))
   }

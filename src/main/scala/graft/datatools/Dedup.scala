@@ -634,7 +634,23 @@ object Dedup {
     */
   def simhashBandingAudit(docs: DataFrame, maxDist: Int = 3,
                           configs: Seq[(Int, Int)] = Seq((2, 32), (4, 16), (8, 8)),
-                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    sigBandingAudit(
+      docs.select(col(idCol).as("id"),
+        graft.functions.MinHashExprs.simhashCol(col(textCol)).as("sig")),
+      maxDist, configs)
+
+  /** The banding audit over an ARBITRARY 64-bit signature frame
+    * `(id, sig)` — the audit core [[simhashBandingAudit]] (q110) and
+    * the image aHash audit ([[Multimodal.imageBandingAudit]], q121)
+    * share, exactly as [[sigBandPairs]] is the shared production path:
+    * the sketch is per-modality, the candidate machinery and its
+    * tuning operator are not. Same contract: sample-scale quadratic BY
+    * DESIGN (exact hamming ground truth), one persisted all-pairs
+    * frame, per-config candidacy as pure bit predicates.
+    */
+  def sigBandingAudit(sigs: DataFrame, maxDist: Int,
+                      configs: Seq[(Int, Int)]): DataFrame = {
     require(configs.nonEmpty, "need at least one banding config")
     configs.foreach { case (b, w) =>
       require(b > 0 && w > 0 && b * w <= 64,
@@ -643,8 +659,7 @@ object Dedup {
     // join inherits the left side's partitioning, so without a spread
     // the whole quadratic audit runs on a single task (measured 170 s
     // vs ~2 s at sf0.1). Same medicine as ngramJaccardPairs.
-    val withSig = docs.repartition(col(idCol)).select(col(idCol).as("id"),
-      graft.functions.MinHashExprs.simhashCol(col(textCol)).as("sig"))
+    val withSig = sigs.repartition(col("id")).select(col("id"), col("sig"))
     val pairsAll = withSig.as("a").join(withSig.as("b"), col("a.id") < col("b.id"))
       .select(col("a.sig").as("sa"), col("b.sig").as("sb"))
       .withColumn("hd", bit_count(col("sa").bitwiseXOR(col("sb"))))

@@ -166,6 +166,24 @@ object Multimodal {
     * guarantees hamming ≤ 7 with no probing; output is
     * (ref_a, ref_b, hamming).
     */
+  /** Banding-parameter audit for the image aHash layer — the q110/q114/
+    * q117/q118 treatment for the LAST approximate family, so every
+    * sketch the pipeline banks on has its tuning operator: recall and
+    * precision of candidate (bands, bitsPerBand) splits of the 64-bit
+    * perceptual hash against exact hamming ground truth, over one
+    * persisted all-pairs frame of a SAMPLE of decoded signatures
+    * (8 B/image — with a real decoder the sample decode dominates, the
+    * audit itself is signature-only). Delegates to the shared
+    * [[Dedup.sigBandingAudit]] core — the same machinery that audits
+    * the text SimHash banding, because the banded candidate join they
+    * parameterize ([[Dedup.sigBandPairs]]) is itself shared.
+    */
+  def imageBandingAudit(feats: Dataset[ImageFeat], maxDist: Int = 7,
+                        configs: Seq[(Int, Int)] = Seq((2, 32), (4, 16), (8, 8))): DataFrame =
+    Dedup.sigBandingAudit(
+      feats.toDF().select(col("media_ref").as("id"), col("ahash").as("sig")),
+      maxDist, configs)
+
   def imageNearDup(feats: Dataset[ImageFeat], maxDist: Int = 7,
                    bands: Int = 8, bitsPerBand: Int = 8): DataFrame = {
     // persist the decoded signatures: both sides of the band-bucket

@@ -1802,6 +1802,11 @@ object OracleSql {
     // boundary rule, different (window, divisor) constants)
     "q120_cdc_bands" -> cdcSql(window = 6, divisor = 8),
 
+    // q121: aHash banding audit — same (maxDist, configs) as the
+    // Spark entry; q116's signature CTEs + q110's audit tail
+    "q121_ahash_audit" -> q121Sql(maxDist = 7,
+      configs = Seq((2, 32), (4, 16), (8, 8))),
+
     // q106: BPE merge training, 6 unrolled rounds — each is one pair
     // count over the word-type table, an ORDER BY ... LIMIT 1 arg-max,
     // and the literal-replace rewrite (both engines' replace is
@@ -2022,8 +2027,9 @@ object OracleSql {
       probes = Seq(1, 2, 4, 8), nQueries = 10),
 
     // q119: char-distribution concentration — integer Simpson ppm over
-    // per-char counts (chars = bytes on the ASCII corpus; empty text
-    // pinned to (0, 0, 10^6) like the Spark expression)
+    // per-character counts (the Spark expression walks UTF-8 code
+    // points, so the two engines agree on any non-combining text, not
+    // just ASCII; empty text pinned to (0, 0, 10^6) on both sides)
     "q119_char_stats" ->
       """WITH nonempty AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
         |cnt AS (SELECT doc_id, ch, count(*)::BIGINT AS c
@@ -2142,14 +2148,13 @@ object OracleSql {
        |FROM cfg ORDER BY bands""".stripMargin
   }
 
-  /** q116: image aHash near-dup — replay the decode stub's md5-derived
-    * 8×8 luma grid (48-bit cells, variant salt inverts ~1/16 of cells),
-    * assemble the 64-bit aHash as UBIGINT, then the q26-style banded
-    * candidate join + hamming verify.
+  /** The q116/q121 shared signature CTE chain: replay the decode
+    * stub's md5-derived 8×8 luma grid (48-bit cells, variant salt
+    * inverts ~1/16 of cells) and assemble the 64-bit aHash as UBIGINT
+    * in `sig(ref, s)`.
     */
-  private def q116Sql(maxDist: Int, bands: Int, bitsPerBand: Int): String = {
-    val mask = (1L << bitsPerBand) - 1
-    s"""WITH refs AS (SELECT DISTINCT
+  private def ahashSigCtes: String =
+    s"""refs AS (SELECT DISTINCT
        |    'img://g' || (doc_id % 40)::VARCHAR || '/v' || (doc_id % 3)::VARCHAR
        |      AS ref,
        |    'g' || (doc_id % 40)::VARCHAR AS key, (doc_id % 3) AS v
@@ -2166,7 +2171,14 @@ object OracleSql {
        |sig AS (SELECT ref,
        |    sum(CASE WHEN l > 140737488355328 THEN (1::UBIGINT << j)
        |        ELSE 0::UBIGINT END)::UBIGINT AS s
-       |  FROM luma GROUP BY 1),
+       |  FROM luma GROUP BY 1)""".stripMargin
+
+  /** q116: image aHash near-dup — [[ahashSigCtes]] + the q26-style
+    * banded candidate join + hamming verify.
+    */
+  private def q116Sql(maxDist: Int, bands: Int, bitsPerBand: Int): String = {
+    val mask = (1L << bitsPerBand) - 1
+    s"""WITH $ahashSigCtes,
        |banded AS (SELECT ref, s, g.band,
        |    (s >> (g.band * $bitsPerBand)) & $mask AS bucket
        |  FROM sig CROSS JOIN generate_series(0, ${bands - 1}) AS g(band)),
@@ -2177,6 +2189,41 @@ object OracleSql {
        |SELECT ref_a, ref_b, bit_count(xor(sa, sb))::INT AS hamming
        |FROM pairs WHERE bit_count(xor(sa, sb)) <= $maxDist
        |ORDER BY ref_a, ref_b""".stripMargin
+  }
+
+  /** q121: aHash banding audit — [[ahashSigCtes]] feeding the q110
+    * audit tail: the shared-machinery story holds in SQL exactly as in
+    * Spark (one all-pairs frame, per-config bit-predicate candidacy).
+    */
+  private def q121Sql(maxDist: Int, configs: Seq[(Int, Int)]): String = {
+    val values = configs.map { case (b, w) => s"($b, $w)" }.mkString(", ")
+    val maxBands = configs.map(_._1).max
+    s"""WITH $ahashSigCtes,
+       |ap AS (SELECT a.ref AS ia, b.ref AS ib, a.s AS sa, b.s AS sb,
+       |    bit_count(xor(a.s, b.s)) AS hd
+       |  FROM sig a JOIN sig b ON a.ref < b.ref),
+       |cfg(bands, bpb) AS (VALUES $values),
+       |c AS (SELECT cfg.bands, cfg.bpb, ap.ia, ap.ib,
+       |    any_value(ap.hd) AS hd,
+       |    max(CASE WHEN ((ap.sa >> (g.b * cfg.bpb)) &
+       |                   ((1::UBIGINT << cfg.bpb) - 1)) =
+       |                  ((ap.sb >> (g.b * cfg.bpb)) &
+       |                   ((1::UBIGINT << cfg.bpb) - 1))
+       |        THEN 1 ELSE 0 END) AS is_cand
+       |  FROM ap CROSS JOIN cfg
+       |  JOIN generate_series(0, ${maxBands - 1}) g(b) ON g.b < cfg.bands
+       |  GROUP BY 1, 2, 3, 4),
+       |agg AS (SELECT bands, bpb AS bits_per_band,
+       |    sum(CASE WHEN hd <= $maxDist THEN 1 ELSE 0 END)::BIGINT AS n_truth,
+       |    sum(is_cand)::BIGINT AS n_candidates,
+       |    sum(CASE WHEN is_cand = 1 AND hd <= $maxDist THEN 1 ELSE 0 END)::BIGINT AS tp
+       |  FROM c GROUP BY 1, 2)
+       |SELECT bands, bits_per_band, n_truth, n_candidates, tp,
+       |  (CASE WHEN n_truth > 0 THEN (tp * 1000000) // n_truth
+       |        ELSE 0 END)::BIGINT AS recall_ppm,
+       |  (CASE WHEN n_candidates > 0 THEN (tp * 1000000) // n_candidates
+       |        ELSE 0 END)::BIGINT AS precision_ppm
+       |FROM agg ORDER BY bands""".stripMargin
   }
 
   /** q108: q106's training chain (minus the token totals) + a per-doc

@@ -1549,6 +1549,22 @@ object Queries {
   def q120CdcBands(spark: SparkSession, dir: String): DataFrame =
     Dedup.cdcChunkDedup(t(spark, dir, "documents"), window = 6, divisor = 8)
 
+  // q121 — aHash banding-parameter audit: the image perceptual-hash
+  // layer (q116) was the one approximate family without a tuning
+  // operator — this closes the symmetry by running the q110 audit core
+  // over DECODED image signatures (shared sigBandingAudit, because the
+  // production candidate join is the shared sigBandPairs). Three ways
+  // to split the 64-bit aHash, audited against exact hamming ≤ 7
+  // ground truth on the decoded sample.
+  def q121AhashAudit(spark: SparkSession, dir: String): DataFrame = {
+    val refs = t(spark, dir, "documents").select(
+      concat(lit("img://g"), (col("doc_id") % 40).cast("string"),
+        lit("/v"), (col("doc_id") % 3).cast("string")).as("media_ref"))
+    Multimodal.imageBandingAudit(Multimodal.withImageFeatures(spark, refs),
+        maxDist = 7, configs = Seq((2, 32), (4, 16), (8, 8)))
+      .orderBy("bands")
+  }
+
   /** name → query, in SURVEY.md §2 coverage order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_agg_pushdown" -> (q01AggPushdown _),
@@ -1670,6 +1686,7 @@ object Queries {
     "q117_hyperplane_audit" -> (q117HyperplaneAudit _),
     "q118_ivf_audit" -> (q118IvfAudit _),
     "q119_char_stats" -> (q119CharStats _),
-    "q120_cdc_bands" -> (q120CdcBands _)
+    "q120_cdc_bands" -> (q120CdcBands _),
+    "q121_ahash_audit" -> (q121AhashAudit _)
   )
 }

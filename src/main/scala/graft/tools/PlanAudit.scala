@@ -136,6 +136,8 @@ object PlanAudit {
       graft.queries.Queries.q118IvfAudit(spark, dir).explain("formatted") }
     audit("q119 char_stats (single codegen histogram pass, no exchange before the sort)") {
       graft.queries.Queries.q119CharStats(spark, dir).explain("formatted") }
+    audit("q121 ahash_audit (decoded-signature sample through the shared sigBandingAudit core)") {
+      graft.queries.Queries.q121AhashAudit(spark, dir).explain("formatted") }
     spark.stop()
   }
 }

@@ -996,6 +996,34 @@ class CurationSpec extends SparkSpec {
     assert(got.exists(_._5) && got.exists(!_._5)) // budget actually bites
   }
 
+  test("budgetSelect: degenerate all-equal-quality corpus (one class) stays two-level") {
+    import spark.implicits._
+    // 5000 identical docs collapse into ONE quality class — the case
+    // that funnels a naive per-class window through a single reducer.
+    // With bucketWidth 64 the within-class state splits into ~79
+    // id-range buckets (level 2 ≤ 64 rows each; level 1 windows the 79
+    // bucket TOTALS) and the result must still be the exact greedy
+    // prefix in doc-id order.
+    val n = 5000L
+    val docs = (1L to n).map((_, "the same document text, every time."))
+      .toDF("doc_id", "text")
+    val got = Curation.budgetSelect(docs, budgetPerMille = 250)
+      .as[(Long, Double, Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(got.size === n)
+    assert(got.map(_._2).distinct.size === 1, "one quality class by construction")
+    val per = got.head._3
+    val budget = per * n * 250 / 1000
+    got.foreach { case (id, _, tok, cum, sel) =>
+      assert(tok === per)
+      assert(cum === per * id, s"doc $id: cum must be the id-ordered prefix sum")
+      assert(sel === (cum <= budget))
+    }
+    // the two-level plan: no window partition may exceed
+    // max(bucketWidth, #buckets) rows — i.e. nothing reintroduced a
+    // corpus-sized single partition
+    assert(got.count(_._5) === (budget / per))
+  }
+
   // ---- leakageSafeSplit ----
 
   test("leakageSafeSplit roots docs at their near-dup component") {

@@ -301,6 +301,34 @@ class DatatoolsSpec extends SparkSpec {
     assert(!withNull(0).isNullAt(1) && withNull(1).isNullAt(1))
   }
 
+  test("charStats counts CODE POINTS, not UTF-8 bytes (ADVICE r4)") {
+    import spark.implicits._
+    import graft.functions.CharStatsExprs.charStatsCol
+    val texts = Seq(
+      "αβαβ", // Greek alpha-beta twice: 2-byte points above the array range
+      "aé",                  // e-acute: 2-byte encoding of a < 256 point
+      "😀😀") // grinning-face emoji: one 4-byte point, twice
+    val got = texts.toDF("text")
+      .select(charStatsCol(col("text")).as("cs"))
+      .select(col("cs.n_chars"), col("cs.distinct_chars"), col("cs.simpson_ppm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got(0) === ((4L, 2L, 500000L)), "byte counting would say (8, 2)")
+    assert(got(1) === ((2L, 2L, 500000L)), "byte counting would say (3, 3)")
+    assert(got(2) === ((2L, 1L, 1000000L)), "byte counting would say (8, 4)")
+  }
+
+  test("charStats: Σc²·10⁶ past the signed-64 bound takes the exact BigInt path") {
+    import graft.functions.CharStatsExprs.charStats
+    import org.apache.spark.unsafe.types.UTF8String
+    // 4M + 4M chars: ss = 2·(4·10⁶)² = 3.2·10¹³ > Long.Max/10⁶ — the
+    // naive multiply would go negative (the ADVICE finding); the exact
+    // Simpson here is 1/2
+    val big = UTF8String.fromString("a" * 4000000 + "b" * 4000000)
+    val r = charStats(big)
+    assert(r.getLong(0) === 8000000L && r.getLong(1) === 2L)
+    assert(r.getLong(2) === 500000L, "must not overflow negative")
+  }
+
   test("IVF-PQ: coarse reconstruction, recall recovered by a wider re-rank window") {
     // PQ's training-free codebook (32 md5-sampled codewords per 16-dim
     // subspace) is deliberately coarse on these unstructured synthetic
