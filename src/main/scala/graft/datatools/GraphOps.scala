@@ -40,9 +40,13 @@ object GraphOps {
     * @param pairs one row per undirected edge; self-loops and
     *              duplicate/reversed edges are tolerated (normalized
     *              away).
+    * @param onRound called with the 1-based round number after each
+    *                round's labels have fully materialized — a timing/
+    *                telemetry seam (the IterSoak tool's per-round wall
+    *                clock); no-op by default, no effect on the result.
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
-                          maxIter: Int = 50): DataFrame = {
+                          maxIter: Int = 50, onRound: Int => Unit = _ => ()): DataFrame = {
     val spark = pairs.sparkSession
     // symmetric edge list (u ~ v both ways), self-loops dropped — the
     // one shuffle key the whole loop re-uses is `v` (the join side)
@@ -85,6 +89,7 @@ object GraphOps {
       // of the node set
       Checkpoints.release(labels)
       labels = next.select("id", "lbl")
+      onRound(iter)
     }
     edges.unpersist()
     labels.select(col("id"), col("lbl").as("cluster_id"))
@@ -133,7 +138,8 @@ object GraphOps {
     */
   def linkAuthority(edges: DataFrame, iters: Int = 3, dampingPct: Int = 85,
                     scale: Long = 1000000L,
-                    srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+                    srcCol: String = "src", dstCol: String = "dst",
+                    onRound: Int => Unit = _ => ()): DataFrame = {
     require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val nodes = e.select(col("src").as("id"))
@@ -143,7 +149,7 @@ object GraphOps {
     val eDeg = e.join(outdeg, "src").persist(StorageLevel.MEMORY_AND_DISK)
     val base = scale * (100 - dampingPct) / 100
     var ranks = nodes.select(col("id"), lit(scale).as("rank")).localCheckpoint(true)
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { i =>
       val contrib = eDeg.join(ranks, eDeg("src") === ranks("id"))
         .select(col("dst"), expr("rank DIV outdeg").as("share"))
         .groupBy(col("dst")).agg(sum(col("share")).as("m"))
@@ -154,6 +160,7 @@ object GraphOps {
             .as("rank"))
         .localCheckpoint(true)
       Checkpoints.release(prev) // superseded round's blocks
+      onRound(i) // ranks materialized above — the IterSoak timing seam
     }
     eDeg.unpersist()
     Checkpoints.release(nodes) // final ranks is checkpointed; nodes is dead
