@@ -55,6 +55,33 @@ object Bench {
     s
   }
 
+  /** Fixed-work host-speed probe: 32 threads each run a deterministic
+    * xorshift loop of fixed iteration count; returns wall seconds.
+    * Quiet-host wall is ~0.8 s on this VM; external CPU load inflates it roughly
+    * in proportion to the cores it steals, so a probe shipped
+    * IMMEDIATELY BEFORE each measured crawl leg gives every leg its
+    * own numeric contention evidence — the round-4 VERDICT's "tiny
+    * fixed reference workload per leg" (runs 10/13/14 could only
+    * argue their burst-hit legs from cross-run prose). Thread count
+    * is fixed at 32 regardless of the leg's parallelism: the probe
+    * measures the HOST's available capacity, not the leg's share.
+    */
+  private def hostProbe(itersPerThread: Long = 400000000L): Double = {
+    val t0 = System.nanoTime()
+    val sink = new java.util.concurrent.atomic.AtomicLong
+    val ts = (1 to 32).map { t =>
+      val th = new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L + t
+        var i = 0L
+        while (i < itersPerThread) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+        sink.addAndGet(x) // defeat dead-code elimination
+      })
+      th.setDaemon(true); th.start(); th
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** One crawl at the given parallelism; returns (urls fetched+converted, seconds). */
   private def crawlOnce(threads: Int, seeds: Int, rounds: Int): (Long, Double) = {
     SparkSession.clearActiveSession()
@@ -312,6 +339,12 @@ object Bench {
     // including the warm-state cuckoo/bloom delta paths of round 2.
     crawlOnce(32, seeds, rounds)
     crawlOnce(32, seeds, rounds)
+    // probe JIT warmup (unmeasured): the xorshift loop reaches C2 in
+    // one pass, the second confirms steady state
+    hostProbe(); hostProbe()
+    val probeN = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val probe4N = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val probe32 = scala.collection.mutable.ArrayBuffer.empty[Double]
     // headline local[32] legs: MEDIAN of >= 3 legs SPREAD ACROSS the
     // ~30-min protocol (one right after warmup, the rest interleaved
     // between/after the pair legs), with every leg's wall time shipped
@@ -324,6 +357,7 @@ object Bench {
     val legs32 = sys.env.getOrElse("SPARK_GRAFT_BENCH_32_LEGS", "3").toInt
     require(legs32 >= 1, s"SPARK_GRAFT_BENCH_32_LEGS must be >= 1, got $legs32")
     val leg32 = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    probe32 += hostProbe()
     leg32 += crawlOnce(32, seeds, rounds) // leg 1: straight after warmup
     // remaining legs evenly over the pair sequence (the last lands
     // after the final pair)
@@ -336,15 +370,22 @@ object Bench {
     // drifting host's later (slower/faster) minutes
     val pairRuns = (1 to reps).map { i =>
       val pair = if (i % 2 == 1) {
+        probeN += hostProbe()
         val (f2, s2) = crawlOnce(2, seeds, rounds)
+        probe4N += hostProbe()
         val (_, s8) = crawlOnce(8, seeds, rounds)
         (f2, s2, s8)
       } else {
+        probe4N += hostProbe()
         val (_, s8) = crawlOnce(8, seeds, rounds)
+        probeN += hostProbe()
         val (f2, s2) = crawlOnce(2, seeds, rounds)
         (f2, s2, s8)
       }
-      (1 to legAfterPair.count(_ == i)).foreach(_ => leg32 += crawlOnce(32, seeds, rounds))
+      (1 to legAfterPair.count(_ == i)).foreach { _ =>
+        probe32 += hostProbe()
+        leg32 += crawlOnce(32, seeds, rounds)
+      }
       pair
     }
     val s2runs = pairRuns.map(_._2); val s8runs = pairRuns.map(_._3)
@@ -374,6 +415,6 @@ object Bench {
     val benchOnlyJson = benchOnly.map(f => "\"" + f + "\"").getOrElse("null")
     val thr32runs = leg32.map { case (f, s) => f / s }.toSeq
     println(
-      f"""{"metric":"frontier throughput (URLs fetched+converted/sec) at local[32]","value":$thr32%.1f,"unit":"urls/sec","bench_only":$benchOnlyJson,"queries":$qs,"query_protocol":"median of $qreps warm passes per query (pass-major interleaved) after 1 unmeasured warmup","query_runs":$qruns,"sf":"$sfDir","crawl":{"urls_per_run":$urls,"n_pair":"local[2] -> local[8]","protocol":"median of per-pair ratios over $reps interleaved (N,4N) pairs, alternating order, AQE off (plan parity)","sec_n_median":$s2%.2f,"sec_n_runs":${runsJson(s2runs)},"urls_per_sec_n":$thr2%.1f,"sec_4n_median":$s8%.2f,"sec_4n_runs":${runsJson(s8runs)},"urls_per_sec_4n":$thr8%.1f,"pair_efficiencies":${runsJson(pairEffs)},"scaling_efficiency_n_to_4n":$eff%.3f,"local32_protocol":"median of $legs32 full-size legs interleaved across the protocol (leg 1 after warmup, rest spread over the pair sequence)","urls_local32":$f32,"sec_local32_runs":${runsJson(s32runs)},"sec_local32":$s32%.2f,"urls_per_sec_local32_runs":${runsJson(thr32runs)},"urls_per_sec_local32":$thr32%.1f},"total_query_sec":$totalQuerySec%.2f}""")
+      f"""{"metric":"frontier throughput (URLs fetched+converted/sec) at local[32]","value":$thr32%.1f,"unit":"urls/sec","bench_only":$benchOnlyJson,"queries":$qs,"query_protocol":"median of $qreps warm passes per query (pass-major interleaved) after 1 unmeasured warmup","query_runs":$qruns,"sf":"$sfDir","crawl":{"urls_per_run":$urls,"n_pair":"local[2] -> local[8]","protocol":"median of per-pair ratios over $reps interleaved (N,4N) pairs, alternating order, AQE off (plan parity)","sec_n_median":$s2%.2f,"sec_n_runs":${runsJson(s2runs)},"urls_per_sec_n":$thr2%.1f,"sec_4n_median":$s8%.2f,"sec_4n_runs":${runsJson(s8runs)},"urls_per_sec_4n":$thr8%.1f,"pair_efficiencies":${runsJson(pairEffs)},"scaling_efficiency_n_to_4n":$eff%.3f,"host_probe":{"protocol":"32-thread fixed-work xorshift wall sec immediately before each measured leg; quiet ~0.8s on this host, inflation = external load","n_runs":${runsJson(probeN.toSeq)},"4n_runs":${runsJson(probe4N.toSeq)},"local32_runs":${runsJson(probe32.toSeq)}},"local32_protocol":"median of $legs32 full-size legs interleaved across the protocol (leg 1 after warmup, rest spread over the pair sequence)","urls_local32":$f32,"sec_local32_runs":${runsJson(s32runs)},"sec_local32":$s32%.2f,"urls_per_sec_local32_runs":${runsJson(thr32runs)},"urls_per_sec_local32":$thr32%.1f},"total_query_sec":$totalQuerySec%.2f}""")
   }
 }
