@@ -58,8 +58,8 @@ object Bench {
   /** Fixed-work host-speed probe: 32 threads each run a deterministic
     * xorshift loop of fixed iteration count; returns wall seconds.
     * Quiet-host wall is ~0.8 s on this VM; external CPU load inflates it roughly
-    * in proportion to the cores it steals, so a probe shipped
-    * IMMEDIATELY BEFORE each measured crawl leg gives every leg its
+    * in proportion to the cores it steals, so probes BRACKETING each
+    * measured crawl leg (before + after) give every leg its
     * own numeric contention evidence — the round-4 VERDICT's "tiny
     * fixed reference workload per leg" (runs 10/13/14 could only
     * argue their burst-hit legs from cross-run prose). Thread count
@@ -80,6 +80,45 @@ object Bench {
     }
     ts.foreach(_.join())
     (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Memory-bandwidth probe: 8 threads stream-sum disjoint 64 MB long
+    * arrays (16 passes each, 8 GB total traffic); returns achieved
+    * GB/s. Run 17 exposed the CPU probe's blind spot: its 4N legs
+    * inflated 15–30% while every xorshift probe sat at the quiet
+    * baseline — the contending resource was not CPU at all. A
+    * register-resident loop is immune to MEMORY-BANDWIDTH co-tenancy,
+    * which is precisely the resource an 8-thread shuffle-heavy crawl
+    * leg saturates and a 2-thread leg barely touches (the observed
+    * asymmetric 4N-only inflation). This probe measures that resource
+    * directly; together the pair separates three cases a slow leg can
+    * claim: CPU stolen (cpu probe inflated), bandwidth contended
+    * (gbps down, cpu quiet — run 17's window), or code regression
+    * (both quiet). Buffers are allocated once and reused.
+    */
+  private lazy val memBufs: Array[Array[Long]] =
+    Array.fill(8)(Array.tabulate(8 << 20)(i => i.toLong)) // 8 × 64 MB
+  private def memProbe(): Double = {
+    val passes = 16
+    val sink = new java.util.concurrent.atomic.AtomicLong
+    val t0 = System.nanoTime()
+    val ts = memBufs.map { buf =>
+      val th = new Thread(() => {
+        var s = 0L
+        var p = 0
+        while (p < passes) {
+          var i = 0
+          while (i < buf.length) { s += buf(i); i += 1 }
+          p += 1
+        }
+        sink.addAndGet(s)
+      })
+      th.setDaemon(true); th.start(); th
+    }
+    ts.foreach(_.join())
+    val secs = (System.nanoTime() - t0) / 1e9
+    val bytes = memBufs.length.toLong * memBufs(0).length * 8L * passes
+    bytes / secs / 1e9
   }
 
   /** One crawl at the given parallelism; returns (urls fetched+converted, seconds). */
@@ -339,12 +378,27 @@ object Bench {
     // including the warm-state cuckoo/bloom delta paths of round 2.
     crawlOnce(32, seeds, rounds)
     crawlOnce(32, seeds, rounds)
-    // probe JIT warmup (unmeasured): the xorshift loop reaches C2 in
-    // one pass, the second confirms steady state
-    hostProbe(); hostProbe()
-    val probeN = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val probe4N = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val probe32 = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // probe JIT warmup (unmeasured): the loops reach C2 in one pass,
+    // the second confirms steady state
+    hostProbe(); hostProbe(); memProbe(); memProbe()
+    // per measured leg: (cpu_before, cpu_after) wall sec and
+    // (gbps_before, gbps_after) — BRACKETING, not a single point
+    // sample, because run 17 showed a burst can begin after a
+    // pre-leg probe and still own the whole leg
+    val probeN = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    val probe4N = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    val probe32 = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    val gbpsN = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    val gbps4N = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    val gbps32 = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    def probedLeg[T](cpuBuf: scala.collection.mutable.ArrayBuffer[(Double, Double)],
+                     gbpsBuf: scala.collection.mutable.ArrayBuffer[(Double, Double)])(leg: => T): T = {
+      val cb = hostProbe(); val gb = memProbe()
+      val r = leg
+      val ca = hostProbe(); val ga = memProbe()
+      cpuBuf += ((cb, ca)); gbpsBuf += ((gb, ga))
+      r
+    }
     // headline local[32] legs: MEDIAN of >= 3 legs SPREAD ACROSS the
     // ~30-min protocol (one right after warmup, the rest interleaved
     // between/after the pair legs), with every leg's wall time shipped
@@ -357,8 +411,7 @@ object Bench {
     val legs32 = sys.env.getOrElse("SPARK_GRAFT_BENCH_32_LEGS", "3").toInt
     require(legs32 >= 1, s"SPARK_GRAFT_BENCH_32_LEGS must be >= 1, got $legs32")
     val leg32 = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
-    probe32 += hostProbe()
-    leg32 += crawlOnce(32, seeds, rounds) // leg 1: straight after warmup
+    leg32 += probedLeg(probe32, gbps32)(crawlOnce(32, seeds, rounds)) // leg 1: straight after warmup
     // remaining legs evenly over the pair sequence (the last lands
     // after the final pair)
     val legAfterPair: Seq[Int] =
@@ -370,21 +423,16 @@ object Bench {
     // drifting host's later (slower/faster) minutes
     val pairRuns = (1 to reps).map { i =>
       val pair = if (i % 2 == 1) {
-        probeN += hostProbe()
-        val (f2, s2) = crawlOnce(2, seeds, rounds)
-        probe4N += hostProbe()
-        val (_, s8) = crawlOnce(8, seeds, rounds)
+        val (f2, s2) = probedLeg(probeN, gbpsN)(crawlOnce(2, seeds, rounds))
+        val (_, s8) = probedLeg(probe4N, gbps4N)(crawlOnce(8, seeds, rounds))
         (f2, s2, s8)
       } else {
-        probe4N += hostProbe()
-        val (_, s8) = crawlOnce(8, seeds, rounds)
-        probeN += hostProbe()
-        val (f2, s2) = crawlOnce(2, seeds, rounds)
+        val (_, s8) = probedLeg(probe4N, gbps4N)(crawlOnce(8, seeds, rounds))
+        val (f2, s2) = probedLeg(probeN, gbpsN)(crawlOnce(2, seeds, rounds))
         (f2, s2, s8)
       }
       (1 to legAfterPair.count(_ == i)).foreach { _ =>
-        probe32 += hostProbe()
-        leg32 += crawlOnce(32, seeds, rounds)
+        leg32 += probedLeg(probe32, gbps32)(crawlOnce(32, seeds, rounds))
       }
       pair
     }
@@ -410,11 +458,13 @@ object Bench {
       .mkString("{", ",", "}")
     val totalQuerySec = results.map(_._2).sum
     def runsJson(xs: Seq[Double]): String = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
+    def pairsJson(xs: Seq[(Double, Double)]): String =
+      xs.map { case (b, a) => f"[$b%.2f,$a%.2f]" }.mkString("[", ",", "]")
     val qruns = runsByQuery.map { case (k, rs) => "\"" + k + "\":" + runsJson(rs.toSeq) }
       .mkString("{", ",", "}")
     val benchOnlyJson = benchOnly.map(f => "\"" + f + "\"").getOrElse("null")
     val thr32runs = leg32.map { case (f, s) => f / s }.toSeq
     println(
-      f"""{"metric":"frontier throughput (URLs fetched+converted/sec) at local[32]","value":$thr32%.1f,"unit":"urls/sec","bench_only":$benchOnlyJson,"queries":$qs,"query_protocol":"median of $qreps warm passes per query (pass-major interleaved) after 1 unmeasured warmup","query_runs":$qruns,"sf":"$sfDir","crawl":{"urls_per_run":$urls,"n_pair":"local[2] -> local[8]","protocol":"median of per-pair ratios over $reps interleaved (N,4N) pairs, alternating order, AQE off (plan parity)","sec_n_median":$s2%.2f,"sec_n_runs":${runsJson(s2runs)},"urls_per_sec_n":$thr2%.1f,"sec_4n_median":$s8%.2f,"sec_4n_runs":${runsJson(s8runs)},"urls_per_sec_4n":$thr8%.1f,"pair_efficiencies":${runsJson(pairEffs)},"scaling_efficiency_n_to_4n":$eff%.3f,"host_probe":{"protocol":"32-thread fixed-work xorshift wall sec immediately before each measured leg; quiet ~0.8s on this host, inflation = external load","n_runs":${runsJson(probeN.toSeq)},"4n_runs":${runsJson(probe4N.toSeq)},"local32_runs":${runsJson(probe32.toSeq)}},"local32_protocol":"median of $legs32 full-size legs interleaved across the protocol (leg 1 after warmup, rest spread over the pair sequence)","urls_local32":$f32,"sec_local32_runs":${runsJson(s32runs)},"sec_local32":$s32%.2f,"urls_per_sec_local32_runs":${runsJson(thr32runs)},"urls_per_sec_local32":$thr32%.1f},"total_query_sec":$totalQuerySec%.2f}""")
+      f"""{"metric":"frontier throughput (URLs fetched+converted/sec) at local[32]","value":$thr32%.1f,"unit":"urls/sec","bench_only":$benchOnlyJson,"queries":$qs,"query_protocol":"median of $qreps warm passes per query (pass-major interleaved) after 1 unmeasured warmup","query_runs":$qruns,"sf":"$sfDir","crawl":{"urls_per_run":$urls,"n_pair":"local[2] -> local[8]","protocol":"median of per-pair ratios over $reps interleaved (N,4N) pairs, alternating order, AQE off (plan parity)","sec_n_median":$s2%.2f,"sec_n_runs":${runsJson(s2runs)},"urls_per_sec_n":$thr2%.1f,"sec_4n_median":$s8%.2f,"sec_4n_runs":${runsJson(s8runs)},"urls_per_sec_4n":$thr8%.1f,"pair_efficiencies":${runsJson(pairEffs)},"scaling_efficiency_n_to_4n":$eff%.3f,"host_probe":{"protocol":"per measured leg, [before,after] brackets of two fixed-work probes: cpu = 32-thread xorshift wall sec (quiet ~0.8s; inflated = CPU stolen) and gbps = 8-thread 8GB stream-sum bandwidth, quiet ~45GB/s on this host (inflated legs with quiet cpu + depressed gbps = memory-bandwidth co-tenancy, run 17's window; both quiet on a slow leg would indicate code regression)","cpu":{"n":${pairsJson(probeN.toSeq)},"4n":${pairsJson(probe4N.toSeq)},"local32":${pairsJson(probe32.toSeq)}},"gbps":{"n":${pairsJson(gbpsN.toSeq)},"4n":${pairsJson(gbps4N.toSeq)},"local32":${pairsJson(gbps32.toSeq)}}},"local32_protocol":"median of $legs32 full-size legs interleaved across the protocol (leg 1 after warmup, rest spread over the pair sequence)","urls_local32":$f32,"sec_local32_runs":${runsJson(s32runs)},"sec_local32":$s32%.2f,"urls_per_sec_local32_runs":${runsJson(thr32runs)},"urls_per_sec_local32":$thr32%.1f},"total_query_sec":$totalQuerySec%.2f}""")
   }
 }
