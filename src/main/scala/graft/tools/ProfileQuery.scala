@@ -22,6 +22,9 @@ object ProfileQuery {
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", s"$fastDir/graft-spark-local")
       .config("spark.sql.session.timeZone", "UTC")
+      // match Bench.newSession exactly so profiled plans/timings predict
+      // the bench's (the default 10MB threshold changes join strategies)
+      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val qmap = graft.SparkEntry.queries
@@ -36,7 +39,13 @@ object ProfileQuery {
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
+          val dt = (System.nanoTime() - t0) / 1e9
+          // bench isolates passes the same way — without this, queries
+          // that persist internal frames read their own warm cache on
+          // rep 2+ and the profile understates the bench number
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+          dt
         }
         println(f"PROFILE $name best=${times.min}%.2fs runs=${times.map(t => f"$t%.2f").mkString(",")}")
       }
