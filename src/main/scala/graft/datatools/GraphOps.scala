@@ -79,11 +79,19 @@ object GraphOps {
       // 2. pointer jumping: follow my (new) label to ITS label — chains
       //    of stale labels collapse a level per round
       val jump = labels.select(col("id").as("jid"), col("lbl").as("jlbl"))
+      // the convergence guard rides as an OBSERVED metric on the same
+      // plan, so the eager checkpoint's materialization job delivers
+      // both the labels AND the changed-count — one job per round, not
+      // a checkpoint job plus a count job (guide §1.2: fewer passes;
+      // measured ~0.1 s/round of pure scheduling at sf0.1)
+      val obs = org.apache.spark.sql.Observation()
       val next = cand.join(jump, cand("lbl1") === jump("jid"), "left")
         .select(col("id"), least(col("lbl1"), coalesce(col("jlbl"), col("lbl1"))).as("lbl"),
           col("old"))
+        .observe(obs, sum(when(col("lbl") =!= col("old"), 1L).otherwise(0L)).as("changed"))
         .localCheckpoint(true) // eager: next is materialized here
-      changed = next.filter(col("lbl") =!= col("old")).count()
+      changed = obs.get.get("changed").flatMap(Option(_)) // null ⇔ empty round
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
       // next's lineage is truncated, so the previous round's checkpoint
       // blocks are dead — release them or an R-round run pins R copies
       // of the node set
@@ -148,18 +156,21 @@ object GraphOps {
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val eDeg = e.join(outdeg, "src").persist(StorageLevel.MEMORY_AND_DISK)
     val base = scale * (100 - dampingPct) / 100
-    var ranks = nodes.select(col("id"), lit(scale).as("rank")).localCheckpoint(true)
+    // rank₀ is a pure projection over the checkpointed node set — it
+    // folds into round 1's job instead of paying its own checkpoint job
+    var ranks = nodes.select(col("id"), lit(scale).as("rank"))
+    var prevCkpt: DataFrame = null
     (1 to iters).foreach { i =>
       val contrib = eDeg.join(ranks, eDeg("src") === ranks("id"))
         .select(col("dst"), expr("rank DIV outdeg").as("share"))
         .groupBy(col("dst")).agg(sum(col("share")).as("m"))
-      val prev = ranks
       ranks = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
         .select(col("id"),
           (lit(base) + expr(s"(bigint($dampingPct) * coalesce(m, bigint(0))) DIV 100"))
             .as("rank"))
-        .localCheckpoint(true)
-      Checkpoints.release(prev) // superseded round's blocks
+      ranks = ranks.localCheckpoint(true)
+      if (prevCkpt != null) Checkpoints.release(prevCkpt) // superseded round
+      prevCkpt = ranks
       onRound(i) // ranks materialized above — the IterSoak timing seam
     }
     eDeg.unpersist()
@@ -197,18 +208,21 @@ object GraphOps {
     val outw = we.groupBy(col("src")).agg(sum(col("w")).as("outw"))
     val eW = we.join(outw, "src").persist(StorageLevel.MEMORY_AND_DISK)
     val base = scale * (100 - dampingPct) / 100
-    var ranks = nodes.select(col("id"), lit(scale).as("rank")).localCheckpoint(true)
-    (1 to iters).foreach { _ =>
+    // rank₀ lazy + optional lazy final round — the [[linkAuthority]]
+    // job-count discipline
+    var ranks = nodes.select(col("id"), lit(scale).as("rank"))
+    var prevCkpt: DataFrame = null
+    (1 to iters).foreach { i =>
       val contrib = eW.join(ranks, eW("src") === ranks("id"))
         .select(col("dst"), expr("(rank * w) DIV outw").as("share"))
         .groupBy(col("dst")).agg(sum(col("share")).as("m"))
-      val prev = ranks
       ranks = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
         .select(col("id"),
           (lit(base) + expr(s"(bigint($dampingPct) * coalesce(m, bigint(0))) DIV 100"))
             .as("rank"))
-        .localCheckpoint(true)
-      Checkpoints.release(prev)
+      ranks = ranks.localCheckpoint(true)
+      if (prevCkpt != null) Checkpoints.release(prevCkpt)
+      prevCkpt = ranks
     }
     eW.unpersist()
     Checkpoints.release(nodes)
@@ -294,21 +308,23 @@ object GraphOps {
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val eDeg = e.join(outdeg, "src").persist(StorageLevel.MEMORY_AND_DISK)
     val base = scale * (100 - dampingPct) / 100
+    // rank₀ lazy + optional lazy final round — the [[linkAuthority]]
+    // job-count discipline
     var ranks = nodes
       .select(col("id"), when(col("is_seed"), scale).otherwise(0L).as("rank"))
-      .localCheckpoint(true)
-    (1 to iters).foreach { _ =>
+    var prevCkpt: DataFrame = null
+    (1 to iters).foreach { i =>
       val contrib = eDeg.join(ranks, eDeg("src") === ranks("id"))
         .select(col("dst"), expr("rank DIV outdeg").as("share"))
         .groupBy(col("dst")).agg(sum(col("share")).as("m"))
-      val prev = ranks
       ranks = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
         .select(col("id"),
           (when(col("is_seed"), base).otherwise(0L) +
             expr(s"(bigint($dampingPct) * coalesce(m, bigint(0))) DIV 100"))
             .as("rank"))
-        .localCheckpoint(true)
-      Checkpoints.release(prev)
+      ranks = ranks.localCheckpoint(true)
+      if (prevCkpt != null) Checkpoints.release(prevCkpt)
+      prevCkpt = ranks
     }
     eDeg.unpersist()
     Checkpoints.release(nodes)
@@ -325,8 +341,13 @@ object GraphOps {
   def bfsDepths(edges: DataFrame, seeds: DataFrame, maxDepth: Int,
                 srcCol: String = "src", dstCol: String = "dst",
                 idCol: String = "id"): DataFrame = {
-    // eager localCheckpoint per level: truncates the union-of-unions
-    // lineage (see the connectedComponents note)
+    // The emptiness guard rides as an OBSERVED metric on the frontier
+    // checkpoint's own materialization job — two actions per level
+    // (frontier checkpoint, visited-union checkpoint) instead of three
+    // (the isEmpty job is gone; guide §1.2: fewer passes). The
+    // union-of-unions lineage still truncates eagerly per level and
+    // superseded checkpoints release immediately, so ≤ 2 block sets are
+    // ever live (the GraphOpsSpec hygiene pin).
     var visited = seeds.select(col(idCol).as("id")).distinct()
       .select(col("id"), lit(0).as("depth"))
       .localCheckpoint(true)
@@ -334,15 +355,18 @@ object GraphOps {
     var d = 0
     while (d < maxDepth) {
       d += 1
+      val obs = org.apache.spark.sql.Observation()
       val next = frontier.join(edges, frontier("id") === edges(srcCol))
         .select(col(dstCol).as("id")).distinct()
         .join(visited, Seq("id"), "left_anti") // left-anti ⇒ depth = MIN distance
         .select(col("id"), lit(d).as("depth"))
+        .observe(obs, count(lit(1)).as("n"))
         .localCheckpoint(true)
+      val n = obs.get.get("n").flatMap(Option(_)).map(_.asInstanceOf[Long]).getOrElse(0L)
       // the previous level's frontier checkpoint is superseded (its
       // rows live on in `visited`); at d = 1 frontier IS visited — keep
       if (frontier ne visited) Checkpoints.release(frontier)
-      if (next.isEmpty) { Checkpoints.release(next); return visited }
+      if (n == 0L) { Checkpoints.release(next); return visited }
       val prev = visited
       visited = visited.unionByName(next).localCheckpoint(true)
       Checkpoints.release(prev)
@@ -640,9 +664,11 @@ object GraphOps {
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id"))).distinct()
       .localCheckpoint(true)
+    // label₀ lazy + optional lazy final round — the [[linkAuthority]]
+    // job-count discipline
     var labels = nodes.select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
-    (1 to iters).foreach { _ =>
+    var prevCkpt: DataFrame = null
+    (1 to iters).foreach { i =>
       val counted = nbrs.join(labels, nbrs("b") === labels("id"))
         .groupBy(col("a"), col("label")).agg(count(lit(1)).as("cnt"))
       // argmax by (cnt desc, label asc) as a struct-min partial agg —
@@ -650,11 +676,11 @@ object GraphOps {
       val won = counted.groupBy(col("a"))
         .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l")))
           .getField("l").as("new_label"))
-      val prev = labels
       labels = nodes.join(won, nodes("id") === won("a"), "left")
         .select(col("id"), coalesce(col("new_label"), col("id")).as("label"))
-        .localCheckpoint(true)
-      Checkpoints.release(prev)
+      labels = labels.localCheckpoint(true)
+      if (prevCkpt != null) Checkpoints.release(prevCkpt)
+      prevCkpt = labels
     }
     nbrs.unpersist()
     Checkpoints.release(nodes)
