@@ -660,32 +660,53 @@ object Dedup {
     // the whole quadratic audit runs on a single task (measured 170 s
     // vs ~2 s at sf0.1). Same medicine as ngramJaccardPairs.
     val withSig = sigs.repartition(col("id")).select(col("id"), col("sig"))
-    val pairsAll = withSig.as("a").join(withSig.as("b"), col("a.id") < col("b.id"))
-      .select(col("a.sig").as("sa"), col("b.sig").as("sb"))
-      .withColumn("hd", bit_count(col("sa").bitwiseXOR(col("sb"))))
-      .persist()
-    val truth = col("hd") <= maxDist
-    val rows = configs.map { case (bands, w) =>
+    // ∃ band with equal masked slices — sign extension is irrelevant
+    // under the mask, but shiftrightunsigned matches the UBIGINT twin.
+    // Every config's candidacy is a pure bit predicate, so ALL configs'
+    // counters fold in ONE STREAMING aggregation over the BNL join —
+    // the pair frame is never materialized (was: persist ~12.5M rows at
+    // sf0.1 + one re-scan per config; guide §2.3/§1.2)
+    val candCols = configs.zipWithIndex.map { case ((bands, w), ci) =>
       val mask = if (w == 64) -1L else (1L << w) - 1
-      // ∃ band with equal masked slices — sign extension is irrelevant
-      // under the mask, but shiftrightunsigned matches the UBIGINT twin
-      val isCand = (0 until bands).map { b =>
-        shiftrightunsigned(col("sa"), b * w).bitwiseAND(lit(mask)) ===
-          shiftrightunsigned(col("sb"), b * w).bitwiseAND(lit(mask))
-      }.reduce(_ || _)
-      pairsAll.agg(
-          coalesce(sum(when(truth, 1L).otherwise(0L)), lit(0L)).as("n_truth"),
-          coalesce(sum(when(isCand, 1L).otherwise(0L)), lit(0L)).as("n_candidates"),
-          coalesce(sum(when(isCand && truth, 1L).otherwise(0L)), lit(0L)).as("tp"))
-        .select(lit(bands).as("bands"), lit(w).as("bits_per_band"),
-          col("n_truth"), col("n_candidates"), col("tp"))
-    }.reduce(_ unionByName _)
-    rows.select(col("bands"), col("bits_per_band"),
-      col("n_truth"), col("n_candidates"), col("tp"),
-      expr("CASE WHEN n_truth > 0 THEN (tp * 1000000) DIV n_truth ELSE 0 END")
-        .as("recall_ppm"),
-      expr("CASE WHEN n_candidates > 0 THEN (tp * 1000000) DIV n_candidates ELSE 0 END")
-        .as("precision_ppm"))
+      (0 until bands).map { b =>
+        shiftrightunsigned(col("a.sig"), b * w).bitwiseAND(lit(mask)) ===
+          shiftrightunsigned(col("b.sig"), b * w).bitwiseAND(lit(mask))
+      }.reduce(_ || _).as(s"cand$ci")
+    }
+    val pairsAll = withSig.as("a").join(withSig.as("b"), col("a.id") < col("b.id"))
+      .select(bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hd") +: candCols: _*)
+    auditRows(pairsAll, col("hd") <= maxDist, configs,
+      keyNames = ("bands", "bits_per_band"))
+  }
+
+  /** Shared one-pass audit fold: a per-pair frame carrying the truth
+    * determinant plus one boolean `cand<i>` column per config collapses
+    * to every config's (n_truth, n_candidates, tp) in a SINGLE global
+    * aggregation, then explodes to one labeled row per config with the
+    * ppm quality columns. Empty pair frames yield all-zero rows (the
+    * pre-restructure coalesce contract).
+    */
+  private def auditRows(pairs: DataFrame, truth: Column,
+                        configs: Seq[(Int, Int)],
+                        keyNames: (String, String)): DataFrame = {
+    val aggCols = sum(when(truth, 1L).otherwise(0L)).as("n_truth") +:
+      configs.indices.flatMap(ci => Seq(
+        sum(when(col(s"cand$ci"), 1L).otherwise(0L)).as(s"nc$ci"),
+        sum(when(col(s"cand$ci") && truth, 1L).otherwise(0L)).as(s"tp$ci")))
+    val counts = pairs.agg(aggCols.head, aggCols.tail: _*)
+    counts.select(explode(array(configs.zipWithIndex.map { case ((k1, k2), ci) =>
+        struct(lit(k1).as(keyNames._1), lit(k2).as(keyNames._2),
+          coalesce(col("n_truth"), lit(0L)).as("n_truth"),
+          coalesce(col(s"nc$ci"), lit(0L)).as("n_candidates"),
+          coalesce(col(s"tp$ci"), lit(0L)).as("tp"))
+      }: _*)).as("r"))
+      .select("r.*")
+      .select(col(keyNames._1), col(keyNames._2),
+        col("n_truth"), col("n_candidates"), col("tp"),
+        expr("CASE WHEN n_truth > 0 THEN (tp * 1000000) DIV n_truth ELSE 0 END")
+          .as("recall_ppm"),
+        expr("CASE WHEN n_candidates > 0 THEN (tp * 1000000) DIV n_candidates ELSE 0 END")
+          .as("precision_ppm"))
   }
 
   /** Banding-parameter audit for the MinHash family — the q110
@@ -716,23 +737,28 @@ object Dedup {
     configs.foreach { case (b, r) =>
       require(b > 0 && r > 0 && b * r == slots,
         s"bands x rowsPerBand must equal slots=$slots: $b x $r") }
-    // spread the one-partition source before the heavy narrow stage
-    // (shingle explode + 12 md5s per element) — the q110/ngram rule
-    val elems = docs.repartition(col(idCol)).select(col(idCol).as("id"),
-        explode(graft.functions.MinHashExprs.shinglesCol(col(textCol), k)).as("e"))
-      .persist()
-    // slot i = min md5_48("i:shingle") — i is salt, so the slots are
-    // independent hash functions over the same shingle set (q104's rule)
+    // ZERO-EXCHANGE signature construction: the shingle array is
+    // per-doc DISTINCT (ShinglesExpr), so slot i = array_min over
+    // md5_48("i:shingle") of the array — identical to the former
+    // explode + groupBy-min (min over the same distinct value set) but
+    // computed in-row, deleting the per-doc shingle exchange (guide
+    // §2.4). The array alternative for the INTERSECTIONS
+    // (array_intersect inside the all-pairs join) was measured 2×
+    // SLOWER than the shingle equi-join at sf0.1 (5.2 s vs 2.6 s —
+    // |pairs|·O(set) hash probes lose to the exchange even at 36M
+    // joined rows), so the exact-|A∩B| path stays exchange-based.
     val slotCols = (0 until slots).map(i =>
-      min(graft.functions.MinHashExprs.md5Low48Col(
-        concat_ws(":", lit(i.toString), col("e")))).as(s"m$i"))
-    val sigs = elems.groupBy(col("id"))
-      .agg(count(lit(1)).as("n"), slotCols: _*)
-    // evaluate every config's candidacy INSIDE the pair projection —
-    // the persisted frame then carries one boolean per config plus the
-    // Jaccard, not 2·slots signature columns per pair (12.5M pairs at
-    // sf0.1: ~250 MB cached instead of ~3 GB, and each config's agg
-    // scans 4 narrow columns)
+      array_min(transform(col("sh"), e =>
+        graft.functions.MinHashExprs.md5Low48Col(
+          concat_ws(":", lit(i.toString), e)))).as(s"m$i"))
+    val sigs = docs.repartition(col(idCol))
+      .select(col(idCol).as("id"),
+        graft.functions.MinHashExprs.shinglesCol(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(Seq(col("id"), col("sh"),
+        size(col("sh")).cast("long").as("n")) ++ slotCols: _*)
+      .persist() // |docs| rows: both BNL sides + the element explode read it
+    val elems = sigs.select(col("id"), explode(col("sh")).as("e"))
     val candCols = configs.zipWithIndex.map { case ((bands, r), ci) =>
       (0 until bands).map { b =>
         (b * r until (b + 1) * r)
@@ -746,27 +772,14 @@ object Dedup {
         col("x.e") === col("y.e") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
+    // all configs' counters fold in ONE streaming aggregation over the
+    // joined frame — the pair frame is never persisted (was: persist
+    // 12.5M rows + one re-scan per config; the [[auditRows]] fold)
     val joined = pairsAll.join(inter, Seq("id_a", "id_b"), "left")
       .withColumn("inter", coalesce(col("inter"), lit(0L)))
       .withColumn("jppm", expr("inter * 1000000 DIV (n_a + n_b - inter)"))
-      .select(col("jppm") +: configs.indices.map(ci => col(s"cand$ci")): _*)
-      .persist()
-    val truth = col("jppm") >= tauPpm
-    val rows = configs.zipWithIndex.map { case ((bands, r), ci) =>
-      val isCand = col(s"cand$ci")
-      joined.agg(
-          coalesce(sum(when(truth, 1L).otherwise(0L)), lit(0L)).as("n_truth"),
-          coalesce(sum(when(isCand, 1L).otherwise(0L)), lit(0L)).as("n_candidates"),
-          coalesce(sum(when(isCand && truth, 1L).otherwise(0L)), lit(0L)).as("tp"))
-        .select(lit(bands).as("bands"), lit(r).as("rows_per_band"),
-          col("n_truth"), col("n_candidates"), col("tp"))
-    }.reduce(_ unionByName _)
-    rows.select(col("bands"), col("rows_per_band"),
-      col("n_truth"), col("n_candidates"), col("tp"),
-      expr("CASE WHEN n_truth > 0 THEN (tp * 1000000) DIV n_truth ELSE 0 END")
-        .as("recall_ppm"),
-      expr("CASE WHEN n_candidates > 0 THEN (tp * 1000000) DIV n_candidates ELSE 0 END")
-        .as("precision_ppm"))
+    auditRows(joined, col("jppm") >= tauPpm, configs,
+      keyNames = ("bands", "rows_per_band"))
   }
 
   // -----------------------------------------------------------------
@@ -885,25 +898,13 @@ object Dedup {
       (0 until tbls).map(t => col(s"a.s${ci}_$t") === col(s"b.s${ci}_$t"))
         .reduce(_ || _).as(s"cand$ci")
     }
+    // one BNL join → one streaming aggregation over every config's
+    // counters (was: persist the pair frame + one re-scan per config);
+    // the [[auditRows]] single-pass fold
     val joined = withSig.as("a").join(withSig.as("b"), col("a.id") < col("b.id"))
       .select(round(cosine(col("a.vd"), col("b.vd")), 6).as("cos") +: candCols: _*)
       .persist()
-    val truth = col("cos") >= tau
-    val rows = configs.zipWithIndex.map { case ((tbls, planes), ci) =>
-      val isCand = col(s"cand$ci")
-      joined.agg(
-          coalesce(sum(when(truth, 1L).otherwise(0L)), lit(0L)).as("n_truth"),
-          coalesce(sum(when(isCand, 1L).otherwise(0L)), lit(0L)).as("n_candidates"),
-          coalesce(sum(when(isCand && truth, 1L).otherwise(0L)), lit(0L)).as("tp"))
-        .select(lit(tbls).as("tables"), lit(planes).as("planes"),
-          col("n_truth"), col("n_candidates"), col("tp"))
-    }.reduce(_ unionByName _)
-    rows.select(col("tables"), col("planes"),
-      col("n_truth"), col("n_candidates"), col("tp"),
-      expr("CASE WHEN n_truth > 0 THEN (tp * 1000000) DIV n_truth ELSE 0 END")
-        .as("recall_ppm"),
-      expr("CASE WHEN n_candidates > 0 THEN (tp * 1000000) DIV n_candidates ELSE 0 END")
-        .as("precision_ppm"))
+    auditRows(joined, col("cos") >= tau, configs, keyNames = ("tables", "planes"))
   }
 
   /** SET-resemblance near-dup pairs at GROUP granularity — the
