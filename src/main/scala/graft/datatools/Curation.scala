@@ -968,6 +968,25 @@ object Curation {
                 textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    bpeTrain(docs, merges, textCol, withTokenTotals = true)
+      .toDF("merge_rank", "lhs", "rhs", "pair_count",
+        "new_symbol", "corpus_tokens_after")
+  }
+
+  /** Shared BPE trainer core — the per-round corpus-wide argmax loop.
+    * With `withTokenTotals` each round's corpus-tokens-after total is
+    * delivered as an OBSERVED metric on the NEXT round's pair-count
+    * scan (the scan already reads every word's post-merge symbol
+    * sequence), so a `merges`-round train costs merges + 1 actions
+    * instead of 2·merges — only the LAST round pays a dedicated total
+    * aggregation. Without it (the [[bpeEncode]] path, which needs only
+    * the rules) every total is skipped outright — the former
+    * encode-path cost included `merges` token-total jobs whose results
+    * were discarded.
+    */
+  private def bpeTrain(docs: DataFrame, merges: Int, textCol: String,
+                       withTokenTotals: Boolean)
+      : Seq[(Int, String, String, Long, String, Long)] = {
     val words = docs
       .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
       .filter(col("w") =!= "")
@@ -976,37 +995,57 @@ object Curation {
       // ' a b c ' — so every adjacent pair is addressable as ' l r '
       .withColumn("sym0", concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")))
       .persist()
-    def pairCounts(sym: Column): DataFrame = {
-      val arr = split(trim(sym), " ")
-      words.select(col("cnt"),
-          explode(when(size(arr) >= 2,
-            transform(sequence(lit(1), size(arr) - 1),
-              i => struct(element_at(arr, i).as("l"),
-                element_at(arr, i + 1).as("r"))))
+    def pairCounts(sym: Column, obs: Option[org.apache.spark.sql.Observation]): DataFrame = {
+      val base0 = words.select(col("cnt"), split(trim(sym), " ").as("arr"))
+      // the observed total measures the CURRENT sym — i.e. the corpus
+      // token count after the PREVIOUS round's merge
+      val base = obs.map(o =>
+        base0.observe(o, sum(col("cnt") * size(col("arr"))).as("tok"))).getOrElse(base0)
+      base.select(col("cnt"),
+          explode(when(size(col("arr")) >= 2,
+            transform(sequence(lit(1), size(col("arr")) - 1),
+              i => struct(element_at(col("arr"), i).as("l"),
+                element_at(col("arr"), i + 1).as("r"))))
             .otherwise(array().cast("array<struct<l:string,r:string>>"))).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum("cnt").as("pc"))
     }
     var sym: Column = col("sym0")
     val out = Seq.newBuilder[(Int, String, String, Long, String, Long)]
+    // the round whose row still awaits its token total
+    var pending: Option[(Int, String, String, Long, String)] = None
     var exhausted = false
     for (i <- 1 to merges if !exhausted) {
-      val best = pairCounts(sym)
+      val obs =
+        if (withTokenTotals && pending.isDefined)
+          Some(org.apache.spark.sql.Observation())
+        else None
+      val best = pairCounts(sym, obs)
         .orderBy(col("pc").desc, col("l"), col("r")).limit(1).collect()
+      obs.foreach { o =>
+        val tok = o.get.get("tok").flatMap(Option(_))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        pending.foreach { case (ri, l0, r0, pc0, ns0) =>
+          out += ((ri, l0, r0, pc0, ns0, tok)) }
+        pending = None
+      }
       if (best.isEmpty) exhausted = true
       else {
         val (l, r, pc) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         sym = replace(sym, lit(s" $l $r "), lit(s" $l$r "))
-        val toksAfter = words
-          .agg(sum(col("cnt") * size(split(trim(sym), " "))))
-          .first().getLong(0)
-        out += ((i, l, r, pc, l + r, toksAfter))
+        if (withTokenTotals) pending = Some((i, l, r, pc, l + r))
+        else out += ((i, l, r, pc, l + r, 0L))
       }
     }
+    // the final round's total has no later scan to ride on
+    pending.foreach { case (ri, l0, r0, pc0, ns0) =>
+      val tok = words.agg(sum(col("cnt") * size(split(trim(sym), " "))))
+        .first().getLong(0)
+      out += ((ri, l0, r0, pc0, ns0, tok))
+    }
     words.unpersist()
-    out.result().toDF("merge_rank", "lhs", "rhs", "pair_count",
-      "new_symbol", "corpus_tokens_after")
+    out.result()
   }
 
   /** Apply a [[bpeMerges]]-trained merge table to the corpus — the
@@ -1031,8 +1070,10 @@ object Curation {
     */
   def bpeEncode(docs: DataFrame, merges: Int = 6, idCol: String = "doc_id",
                 textCol: String = "text"): DataFrame = {
-    val rules = bpeMerges(docs, merges).collect()
-      .map(r => (r.getString(1), r.getString(2)))
+    // rules-only training: the per-round corpus-tokens-after totals
+    // (half the former actions) are not needed to encode
+    val rules = bpeTrain(docs, merges, "text", withTokenTotals = false)
+      .map(r => (r._2, r._3))
     val sep = "\u0001"
     val sym0 = concat(lit(" "),
       replace(

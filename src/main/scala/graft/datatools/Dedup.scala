@@ -142,19 +142,41 @@ object Dedup {
                        maxDf: Int = 50, idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
     require(n >= 1 && maxDf >= 2 && threshold > 0.0)
+    val spark = docs.sparkSession
+    import spark.implicits._
     val grams = docs
       .select(col(idCol).as("id"), split(trim(col(textCol)), "\\s+").as("l"))
       .filter(trim(col(textCol)) =!= "" && size(col("l")) >= n)
       .select(col("id"), explode(array_distinct(expr(
         s"transform(sequence(0, size(l) - $n), i -> md5(concat_ws(' ', slice(l, i + 1, $n))))"))).as("f"))
-    val rare = grams.groupBy("f").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("f")
-    val g = grams.join(rare, Seq("f")).persist()
-    val sizes = g.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = g.as("a").join(g.as("b"),
-        col("a.f") === col("b.f") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
+    // POSTING-LIST form: ONE exchange on the gram key collapses the
+    // stream into bounded per-gram id lists (the q81 [[InvertedIndex
+    // .TopKPostings]] aggregator at cap maxDf + 1: ≤ maxDf + 1 ids ever
+    // leave a map task per gram, and a df ≤ maxDf gram retains its
+    // COMPLETE ascending id list, since tf is uniformly 1 and the
+    // aggregator's (tf desc, id asc) order degenerates to id asc). The
+    // ordered-pair fan-out is an in-row lambda over the ≤ maxDf-long
+    // arrays (the coCitation shape). The former shape shuffled the
+    // gram stream three times — df agg, cap join, self-equi-join —
+    // and computed the gram projection twice (guide §2.4: remove
+    // shuffles outright).
+    val posts = grams
+      .select(col("f").as("token"), col("id").as("doc_id"), lit(1L).as("tf"))
+      .as[InvertedIndex.Posting]
+      .groupByKey(_.token)
+      .agg(new InvertedIndex.TopKPostings(maxDf + 1).toColumn.name("b"))
+      .select(col("b.df").as("df"), col("b.ids").as("ids"))
+      .filter(col("df") <= maxDf)
+      .persist()
+    val sizes = posts.select(explode(col("ids")).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = posts.filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1),
+          |            y -> named_struct('a', x, 'b', y))))""".stripMargin)).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
