@@ -81,8 +81,12 @@ object StreamingRecrawl {
           var st = state.getOption.getOrElse(
             ScheduleState(-1L, 0L, Long.MinValue, Long.MinValue, null))
           freshSorted(rows, st.lastTs, st.lastTie).foreach { e =>
-            // nObs starts at -1: the batch counts PAIRS (fetches - 1)
-            val changed = st.lastFp != null && st.lastFp != e.fp
+            // nObs starts at -1: the batch counts PAIRS (fetches - 1).
+            // Null-fp events mirror the batch twin's null-ignored
+            // `fp =!= prev_fp` comparison: a change is counted only
+            // when BOTH fingerprints are non-null and differ (r05
+            // ADVICE: lastFp="x" -> fp=null must not count)
+            val changed = st.lastFp != null && e.fp != null && st.lastFp != e.fp
             st = ScheduleState(st.nObs + 1L,
               st.nChanges + (if (changed) 1L else 0L),
               e.tsMicros, e.tie, e.fp)
@@ -90,9 +94,12 @@ object StreamingRecrawl {
           state.update(st)
           val nObs = math.max(st.nObs, 0L)
           val rate = if (nObs > 0) st.nChanges * 1000000L / nObs else 0L
-          // floorDiv like the batch's `div`: ages are nonnegative there,
-          // but stay exact if asOf precedes the last fetch
-          val ageHours = Math.floorDiv(asOfMicros - st.lastTs, 3600000000L)
+          // truncating division exactly like the batch's `div` (Spark
+          // SQL DIV truncates toward zero) — equal on the nonnegative
+          // ages the schedule supports AND on the negative-age regime
+          // (asOf before the last fetch), where floorDiv diverged (r05
+          // ADVICE)
+          val ageHours = (asOfMicros - st.lastTs) / 3600000000L
           ScheduleRow(key, nObs, st.nChanges, rate, ageHours,
             math.min(1000000L, rate * ageHours))
       }

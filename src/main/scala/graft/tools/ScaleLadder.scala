@@ -35,6 +35,7 @@ object ScaleLadder {
 
   def main(args: Array[String]): Unit = {
     val reps = args.headOption.map(_.toInt).getOrElse(3)
+    require(reps >= 1, s"reps must be >= 1, got $reps") // fail fast, not IOOBE in median()
     val root = sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata")
     val fastDir =
       if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else System.getProperty("java.io.tmpdir")
