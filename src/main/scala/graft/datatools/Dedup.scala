@@ -715,7 +715,16 @@ object Dedup {
       configs.indices.flatMap(ci => Seq(
         sum(when(col(s"cand$ci"), 1L).otherwise(0L)).as(s"nc$ci"),
         sum(when(col(s"cand$ci") && truth, 1L).otherwise(0L)).as(s"tp$ci")))
-    val counts = pairs.agg(aggCols.head, aggCols.tail: _*)
+    auditShape(pairs.agg(aggCols.head, aggCols.tail: _*), configs, keyNames)
+  }
+
+  /** The audit output shaping shared by [[auditRows]] and the split-
+    * aggregation path of [[minhashBandingAudit]]: a 1-row counts frame
+    * (`n_truth`, `nc<i>`, `tp<i>`) explodes to one labeled row per
+    * config with the ppm quality columns.
+    */
+  private def auditShape(counts: DataFrame, configs: Seq[(Int, Int)],
+                         keyNames: (String, String)): DataFrame = {
     counts.select(explode(array(configs.zipWithIndex.map { case ((k1, k2), ci) =>
         struct(lit(k1).as(keyNames._1), lit(k2).as(keyNames._2),
           coalesce(col("n_truth"), lit(0L)).as("n_truth"),
@@ -787,20 +796,44 @@ object Dedup {
           .map(i => col(s"a.m$i") === col(s"b.m$i")).reduce(_ && _)
       }.reduce(_ || _).as(s"cand$ci")
     }
-    val pairsAll = sigs.as("a").join(sigs.as("b"), col("a.id") < col("b.id"))
-      .select(Seq(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.n").as("n_a"), col("b.n").as("n_b")) ++ candCols: _*)
+    // SPLIT aggregation — the former single fold LEFT-JOINED the full
+    // |docs|²/2 BNL pair frame to the intersection counts (a
+    // corpus-quadratic exchange + sort-merge join: 12.5M rows at
+    // sf0.1) only so that no-shared-shingle pairs could carry jppm = 0.
+    // But tauPpm > 0 means every TRUTH pair has inter ≥ 1, i.e. truth
+    // and tp are fully determined by the (much sparser) intersection
+    // frame — so the candidate totals fold over the un-shuffled BNL
+    // stream (projection-pruned to the slot columns) while truth/tp
+    // fold over `inter` with the per-doc metadata joined back from the
+    // |docs|-sized signature cache, and the quadratic frame never
+    // crosses an exchange at all (guide §2.3: shuffle keys and
+    // metadata, never the bulk stream).
+    require(tauPpm > 0, "tauPpm must be positive (jppm = 0 pairs are non-truth)")
+    val candAgg = sigs.as("a").join(sigs.as("b"), col("a.id") < col("b.id"))
+      .select(candCols: _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        configs.indices.map(ci =>
+          sum(when(col(s"cand$ci"), 1L).otherwise(0L)).as(s"nc$ci")): _*)
     val inter = elems.as("x").join(elems.as("y"),
         col("x.e") === col("y.e") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
-    // all configs' counters fold in ONE streaming aggregation over the
-    // joined frame — the pair frame is never persisted (was: persist
-    // 12.5M rows + one re-scan per config; the [[auditRows]] fold)
-    val joined = pairsAll.join(inter, Seq("id_a", "id_b"), "left")
-      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+    val meta = sigs.select(Seq(col("id"), col("n")) ++
+      (0 until slots).map(i => col(s"m$i")): _*)
+    val interTruth = inter
+      .join(meta.toDF(Seq("id_a", "n_a") ++ (0 until slots).map(i => s"a_m$i"): _*), "id_a")
+      .join(meta.toDF(Seq("id_b", "n_b") ++ (0 until slots).map(i => s"b_m$i"): _*), "id_b")
       .withColumn("jppm", expr("inter * 1000000 DIV (n_a + n_b - inter)"))
-    auditRows(joined, col("jppm") >= tauPpm, configs,
+      .filter(col("jppm") >= tauPpm)
+    val truthAgg = interTruth.agg(
+      count(lit(1)).as("n_truth"),
+      configs.zipWithIndex.map { case ((bands, r), ci) =>
+        sum(when((0 until bands).map { b =>
+          (b * r until (b + 1) * r)
+            .map(i => col(s"a_m$i") === col(s"b_m$i")).reduce(_ && _)
+        }.reduce(_ || _), 1L).otherwise(0L)).as(s"tp$ci")
+      }: _*)
+    auditShape(candAgg.crossJoin(truthAgg), configs,
       keyNames = ("bands", "rows_per_band"))
   }
 
@@ -913,19 +946,26 @@ object Dedup {
         graft.functions.HyperplaneExprs.signatureCol(col("vd"),
           hyperplaneSigns(dim, planes, tableSeed(seed, ci * 16 + t))).as(s"s${ci}_$t"))
     }
+    // ROW-level persist: the signature columns are the expensive
+    // per-row work (configs × tables hyperplane dots over the vector),
+    // and without a barrier here CollapseProject merges them into the
+    // post-join projection — evaluated PER PAIR, a |docs|×-fold blowup
+    // (measured 0.9 s → 8.7 s at sf0.1 when the barrier was dropped).
+    // The former code persisted the QUADRATIC pair frame instead, which
+    // buys the same barrier at |docs|²/2 × row-width storage churn;
+    // caching the |docs|-sized signature frame gets signatures computed
+    // once per row while the pair stream folds straight into the one
+    // counters aggregation, never stored (guide §2.3).
     val withSig = embeddings.repartition(col(idCol))
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vd"))
       .select(col("id") +: col("vd") +: sigCols: _*)
+      .persist()
     val candCols = configs.zipWithIndex.map { case ((tbls, _), ci) =>
       (0 until tbls).map(t => col(s"a.s${ci}_$t") === col(s"b.s${ci}_$t"))
         .reduce(_ || _).as(s"cand$ci")
     }
-    // one BNL join → one streaming aggregation over every config's
-    // counters (was: persist the pair frame + one re-scan per config);
-    // the [[auditRows]] single-pass fold
     val joined = withSig.as("a").join(withSig.as("b"), col("a.id") < col("b.id"))
       .select(round(cosine(col("a.vd"), col("b.vd")), 6).as("cos") +: candCols: _*)
-      .persist()
     auditRows(joined, col("cos") >= tau, configs, keyNames = ("tables", "planes"))
   }
 
