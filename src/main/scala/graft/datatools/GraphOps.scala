@@ -61,6 +61,12 @@ object GraphOps {
     // caches rows but keeps the nested plan). On a real cluster swap in
     // a reliable checkpoint dir if executor loss mid-loop matters; the
     // loop is restartable from any round's labels either way.
+    // EAGER, deliberately: the lazy-init fold (see [[linkAuthority]]'s
+    // nodes) was A/B-measured here and showed NO benefit within host
+    // noise — round 1 references labels THREE times (neighbor join,
+    // cand, jump), so concurrent stages contend on the lazily
+    // materializing seed shuffle; the single-reference loops keep the
+    // fold, this one pays the init job for a deterministic round 1.
     var labels = edges.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
       .localCheckpoint(true)
@@ -154,9 +160,11 @@ object GraphOps {
                     onRound: Int => Unit = _ => ()): DataFrame = {
     require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // LAZY: the node set materializes inside round 1's checkpoint job
+    // (the rank₀ fold), later rounds read its cache
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id"))).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val eDeg = e.join(outdeg, "src").persist(StorageLevel.MEMORY_AND_DISK)
     val base = scale * (100 - dampingPct) / 100
@@ -208,7 +216,7 @@ object GraphOps {
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
     val nodes = we.select(col("src").as("id"))
       .unionByName(we.select(col("dst").as("id"))).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy: materializes in round 1's job
     val outw = we.groupBy(col("src")).agg(sum(col("w")).as("outw"))
     val eW = we.join(outw, "src").persist(StorageLevel.MEMORY_AND_DISK)
     val base = scale * (100 - dampingPct) / 100
@@ -308,7 +316,7 @@ object GraphOps {
       .unionByName(e.select(col("dst").as("id"))).distinct()
       .join(s.withColumn("is_seed", lit(true)), Seq("id"), "left")
       .select(col("id"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy: materializes in round 1's job
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val eDeg = e.join(outdeg, "src").persist(StorageLevel.MEMORY_AND_DISK)
     val base = scale * (100 - dampingPct) / 100
@@ -352,9 +360,11 @@ object GraphOps {
     // union-of-unions lineage still truncates eagerly per level and
     // superseded checkpoints release immediately, so ≤ 2 block sets are
     // ever live (the GraphOpsSpec hygiene pin).
+    // lazy: the seed level materializes inside level 1's frontier-
+    // checkpoint job instead of paying a dedicated init job
     var visited = seeds.select(col(idCol).as("id")).distinct()
       .select(col("id"), lit(0).as("depth"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var frontier = visited
     var d = 0
     while (d < maxDepth) {
@@ -669,7 +679,7 @@ object GraphOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id"))).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy: materializes in round 1's job
     // label₀ lazy + optional lazy final round — the [[linkAuthority]]
     // job-count discipline
     var labels = nodes.select(col("id"), col("id").as("label"))
