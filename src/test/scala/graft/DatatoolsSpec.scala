@@ -828,6 +828,19 @@ class DatatoolsSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("tp") >= 1L))
   }
 
+  test("minhashBandingAudit rejects tauPpm = 0 (split truth fold needs inter >= 1 on truths)") {
+    import spark.implicits._
+    // the r06 split aggregation counts truth/tp over the intersection
+    // frame only, which is exact iff jppm >= tauPpm implies inter >= 1
+    // — i.e. tauPpm > 0; the contract is enforced, not silently wrong
+    val docs = Seq((1L, "a b c"), (2L, "x y z")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashBandingAudit(docs, slots = 12,
+        configs = Seq((2, 6)), tauPpm = 0L).collect()
+    }
+    assert(e.getMessage.contains("tauPpm"))
+  }
+
   // ---- image aHash near-dup ----
 
   test("image near-dup: banded pairs equal brute force over the decode stub; groups separate") {
